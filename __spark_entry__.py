@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Query inventory maps 1:1 onto SURVEY.md §2: the three reference views
+(§2.10), T1/T3/T4 cleaning ops (§2.2-§2.5), D2 reporting (§2.11), the
+broader relational surface (§2.12), and the [EXTENDED] LLM-pipeline
+operators (dedup / similarity / text analysis / multimodal / streaming).
 """
 
 from __future__ import annotations
@@ -13,26 +17,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from zylyty_data_engineer_challenge_spark.queries import relational, views
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (view 2, monthly_transaction_summary retargeted) on
+    /root/testdata/sf0.001; driver checks rows>0."""
+    return views.monthly_transaction_summary_tpch(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        # §2.10 — the three reference views, retargeted (FIXTURES.md Family B)
+        "view1_client_transaction_counts": views.client_transaction_counts_tpch,
+        "view2_monthly_transaction_summary": views.monthly_transaction_summary_tpch,
+        "view3_high_transaction_accounts": views.high_transaction_accounts_tpch,
+        # §2.2-§2.5, §2.11 — cleaning + reporting operators
+        "t1_union_pages": relational.t1_union_pages,
+        "t3_dedup_keep_first": relational.t3_dedup_keep_first,
+        "t4_numeric_coercion": relational.t4_numeric_coercion,
+        "d2_completion_counts": relational.d2_completion_counts,
+        # §2.12 — relational surface
+        "q_pricing_summary": relational.q_pricing_summary,
+        "q_revenue_filter": relational.q_revenue_filter,
+        "q_top_customers": relational.q_top_customers,
+        "q_window_running_total": relational.q_window_running_total,
+        "q_semi_anti_join": relational.q_semi_anti_join,
+        "q_set_ops": relational.q_set_ops,
+        "q_rollup_sales": relational.q_rollup_sales,
+        "q_pivot_events": relational.q_pivot_events,
+        "q_scalar_functions": relational.q_scalar_functions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query; keys match
+    ``queries()`` and every computed column is aliased identically."""
+    out: dict[str, str] = {}
+    out.update(views.ORACLE_SQL)
+    out.update(relational.ORACLE_SQL)
+    return out

@@ -1,0 +1,40 @@
+"""Table loading / temp-view registration for the driver test corpus.
+
+Reads are plain ``spark.read.parquet`` with the explicit schemas from
+:mod:`.schemas` — Catalyst then gets predicate pushdown, column pruning, and
+partition pruning for free on every downstream query. At cluster scale the
+same code path works against a 100 TB directory tree; nothing here
+materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table with its explicit schema (no inference)."""
+    schema = TESTDATA_SCHEMAS[name]
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every corpus table as a temp view (for the SQL API path)."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,431 @@
+"""Relational operator coverage, retargeted onto the driver corpus.
+
+Each function here is one oracle-checked query; together they cover the
+reference's non-view operators (T1 union, T3 keep-first dedup, T4 numeric
+coercion, D2 completion counts — SURVEY.md §2.2-§2.5, §2.11) plus the
+standard relational surface a consumer of the engine expects (filters with
+pushdown, top-k, window functions, semi/anti joins, set ops, rollup, pivot,
+scalar functions — SURVEY.md §2.12).
+
+Correctness-gate discipline (applies to every query in this package):
+
+* computed columns are aliased identically in Spark and oracle SQL;
+* monetary aggregates cast double→DECIMAL(18,2) *before* summing so results
+  are exact and order-insensitive (no float summation-order drift);
+* timestamps leave queries as formatted strings;
+* ties are broken by a unique key so top-k / window outputs are
+  deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+DEC = "decimal(18,2)"
+
+# ---------------------------------------------------------------------------
+# Reference operators T1 / T3 / T4 / D2
+# ---------------------------------------------------------------------------
+
+
+def t1_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (`main.py:109`): page-append as a union.
+
+    Simulates two ingest "pages" (even/odd order keys) re-combined with
+    ``unionByName`` — at scale each page is its own partition set and the
+    union is a zero-shuffle metadata concat.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+    page0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    page1 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    return page0.unionByName(page1)
+
+
+def t3_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (`main.py:123`): keep-first dedup on ``(l_shipdate, l_orderkey)``.
+
+    "First" on a distributed engine must be an explicit total order, not
+    physical row order (SURVEY.md §7 risk 1) — here the arrival ordinal is
+    ``(l_linenumber, l_partkey)``, unique within every key group, mirroring
+    the page-ordinal the ingest layer attaches in production
+    (:mod:`..etl.clean`).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_shipdate", "l_orderkey").orderBy(
+        "l_linenumber", "l_partkey"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.col("l_extendedprice").cast(DEC).alias("amount"),
+        )
+        .orderBy("ship_date", "l_orderkey")
+    )
+
+
+def t4_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (`main.py:124-125`): to-numeric coercion, invalid/missing → 0.
+
+    ``props`` is a JSON string; its ``k`` field is extracted as text and
+    coerced to DECIMAL(10,2). ``event_type`` (never numeric) exercises the
+    garbage→0 path: ``coalesce(try_cast(x), 0)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(10,2)"
+    zero = F.lit(0).cast(dec)
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.k").try_cast(dec), zero
+        ).alias("k_amount"),
+        F.coalesce(F.col("event_type").try_cast(dec), zero).alias("coerced_garbage"),
+    ).orderBy("event_id")
+
+
+def d2_completion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (`main.py:58-59`): the completion counts, in the reference's
+    clients/accounts/transactions order (role-mapped to
+    customer/orders/lineitem)."""
+    counts = []
+    for role, table in [
+        ("clients", "customer"),
+        ("accounts", "orders"),
+        ("transactions", "lineitem"),
+    ]:
+        counts.append(
+            load_table(spark, sf_dir, table).agg(
+                F.lit(role).alias("dataset"), F.count("*").alias("n")
+            )
+        )
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Broader relational surface
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate: group on two low-cardinality keys, many
+    aggregates. Decimal arithmetic end-to-end: products of decimals are
+    exact, so partial/final agg order can't change the result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(8,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(price).cast(DEC).alias("sum_base_price"),
+            # products of decimals are exact at scale 4/6 — keep that scale in
+            # the output; casting down to scale 2 would round half-way cases
+            # differently across engines.
+            F.sum(price * disc).cast("decimal(24,4)").alias("sum_disc_price"),
+            F.sum(price * disc * tax).cast("decimal(28,6)").alias("sum_charge"),
+            F.min(F.col("l_quantity").cast(DEC)).alias("min_qty"),
+            F.max(F.col("l_quantity").cast(DEC)).alias("max_qty"),
+            F.count("*").alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: tight scan-side predicate + single aggregate. The
+    date/discount/quantity filters push down to the parquet scan
+    (PushedFilters in the plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * F.col("l_discount").cast("decimal(8,2)")
+            )
+            .cast("decimal(24,4)")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break: 10 biggest customers by exact
+    decimal spend, ties broken by key."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("total_spend"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("c_custkey", "c_name", "total_spend")
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-customer running order total, frame = rows
+    unbounded-preceding..current, total order (o_orderdate, o_orderkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast(DEC).alias("running_spend"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    ).orderBy("o_custkey", "order_seq")
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) in one result: per
+    customer, whether they have any order ≥ 100k and whether they have none
+    at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") >= 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    has_big = customer.join(big, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("flag")
+    )
+    no_orders = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("flag"))
+    return has_big.unionByName(no_orders).orderBy("flag", "c_custkey")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT coverage: customers in BUILDING segment vs
+    customers with at least one F-status order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    f_status = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = building.intersect(f_status).select(
+        "c_custkey", F.lit("both").alias("which")
+    )
+    only_building = building.exceptAll(f_status.distinct()).select(
+        "c_custkey", F.lit("building_only").alias("which")
+    )
+    return both.unionByName(only_building).orderBy("which", "c_custkey")
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows with
+    NULL group keys, matching ANSI GROUP BY ROLLUP."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type. The pivot
+    value list is explicit, so the schema is static and no extra distinct
+    pass runs at plan time."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    for c in EVENT_TYPES:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out.orderBy("user_id")
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: string, math, conditional, date-part — all
+    JVM-side built-ins inside one whole-stage-codegen span."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_retailprice").cast(DEC) * 2).cast(DEC).alias("double_price"),
+        F.when(F.col("p_size") > 25, "large").otherwise("small").alias("size_class"),
+    ).orderBy("p_partkey")
+
+
+ORACLE_SQL = {
+    "t1_union_pages": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    "t3_dedup_keep_first": """
+        SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+               l_orderkey, l_linenumber, l_partkey,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS amount
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_shipdate, l_orderkey
+                ORDER BY l_linenumber, l_partkey) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+        ORDER BY ship_date, l_orderkey
+    """,
+    "t4_numeric_coercion": """
+        SELECT event_id,
+               COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(10,2)),
+                        CAST(0 AS DECIMAL(10,2))) AS k_amount,
+               COALESCE(TRY_CAST(event_type AS DECIMAL(10,2)),
+                        CAST(0 AS DECIMAL(10,2))) AS coerced_garbage
+        FROM events ORDER BY event_id
+    """,
+    "d2_completion_counts": """
+        SELECT 'clients' AS dataset, COUNT(*) AS n FROM customer
+        UNION ALL SELECT 'accounts', COUNT(*) FROM orders
+        UNION ALL SELECT 'transactions', COUNT(*) FROM lineitem
+    """,
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4)) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(8,2))
+                        * CAST(1 + l_tax AS DECIMAL(8,2))) AS DECIMAL(28,6)) AS sum_charge,
+               MIN(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
+               MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+               COUNT(*) AS count_order,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_revenue_filter": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4)) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_quantity < 24
+    """,
+    "q_top_customers": """
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY total_spend DESC, c.c_custkey ASC
+        LIMIT 10
+    """,
+    "q_window_running_total": """
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(18,2)) AS running_spend,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS order_seq
+        FROM orders ORDER BY o_custkey, order_seq
+    """,
+    "q_semi_anti_join": """
+        SELECT c_custkey, 'has_big_order' AS flag FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 100000)
+        UNION ALL
+        SELECT c_custkey, 'no_orders' AS flag FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY flag, c_custkey
+    """,
+    "q_set_ops": """
+        WITH building AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), f_status AS (
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT c_custkey, 'both' AS which FROM (
+            SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM f_status)
+        UNION ALL
+        SELECT c_custkey, 'building_only' AS which FROM (
+            SELECT c_custkey FROM building EXCEPT ALL SELECT c_custkey FROM f_status)
+        ORDER BY which, c_custkey
+    """,
+    "q_rollup_sales": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+    "q_pivot_events": """
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q_scalar_functions": """
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               SUBSTRING(p_type, 1, 5) AS type_prefix,
+               LENGTH(p_name) AS name_len,
+               CONCAT_WS('|', p_brand, p_type) AS brand_type,
+               ABS(p_size - 25) AS size_dist,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS double_price,
+               CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+        FROM part ORDER BY p_partkey
+    """,
+}
