@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round performance gate.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Methodology: each query is materialized with a ``noop``-format write —
+full computation of every output column, no driver-side row transfer, so
+the number reflects engine throughput rather than py4j serialization.
+A warmup action first absorbs one-time JVM/codegen/parquet-footer costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from zylyty_data_engineer_challenge_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.0
+
+
+def headline_queries() -> dict:
+    """The benched subset of __spark_entry__.queries(): the reference views
+    plus the heaviest relational + extended operators."""
+    import __spark_entry__ as entry_mod
+
+    all_q = entry_mod.queries()
+    names = [
+        "view1_client_transaction_counts",
+        "view2_monthly_transaction_summary",
+        "view3_high_transaction_accounts",
+        "t3_dedup_keep_first",
+        "q_pricing_summary",
+        "q_revenue_filter",
+        "q_top_customers",
+        "q_window_running_total",
+        "q_semi_anti_join",
+    ]
+    # extended ops register themselves under these prefixes as they land
+    extended_prefixes = ("dedup_", "sim_", "text_", "mm_")
+    names += [n for n in all_q if n.startswith(extended_prefixes)]
+    return {n: all_q[n] for n in names if n in all_q}
+
+
+def main() -> int:
+    spark = get_spark("bench")
+    queries = headline_queries()
+
+    # Warmup: absorb JVM JIT / codegen / parquet footer reads once.
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+
+    load_table(spark, SF_DIR, "lineitem").count()
+    load_table(spark, SF_DIR, "orders").count()
+
+    # Best-of-2: the host shows intermittent multi-second stalls unrelated
+    # to the engine; min-of-runs measures the plan, not the noise.
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
