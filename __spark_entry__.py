@@ -17,7 +17,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from zylyty_data_engineer_challenge_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from zylyty_data_engineer_challenge_spark.queries import relational, views
+from zylyty_data_engineer_challenge_spark.streaming import views_stream
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,6 +55,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_sales": relational.q_rollup_sales,
         "q_pivot_events": relational.q_pivot_events,
         "q_scalar_functions": relational.q_scalar_functions,
+        # [EXTENDED] dedup suite (SURVEY.md §2.12)
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # [EXTENDED] similarity search
+        "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
+        "sim_ann_lsh": similarity.sim_ann_lsh,
+        # [EXTENDED] text analysis
+        "text_token_stats": text.text_token_stats,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "text_fingerprint": text.text_fingerprint,
+        # [EXTENDED] multimodal plumbing
+        "mm_features": multimodal.mm_features,
+        "mm_frame_sample": multimodal.mm_frame_sample,
+        # [EXTENDED] streaming analogs (real readStream/writeStream runs)
+        "stream_event_summary": views_stream.stream_event_summary,
+        "stream_high_activity_users": views_stream.stream_high_activity_users,
     }
 
 
@@ -57,4 +84,9 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(views.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
+    out.update(dedup.ORACLE_SQL)
+    out.update(similarity.ORACLE_SQL)
+    out.update(text.ORACLE_SQL)
+    out.update(multimodal.ORACLE_SQL)
+    out.update(views_stream.ORACLE_SQL)
     return out

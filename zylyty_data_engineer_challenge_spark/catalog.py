@@ -12,14 +12,25 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+from .schemas import EVENTS_RAW, TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def convert_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts arrives as raw epoch nanos (see schemas.EVENTS_RAW);
+    truncate to micros — integer div, matching DuckDB's nanos handling —
+    and expose a proper TimestampType column."""
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its explicit schema (no inference)."""
+    if name == "events":
+        raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
+        return convert_event_ts(raw)
     schema = TESTDATA_SCHEMAS[name]
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 

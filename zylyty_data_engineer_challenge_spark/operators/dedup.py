@@ -1,0 +1,407 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+[EXTENDED] surface mandated by the north star (SURVEY.md §2.12) — not in the
+reference (`/root/reference/main.py` has only the exact keyed dedup at
+main.py:123, covered by :mod:`..etl.clean`). Four families here:
+
+* exact dedup — hash-groupBy on normalized text;
+* n-gram Jaccard — exact pairwise set similarity (the verification kernel);
+* MinHash + LSH banding — the scale path: candidate pairs come from band
+  buckets, so the quadratic verify runs only within buckets;
+* SimHash — 64-bit signed-projection signatures + Hamming-distance pairs.
+
+Cross-engine determinism: every similarity decision is *integer* arithmetic
+(`3*common >= s1+s2` ⟺ Jaccard ≥ 0.5) and every hash is md5-derived
+(identical hex in Spark and DuckDB), so the DuckDB oracle hash-matches
+bit-for-bit. No floats anywhere in this module.
+
+Scale notes (100 TB): shingling is a narrow map (explode) — no shuffle;
+MinHash signatures are one hash-shuffle groupBy on doc_id; LSH banding
+shuffles on (band, signature) whose cardinality ~ n_docs; the exact-verify
+join touches only candidate pairs. The all-pairs forms (`ngram_jaccard`,
+`simhash` pair output) are intentionally quadratic verification kernels —
+at scale they are only ever run on LSH-bucketed candidates, which is
+exactly how `dedup_minhash_lsh` composes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows/band: P(candidate) = 1-(1-j^4)^4 — steep around j≈0.5
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """doc_id + exploded whitespace tokens (distinct per doc)."""
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("w"))
+    )
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc.
+
+    Built with a JVM-side higher-order function (transform over a position
+    sequence) — a narrow map, no Python, no shuffle.
+    """
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # docs shorter than n shingle words need the explicit empty-array guard.
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(split(text, '\\\\s+')) >= {n} THEN "
+                    f"transform(sequence(1, size(split(text, '\\\\s+')) - {n - 1}),"
+                    f" i -> array_join(slice(split(text, '\\\\s+'), i, {n}), ' ')) "
+                    f"ELSE array() END"
+                )
+            )
+        ).alias("s"),
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per normalized-text hash.
+
+    The canonical first pass of any corpus dedup: normalize (lowercase,
+    collapse whitespace), hash, keep one representative per hash. A single
+    map-side-combinable hash aggregate — the cheapest possible shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.md5(norm).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+        .select("keep_doc_id", "text_hash", "n_copies")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard near-dup pairs at j >= 0.5.
+
+    Integer-only decision: j = c/(s1+s2-c) >= 1/2  ⟺  3c >= s1+s2.
+    This is the exact verification kernel; the scale path prunes pairs with
+    LSH first (see :func:`dedup_minhash_lsh`).
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents")).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "d1", "n": "s1"})), "d1")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "d2", "n": "s2"})), "d2")
+        .filter(3 * F.col("common") >= F.col("s1") + F.col("s2"))
+        .select("d1", "d2", "common", "s1", "s2")
+        .orderBy("d1", "d2")
+    )
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id + N_HASHES minhash columns h0..h15.
+
+    Hash family: h_i(s) = md5(i || '#' || s), min taken lexicographically on
+    the hex string — portable across engines, uniform enough for LSH. One
+    groupBy(doc_id) computes all 16 mins in a single shuffle.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("s")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle → minhash → band → bucket-join
+    → exact-Jaccard verify. Emits the same (d1,d2,common,s1,s2) contract as
+    :func:`dedup_ngram_jaccard` — at j >= 0.5 with 4x4 banding the candidate
+    recall is high but not guaranteed 1.0, which is the standard trade.
+
+    Scale: the quadratic join runs only inside (band, signature) buckets;
+    bucket cardinality ~ corpus size, so skew is bounded by true duplicate
+    cluster size. Signature computation is one shuffle; banding is a narrow
+    projection.
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents")).cache()
+    sig = _minhash_signatures(sh)
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        members = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("sig"))
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(sh.alias("b"), (F.col("d2") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "d1", "n": "s1"})), "d1")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "d2", "n": "s2"})), "d2")
+        .filter(3 * F.col("common") >= F.col("s1") + F.col("s2"))
+        .select("d1", "d2", "common", "s1", "s2")
+        .orderBy("d1", "d2")
+    )
+
+
+SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed 64-bit in both engines
+HAMMING_MAX = 10
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signed-projection fingerprints, pairs
+    at Hamming distance <= 10.
+
+    Token hash = first 15 hex chars of md5 as int (identical in Spark
+    `conv` and DuckDB hex-cast). Bit b of the fingerprint is the sign of
+    sum over tokens of (2*bit_b(hash)-1). All integer arithmetic.
+
+    Scale: fingerprints are one groupBy(doc_id); the pair scan here is
+    all-pairs for test-scale fidelity — production prunes by banding the
+    fingerprint into 4x15-bit keys (any equal band ⟹ Hamming <= 45
+    candidate filter) before the exact Hamming check.
+    """
+    toks = _tokens(load_table(spark, sf_dir, "documents"))
+    th = toks.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").alias("th"),
+    )
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "th",
+    ).select(
+        "doc_id",
+        "b",
+        (F.expr("CAST(shiftright(th, b) & 1 AS INT) * 2 - 1")).alias("sgn"),
+    )
+    fp = (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("sgn").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )
+    pairs = (
+        fp.alias("x")
+        .join(fp.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("d1", "d2")
+    )
+    return pairs
+
+
+COS_NUM = 81  # threshold 0.45: cos >= 0.45 ⟺ 400*dot^2 >= 81*n1*n2 (dot>0)
+COS_DEN = 400
+QUANT = 1000  # fixed-point scale for float32 components
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: quantized-cosine >= 0.45 over the
+    embeddings table.
+
+    Components are fixed-point quantized (floor(x*1000)) so the dot product
+    and norms are exact integers; the threshold test is pure int arithmetic
+    (dot>0 ∧ 400·dot² >= 81·n1·n2) — no float summation-order drift between
+    engines. zip_with/aggregate run inside codegen; no Python.
+
+    Scale: all-pairs is the verification kernel; the ANN path
+    (:mod:`.similarity`) prunes candidates with hyperplane-LSH buckets first.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))").alias("q"),
+    )
+    with_norm = emb.select(
+        "vec_id",
+        "q",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").alias("n"),
+    ).cache()
+    a, b = with_norm.alias("a"), with_norm.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.expr(
+                "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .filter((F.col("dot") > 0) & (COS_DEN * F.col("dot") * F.col("dot") >= COS_NUM * F.col("n1") * F.col("n2")))
+        .orderBy("v1", "v2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — same integer/md5 constructions, CTE form.
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+    toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\\s+')) AS w,
+               generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_MINHASH_COLS = ",\n               ".join(
+    f"MIN(md5('{i}#' || s)) AS h{i}" for i in range(N_HASHES)
+)
+
+_BAND_SELECTS = "\n        UNION ALL\n".join(
+    "        SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM sig".format(
+        b=b,
+        concat=" || '|' || ".join(f"h{b * (N_HASHES // N_BANDS) + r}" for r in range(N_HASHES // N_BANDS)),
+    )
+    for b in range(N_BANDS)
+)
+
+ORACLE_SQL = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS keep_doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY text_hash
+        ORDER BY keep_doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        common AS (
+            SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS common
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2, common, s1.n AS s1, s2.n AS s2
+        FROM common
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE 3 * common >= s1.n + s2.n
+        ORDER BY d1, d2
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+               {_MINHASH_COLS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+{_BAND_SELECTS}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM bands x
+            JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        ),
+        common AS (
+            SELECT d1, d2, COUNT(*) AS common
+            FROM cand
+            JOIN sh a ON a.doc_id = d1
+            JOIN sh b ON b.doc_id = d2 AND a.s = b.s
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2, common, s1.n AS s1, s2.n AS s2
+        FROM common
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE 3 * common >= s1.n + s2.n
+        ORDER BY d1, d2
+    """,
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS th FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b.b, SUM(((th >> b.b) & 1) * 2 - 1) AS s
+            FROM th, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
+            GROUP BY 1, 2
+        ),
+        fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT x.doc_id AS d1, y.doc_id AS d2,
+               bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+        ORDER BY d1, d2
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        pos AS (
+            SELECT vec_id, unnest(v) AS q, generate_subscripts(v, 1) AS i FROM q
+        ),
+        norms AS (SELECT vec_id, SUM(q * q) AS n FROM pos GROUP BY 1),
+        dots AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.q * b.q) AS dot
+            FROM pos a JOIN pos b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT v1, v2, dot, n1.n AS n1, n2.n AS n2
+        FROM dots
+        JOIN norms n1 ON v1 = n1.vec_id
+        JOIN norms n2 ON v2 = n2.vec_id
+        WHERE dot > 0 AND {COS_DEN} * dot * dot >= {COS_NUM} * n1.n * n2.n
+        ORDER BY v1, v2
+    """,
+}

@@ -1,0 +1,245 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+[EXTENDED] north-star surface (SURVEY.md §2.12) — absent from the reference.
+
+Two paths over ``embeddings.embedding`` (array<float>):
+
+* brute-force cosine top-k — the exactness baseline; a broadcast of the
+  (small) query set against the full corpus, ranked per query;
+* hyperplane-LSH ANN — the scale path: 16 deterministic pseudo-random
+  hyperplanes produce a 16-bit sign signature per vector, split into two
+  8-bit bands; candidates share at least one band bucket, and exact
+  ranking runs only on candidates.
+
+Cross-engine determinism: components are fixed-point quantized
+(floor(x*1000) as int), dot products and norms are exact integers, and the
+ranking key ``±dot²/norm`` is a single IEEE double division — identical in
+Spark and DuckDB, so ranks hash-match. Hyperplane weights derive from
+md5 (identical hex both engines), not an RNG.
+
+Scale notes (100 TB): the query set is broadcast (no shuffle of the corpus);
+brute force is a narrow map + per-query top-k (partial top-k per partition,
+tiny final merge). The LSH variant buckets the corpus once (one shuffle on
+the band key), after which per-query work touches only matching buckets —
+the same structure an IVF index gives with centroids instead of hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUANT = 1000
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 10
+N_PLANES = 16
+N_DIMS = 64
+PLANE_MOD = 1001  # weights in [-500, 500]
+ANN_TOP_K = 5
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, q (int components), n (exact integer squared norm)."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+        ).alias("q"),
+    ).withColumn("n", F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+
+
+def _rank_key() -> F.Column:
+    """Monotone-in-cosine sort key using one double division (sign-aware)."""
+    return F.expr(
+        "CASE WHEN dot >= 0 THEN (dot * dot) * 1.0 / n2 ELSE -((dot * dot) * 1.0) / n2 END"
+    )
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for each query vector (vec_id < 8), excluding self.
+
+    The query side is broadcast; every corpus partition computes its local
+    dot products inside codegen (zip_with/aggregate on int arrays), then a
+    per-query window takes the top-k. Ties broken by vec_id.
+    """
+    emb = _quantized(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), F.col("n").alias("n1")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("n").alias("n2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _planes(spark: SparkSession) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: weight(p,d) derived from
+    md5(p,d) — reproducible on any engine, no RNG state to ship."""
+    return spark.range(N_PLANES).select(F.col("id").alias("p")).crossJoin(
+        spark.range(N_DIMS).select(F.col("id").alias("d"))
+    ).select(
+        "p",
+        "d",
+        F.expr(
+            f"CAST(conv(substr(md5(concat(p, ',', d)), 1, 15), 16, 10) AS BIGINT) % {PLANE_MOD} - {PLANE_MOD // 2}"
+        ).alias("w"),
+    )
+
+
+def _signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
+    """Two 8-bit band signatures per vector from 16 hyperplane sign bits."""
+    pos = emb.select("vec_id", F.posexplode("q").alias("d", "qd"))
+    bits = (
+        pos.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("qd")).alias("proj"))
+        .select(
+            "vec_id",
+            "p",
+            F.when(F.col("proj") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        )
+    )
+    return bits.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("p") < 8, F.expr("shiftleft(CAST(bit AS BIGINT), CAST(p AS INT))")).otherwise(F.lit(0))
+        ).alias("band0"),
+        F.sum(
+            F.when(F.col("p") >= 8, F.expr("shiftleft(CAST(bit AS BIGINT), CAST(p AS INT) - 8)")).otherwise(F.lit(0))
+        ).alias("band1"),
+    )
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: top-5 per query among bucket-sharing candidates.
+
+    A candidate matches a query if either 8-bit band signature is equal
+    (classic banded sign-LSH). Exact integer cosine ranking then runs on
+    candidates only. Recall < 1.0 by construction — deterministic, so the
+    oracle agrees bit-for-bit on the same construction.
+    """
+    emb = _quantized(spark, sf_dir).cache()
+    sig = _signatures(emb, _planes(spark))
+    full = emb.join(sig, "vec_id")
+    queries = full.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("band0").alias("qb0"),
+        F.col("band1").alias("qb1"),
+    )
+    cand = (
+        full.filter(F.col("vec_id") >= N_QUERIES)
+        .join(
+            F.broadcast(queries),
+            (F.col("band0") == F.col("qb0")) | (F.col("band1") == F.col("qb1")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("n").alias("n2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(_rank_key().desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+_QUANT_CTE = f"""
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    pos AS (SELECT vec_id, unnest(v) AS qd, generate_subscripts(v, 1) - 1 AS d FROM q),
+    norms AS (SELECT vec_id, SUM(qd * qd) AS n FROM pos GROUP BY 1)
+"""
+
+_RANK_KEY_SQL = "CASE WHEN dot >= 0 THEN (dot * dot) * 1.0 / n2 ELSE -((dot * dot) * 1.0) / n2 END"
+
+ORACLE_SQL = {
+    "sim_topk_bruteforce": f"""
+        WITH {_QUANT_CTE},
+        dots AS (
+            SELECT qp.vec_id AS query_id, cp.vec_id AS vec_id, SUM(qp.qd * cp.qd) AS dot
+            FROM pos qp JOIN pos cp ON qp.d = cp.d
+            WHERE qp.vec_id < {N_QUERIES} AND cp.vec_id >= {N_QUERIES}
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT query_id, dots.vec_id AS vec_id, dot, n.n AS n2,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_RANK_KEY_SQL} DESC, dots.vec_id ASC) AS rank
+            FROM dots JOIN norms n ON dots.vec_id = n.vec_id
+        )
+        SELECT query_id, rank, vec_id, dot, n2
+        FROM scored WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    "sim_ann_lsh": f"""
+        WITH {_QUANT_CTE},
+        planes AS (
+            SELECT p.p, d.d,
+                   ('0x' || substr(md5(p.p || ',' || d.d), 1, 15))::BIGINT % {PLANE_MOD} - {PLANE_MOD // 2} AS w
+            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p,
+                 (SELECT unnest(generate_series(0, {N_DIMS - 1})) AS d) d
+        ),
+        bits AS (
+            SELECT pos.vec_id, pl.p,
+                   CASE WHEN SUM(pl.w * pos.qd) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM pos JOIN planes pl ON pos.d = pl.d
+            GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN p < 8 THEN CAST(bit AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS band0,
+                   SUM(CASE WHEN p >= 8 THEN CAST(bit AS BIGINT) << (CAST(p AS INT) - 8) ELSE 0 END) AS band1
+            FROM bits GROUP BY 1
+        ),
+        dots AS (
+            SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id, SUM(qp.qd * cp.qd) AS dot
+            FROM sig qs
+            JOIN sig cs ON (qs.band0 = cs.band0 OR qs.band1 = cs.band1)
+            JOIN pos qp ON qp.vec_id = qs.vec_id
+            JOIN pos cp ON cp.vec_id = cs.vec_id AND cp.d = qp.d
+            WHERE qs.vec_id < {N_QUERIES} AND cs.vec_id >= {N_QUERIES}
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT query_id, dots.vec_id AS vec_id, dot, n.n AS n2,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_RANK_KEY_SQL} DESC, dots.vec_id ASC) AS rank
+            FROM dots JOIN norms n ON dots.vec_id = n.vec_id
+        )
+        SELECT query_id, rank, vec_id, dot, n2
+        FROM scored WHERE rank <= {ANN_TOP_K}
+        ORDER BY query_id, rank
+    """,
+}

@@ -1,0 +1,196 @@
+"""Text-analysis operators over the documents table.
+
+[EXTENDED] north-star surface (SURVEY.md §2.12) — absent from the reference.
+
+All four operators are pure JVM-side built-ins (split / regexp / md5 /
+integer aggregates) inside whole-stage codegen — no UDFs, no Python in the
+hot path. Outputs are integers and md5 strings only, so the DuckDB oracle
+hash-matches exactly (no float ratios; consumers derive ratios from the
+integer counts).
+
+Scale: every operator is a narrow per-row map (or one doc-keyed aggregate
+for the exploded-token forms) — embarrassingly parallel, no skew risk
+beyond document length itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Marker vocabularies for the n-gram/stopword language-ID heuristic. On a
+# natural-language corpus these would be the top function words per
+# language; the mechanism (score = marker hits, argmax with lexicographic
+# tie-break) is what the operator implements.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, total token
+    length, longest token — the inputs to tokens-per-doc / type-token-ratio
+    quality metrics. Integer outputs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.expr(
+            "aggregate(split(text, '\\\\s+'), CAST(0 AS BIGINT), (acc, w) -> acc + length(w))"
+        ).alias("sum_token_len"),
+        F.expr(
+            "aggregate(split(text, '\\\\s+'), CAST(0 AS BIGINT), (acc, w) -> greatest(acc, length(w)))"
+        ).alias("max_token_len"),
+    ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring inputs: char/space/stopword counts and a
+    short-document flag. A downstream filter would combine these into a
+    keep/drop decision; emitting raw integers keeps the operator exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"\s", ""))).alias("n_spaces"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias("n_stopwords"),
+        F.size(toks).alias("n_tokens"),
+        (F.length("text") < 50).cast("int").alias("is_short"),
+    ).orderBy("doc_id")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID: score each language by marker-token hits,
+    predict the argmax (lexicographic tie-break), compare to the labeled
+    lang. One doc-keyed aggregate; the marker table is a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        ["cand_lang", "marker"],
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", r"\s+")).alias("w")
+    )
+    scores = (
+        toks.join(F.broadcast(markers), toks.w == markers.marker)
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    # argmax with deterministic lexicographic tie-break
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("cand_lang").asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "hits")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred_lang", F.lit("unk")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("marker_hits"),
+            (F.col("lang") == F.coalesce("pred_lang", F.lit("unk"))).cast("int").alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set (the
+    classic 'fingerprint clustering' canonical form) plus a positional
+    rolling hash (md5 chained over 8-token chunks, order-sensitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", r"\s+"))), " ")).alias(
+            "set_fingerprint"
+        ),
+        F.expr(
+            "aggregate(transform(sequence(1, CAST(ceil(size(split(text, '\\\\s+')) / 8.0) AS INT)),"
+            " i -> array_join(slice(split(text, '\\\\s+'), (i - 1) * 8 + 1, 8), ' ')),"
+            " 'seed', (acc, chunk) -> md5(concat(acc, '|', chunk)))"
+        ).alias("rolling_fingerprint"),
+    ).orderBy("doc_id")
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+)
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_SQL = {
+    "text_token_stats": """
+        WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS sum_token_len,
+               CAST(list_max(list_transform(toks, w -> length(w))) AS BIGINT) AS max_token_len
+        FROM t ORDER BY doc_id
+    """,
+    "text_quality": f"""
+        WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents)
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces,
+               len(list_filter(toks, w -> list_contains([{_STOP_LIST}], w))) AS n_stopwords,
+               len(toks) AS n_tokens,
+               CAST(length(text) < 50 AS INT) AS is_short
+        FROM t ORDER BY doc_id
+    """,
+    "text_langid": f"""
+        WITH markers(cand_lang, marker) AS (VALUES {_MARKER_VALUES}),
+        toks AS (
+            SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+        ),
+        scores AS (
+            SELECT doc_id, cand_lang, COUNT(*) AS hits
+            FROM toks JOIN markers ON w = marker
+            GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT doc_id, cand_lang AS pred_lang, hits
+            FROM scores
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) = 1
+        )
+        SELECT d.doc_id, d.lang,
+               COALESCE(p.pred_lang, 'unk') AS pred_lang,
+               COALESCE(p.hits, 0) AS marker_hits,
+               CAST(d.lang = COALESCE(p.pred_lang, 'unk') AS INT) AS is_correct
+        FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id
+    """,
+    "text_fingerprint": """
+        WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+        chunks AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, CAST(ceil(len(toks) / 8.0) AS INT)),
+                       i -> array_to_string(toks[(i - 1) * 8 + 1 : (i - 1) * 8 + 8], ' ')) AS cs,
+                   toks
+            FROM t
+        )
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS set_fingerprint,
+               list_reduce(list_prepend('seed', cs), (acc, chunk) -> md5(acc || '|' || chunk)) AS rolling_fingerprint
+        FROM chunks ORDER BY doc_id
+    """,
+}

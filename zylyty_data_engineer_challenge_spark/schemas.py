@@ -152,6 +152,21 @@ LINEITEM = T.StructType(
     ]
 )
 
+# events.parquet stores ts as TIMESTAMP(NANOS,false), which Spark's parquet
+# reader rejects as a timestamp; with spark.sql.legacy.parquet.nanosAsLong
+# the raw int64 nanos surface as LongType and the catalog converts to a
+# proper TimestampType column (truncating to micros, matching DuckDB).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # epoch nanos
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),  # JSON string
+    ]
+)
+
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),

@@ -1,0 +1,133 @@
+"""Structured Streaming analogs of the reference's aggregation views.
+
+[EXTENDED] north-star surface — the reference is strictly batch
+(SURVEY.md §2.12 "Streaming: none"). These are views 2/3 re-expressed as
+streaming aggregations over the ``events`` table: tumbling event-time
+windows + watermark for late data, the standard production shape for
+"monthly_transaction_summary as data arrives".
+
+Determinism for the test gate: the bounded events parquet is replayed with
+``availableNow`` through a memory sink in *complete* output mode, so the
+final state equals the batch answer and the DuckDB oracle can check it
+(window start == date_trunc). With append mode + watermark, unclosed final
+windows would be withheld — correct for an unbounded stream, wrong for a
+bounded replay check.
+
+Scale: a streaming hash aggregate keyed on (window, group) with state in
+the state store; the watermark bounds state size (windows older than
+watermark - lateness are evicted). Skewed event types are handled by AQE
+being unavailable in streaming — instead the key space (window x type)
+keeps cardinality bounded.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import convert_event_ts
+from ..schemas import EVENTS_RAW
+
+WATERMARK = "1 hour"
+WINDOW = "1 hour"
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the bounded events parquet (one file -> one batch).
+
+    FileStreamSource requires a directory path; pathGlobFilter narrows the
+    scan to the events file within the corpus directory. ts arrives as raw
+    nanos (schemas.EVENTS_RAW) and is converted before windowing.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return convert_event_ts(raw)
+
+
+def windowed_event_summary(events: DataFrame) -> DataFrame:
+    """View-2 analog: per (tumbling hour, event_type) count + exact decimal
+    sum of value. Works identically on a batch or streaming events frame."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed summary as a real stream to completion
+    (availableNow + memory sink, complete mode) and return the final table."""
+    sink = f"stream_summary_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_summary(_stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
+def stream_high_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-3 analog as a stream: users with > 2 events in a tumbling hour
+    (streaming HAVING). Same bounded-replay execution contract."""
+    sink = f"stream_high_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "user_id")
+        .agg(F.count("event_id").alias("n_events"))
+        .filter(F.col("n_events") > 2)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start", "user_id")
+
+
+ORACLE_SQL = {
+    "stream_event_summary": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(event_id) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    "stream_high_activity_users": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               user_id,
+               COUNT(event_id) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        HAVING COUNT(event_id) > 2
+        ORDER BY window_start, user_id
+    """,
+}
