@@ -23,7 +23,7 @@ from zylyty_data_engineer_challenge_spark.operators import (
     similarity,
     text,
 )
-from zylyty_data_engineer_challenge_spark.queries import relational, views
+from zylyty_data_engineer_challenge_spark.queries import advanced, relational, views
 from zylyty_data_engineer_challenge_spark.streaming import views_stream
 
 
@@ -55,6 +55,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_sales": relational.q_rollup_sales,
         "q_pivot_events": relational.q_pivot_events,
         "q_scalar_functions": relational.q_scalar_functions,
+        # advanced relational surface
+        "q_outer_joins": advanced.q_outer_joins,
+        "q_cube_sales": advanced.q_cube_sales,
+        "q_asof_join": advanced.q_asof_join,
+        "q_sessionize": advanced.q_sessionize,
+        "q_salted_agg": advanced.q_salted_agg,
+        "q_json_map_ops": advanced.q_json_map_ops,
+        "q_scalar_subquery": advanced.q_scalar_subquery,
         # [EXTENDED] dedup suite (SURVEY.md §2.12)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -84,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(views.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
+    out.update(advanced.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
     out.update(text.ORACLE_SQL)

@@ -1,0 +1,302 @@
+"""Advanced relational surface: the operator families a full engine needs
+beyond SURVEY.md §2's literal inventory — outer joins, CUBE, as-of join,
+sessionization, skew-salted aggregation, JSON/map functions, correlated
+scalar subqueries.
+
+Same correctness-gate discipline as :mod:`.relational`: identical aliases
+on both engines, decimal for money, integer counts, timestamps leave as
+formatted strings, deterministic tie-breaks.
+
+Scale notes are per-operator; the common theme: every query here is one or
+two key-partitioned shuffles with map-side partials, no driver loops, no
+collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+DEC = "decimal(18,2)"
+
+
+def q_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer with null-aware fill: every customer, their order count
+    and exact spend, 0 for order-less customers (inner join would drop
+    them). customer side stays un-broadcast: preserving ALL rows of the
+    outer side means the outer side must not be the broadcast build side."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("spend"),
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0).cast(DEC)).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with GROUPING() markers — all
+    2^2 grouping-set combinations in one pass (partial aggregation handles
+    each set map-side; one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .orderBy(
+            F.col("g_flag"),
+            F.col("g_status"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (event-time point lookup): for every event, the timestamp
+    of the same user's most recent *purchase* at-or-before it.
+
+    Spark has no ASOF JOIN operator; the idiomatic single-shuffle form is a
+    running `max(CASE WHEN purchase THEN ts END)` over the user's event
+    timeline — one window, no self-join, no range explosion. (A sort-merge
+    as-of between two tables uses the same trick after a unionByName with a
+    side tag.) Total order (ts, event_id) makes ties deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_ts = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        F.date_format(purchase_ts, "yyyy-MM-dd HH:mm:ss").alias("last_purchase_ts"),
+    ).orderBy("user_id", "event_id")
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): a new session starts when a
+    user's inter-event gap exceeds 30 minutes; emit per-session bounds and
+    counts. One shuffle on user_id; two stacked windows (lag, then running
+    sum) — the batch shape of streaming session windows."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long"), 1).over(order_w)
+    )
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    with_session = ev.withColumn("is_new", new_session).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+N_SALTS = 8
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated two-phase aggregation: a hot grouping key (event_type
+    — 5 values over 100k+ rows) is salted with a deterministic shard
+    (event_id % 8), partially aggregated per (key, salt), then finally
+    combined per key. Output is identical to the direct groupBy — which is
+    exactly what the oracle checks — while the shuffle fans the hot key
+    over 8 reducers instead of 1.
+
+    (Catalyst's partial aggregation already handles this case; the pattern
+    matters when partials can't combine — e.g. exact distinct sets or
+    UDAF state — and for demonstrating the mechanics explicitly.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.col("event_id") % N_SALTS)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast(DEC)).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast(DEC).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON + map + array function surface: parse the props JSON into a
+    map, extract typed values, build/inspect arrays — all JVM built-ins.
+    Narrow per-row projection; nothing shuffles but the final sort."""
+    ev = load_table(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        props_map.getItem("k").cast("int").alias("k_value"),
+        F.map_keys(props_map).alias("prop_keys"),
+        F.size(F.map_keys(props_map)).alias("n_props"),
+        F.array(F.col("event_type"), F.lit("evt")).alias("tags"),
+        F.array_contains(F.array(F.lit("click"), F.lit("view")), F.col("event_type")).cast(
+            "int"
+        ).alias("is_passive"),
+    ).orderBy("event_id")
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery shape: orders costing more than 2x their
+    customer's average order value. Decorrelated the way Catalyst would:
+    compute per-customer aggregates once, broadcast-join them back, compare
+    in exact decimal (avg as sum/count stays a decimal-by-integer compare:
+    2 * count * price > 2-free exact form avoids float division)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+        F.count("*").alias("cnt"),
+    )
+    joined = orders.join(F.broadcast(per_cust), orders.o_custkey == per_cust.k)
+    # price > 2 * avg  ⟺  price * cnt > 2 * total   (all exact decimal/int)
+    return (
+        joined.filter(
+            F.col("o_totalprice").cast(DEC) * F.col("cnt") > 2 * F.col("total")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast(DEC).alias("price"),
+            "cnt",
+            F.col("total").cast(DEC).alias("cust_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_SQL = {
+    "q_outer_joins": """
+        WITH per_cust AS (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               COALESCE(p.n_orders, 0) AS n_orders,
+               COALESCE(p.spend, CAST(0 AS DECIMAL(18,2))) AS spend
+        FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+        ORDER BY c.c_custkey
+    """,
+    "q_cube_sales": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status,
+                 l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+    "q_asof_join": """
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               event_type,
+               strftime(
+                   MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+    "q_sessionize": f"""
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM gaps
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    "q_salted_agg": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_json_map_ops": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+               json_keys(props) AS prop_keys,
+               len(json_keys(props)) AS n_props,
+               [event_type, 'evt'] AS tags,
+               CAST(list_contains(['click', 'view'], event_type) AS INT) AS is_passive
+        FROM events
+        ORDER BY event_id
+    """,
+    "q_scalar_subquery": """
+        WITH per_cust AS (
+            SELECT o_custkey AS k,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+                   COUNT(*) AS cnt
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+               p.cnt,
+               CAST(p.total AS DECIMAL(18,2)) AS cust_total
+        FROM orders o JOIN per_cust p ON o.o_custkey = p.k
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * p.cnt > 2 * p.total
+        ORDER BY o.o_orderkey
+    """,
+}
