@@ -24,7 +24,7 @@ from zylyty_data_engineer_challenge_spark.operators import (
     text,
 )
 from zylyty_data_engineer_challenge_spark.queries import advanced, relational, views
-from zylyty_data_engineer_challenge_spark.streaming import views_stream
+from zylyty_data_engineer_challenge_spark.streaming import sessionize, views_stream
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # [EXTENDED] streaming analogs (real readStream/writeStream runs)
         "stream_event_summary": views_stream.stream_event_summary,
         "stream_high_activity_users": views_stream.stream_high_activity_users,
+        "stream_sessionize": sessionize.stream_sessionize,
     }
 
 
@@ -98,4 +99,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
     out.update(views_stream.ORACLE_SQL)
+    out.update(sessionize.ORACLE_SQL)
     return out

@@ -1,0 +1,72 @@
+"""Partitioned-parquet and bucketed-table sinks: verify not just the data
+round-trip but the *plan-level* payoff — partition pruning on read and
+exchange-free bucketed joins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from zylyty_data_engineer_challenge_spark.catalog import load_table
+from zylyty_data_engineer_challenge_spark.sinks.files import (
+    write_bucketed_table,
+    write_partitioned_parquet,
+)
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    out = str(tmp_path / "li_part")
+    write_partitioned_parquet(li, out, ["ship_month"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    pruned = back.filter(F.col("ship_month") == "1995-03")
+    plan = _formatted_plan(pruned)
+    # partition predicate must land in PartitionFilters, not a post-scan Filter
+    assert "PartitionFilters" in plan
+    assert "ship_month" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    expected = li.filter(F.col("ship_month") == "1995-03").count()
+    assert pruned.count() == expected > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders, "orders_b", ["o_orderkey"], n_buckets=4,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed_table(
+        lineitem, "lineitem_b", ["l_orderkey"], n_buckets=4,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "lineitem_b"),
+    )
+    try:
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _formatted_plan(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # sanity: same result as the plain join
+        plain = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -105,12 +105,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum) — the batch shape of streaming session windows."""
     ev = load_table(spark, sf_dir, "events")
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds — cast(ts as long) truncates to seconds,
+    # which disagrees with sub-second-precision gap comparisons
     gap = (
-        F.col("ts").cast("long")
-        - F.lag(F.col("ts").cast("long"), 1).over(order_w)
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts")), 1).over(order_w)
     )
     new_session = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
     ).otherwise(0)
     with_session = ev.withColumn("is_new", new_session).withColumn(
         "session_seq",
@@ -248,7 +250,7 @@ ORACLE_SQL = {
         WITH gaps AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1_000_000}
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
