@@ -23,7 +23,12 @@ from zylyty_data_engineer_challenge_spark.operators import (
     similarity,
     text,
 )
-from zylyty_data_engineer_challenge_spark.queries import advanced, relational, views
+from zylyty_data_engineer_challenge_spark.queries import (
+    advanced,
+    analytics,
+    relational,
+    views,
+)
 from zylyty_data_engineer_challenge_spark.streaming import sessionize, views_stream
 
 
@@ -63,6 +68,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_agg": advanced.q_salted_agg,
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_scalar_subquery": advanced.q_scalar_subquery,
+        "q_udf_surface": analytics.q_udf_surface,
+        "q_window_functions": analytics.q_window_functions,
+        "q_topk_per_group": analytics.q_topk_per_group,
+        "q_time_rollup": analytics.q_time_rollup,
+        "q_range_join": analytics.q_range_join,
         # [EXTENDED] dedup suite (SURVEY.md §2.12)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -94,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(views.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
     out.update(advanced.ORACLE_SQL)
+    out.update(analytics.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
     out.update(text.ORACLE_SQL)

@@ -1,0 +1,261 @@
+"""Analytics surface II: UDF/UDAF, window-function breadth, hypertable-style
+time rollups, range joins, top-k per group.
+
+Same cross-engine-determinism discipline as the rest of the query packages.
+The range join and time rollup document their 100 TB shapes explicitly:
+banded joins go through bin keys (equi-join + residual filter), rollups go
+through GROUPING SETS (one shuffle for all granularities).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table, register_views
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# UDF / UDAF surface — Arrow-vectorized, exact (integers and md5 only)
+# ---------------------------------------------------------------------------
+
+
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF + grouped-agg pandas UDAF over part, grouped by
+    brand: shard tag of the brand name and exact size sums.
+
+    (UDFs are defined inside the query builder — the pandas_udf decorator
+    needs an active SparkSession, which module import time can't assume.)
+    """
+
+    @pandas_udf("string")
+    def _md5_bucket(name: pd.Series) -> pd.Series:
+        # Scalar pandas UDF (one Arrow batch per call): md5-derived shard
+        # tag. Python is justified only as a stand-in for logic SQL can't
+        # express (tokenizers, featurizers); the oracle re-derives it in
+        # SQL to prove batch-path equivalence.
+        return name.map(lambda s: hashlib.md5(s.encode()).hexdigest()[:2])
+
+    @pandas_udf("long")
+    def _sum_sizes(sizes: pd.Series) -> int:
+        # Grouped-aggregate pandas UDAF: exact integer sum (the UDAF shape
+        # for state SQL aggregates can't hold — sketches, model partials).
+        return int(sizes.astype("int64").sum())
+
+    @pandas_udf("long")
+    def _n_rows(sizes: pd.Series) -> int:
+        # pandas UDAFs cannot mix with JVM aggregates in one agg() —
+        # the row count is a UDAF too
+        return int(len(sizes))
+
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            _n_rows(F.col("p_size")).alias("n_parts"),
+            _sum_sizes(F.col("p_size")).alias("total_size"),
+        )
+        .withColumn("brand_shard", _md5_bucket(F.col("p_brand")))
+        .select("p_brand", "brand_shard", "n_parts", "total_size")
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth
+# ---------------------------------------------------------------------------
+
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lag / lead / first over one deterministic
+    window (orders per customer by date+key): one shuffle serves all five."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast(DEC)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        price.alias("price"),
+    ).orderBy("o_custkey", "rnk", "o_orderkey")
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 lineitems per order by exact decimal price (window + filter —
+    the distributed top-k-per-key idiom; partial top-k happens map-side
+    inside the window sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    # the window must reference the projected alias — the source column is
+    # pruned away by the select below
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("price").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", price.alias("price"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("l_orderkey", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style time rollup
+# ---------------------------------------------------------------------------
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (hour + day) of events in ONE pass via
+    GROUPING SETS — the hypertable continuous-aggregate shape: a single
+    shuffle produces every granularity; `gran` labels the set. Uses the
+    SQL API over registered temp views (coverage for the spark.sql path)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT CASE WHEN hour IS NOT NULL THEN 'hour' ELSE 'day' END AS gran,
+               COALESCE(hour, day) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM (
+            SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm') AS hour,
+                   date_format(date_trunc('day', ts), 'yyyy-MM-dd HH:mm') AS day,
+                   event_type, value
+            FROM events
+        )
+        GROUP BY GROUPING SETS ((hour, event_type), (day, event_type))
+        ORDER BY gran, bucket, event_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join
+# ---------------------------------------------------------------------------
+
+BAND_SEC = 600
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range self-join: pairs of *error* events by the same user
+    within 10 minutes of a *click* event.
+
+    Scale shape: a naive theta-join (|t1-t2| <= 60s) is a nested-loop scan;
+    instead both sides are binned to 60 s buckets and equi-joined on
+    (user, bin) for bin and bin±1, then the exact band predicate filters
+    residuals. The shuffle is on (user_id, bin) — skew-bounded, and the
+    bin fan-out is a constant 2 extra copies of one side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        us.alias("click_us"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("error_id"),
+        us.alias("error_us"),
+    )
+    bin_size = BAND_SEC * 1_000_000
+    # clicks are replicated to 3 adjacent bins; errors keep one bin.
+    # `div` = exact integer division (double `/` + cast risks boundary drift)
+    cbin = F.expr(f"click_us div {bin_size}")
+    clicks_binned = clicks.withColumn(
+        "bin", F.explode(F.array(cbin - 1, cbin, cbin + 1))
+    )
+    errors_binned = errors.withColumn("bin", F.expr(f"error_us div {bin_size}"))
+    return (
+        errors_binned.join(clicks_binned, ["u", "bin"])
+        .filter(F.abs(F.col("error_us") - F.col("click_us")) <= bin_size)
+        .select(
+            F.col("u").alias("user_id"),
+            "click_id",
+            "error_id",
+            (F.col("error_us") - F.col("click_us")).alias("delta_us"),
+        )
+        .orderBy("user_id", "click_id", "error_id")
+    )
+
+
+ORACLE_SQL = {
+    "q_udf_surface": """
+        SELECT p_brand,
+               substr(md5(p_brand), 1, 2) AS brand_shard,
+               COUNT(*) AS n_parts,
+               CAST(SUM(p_size) AS BIGINT) AS total_size
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    "q_window_functions": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               lag(o_orderkey, 1) OVER w AS prev_order,
+               lead(o_orderkey, 1) OVER w AS next_order,
+               first_value(o_orderkey) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rnk, o_orderkey
+    """,
+    "q_topk_per_group": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price, rk
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+                                l_linenumber ASC) AS rk
+            FROM lineitem
+        ) WHERE rk <= 3
+        ORDER BY l_orderkey, rk
+    """,
+    "q_time_rollup": """
+        SELECT CASE WHEN hour IS NOT NULL THEN 'hour' ELSE 'day' END AS gran,
+               COALESCE(hour, day) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM (
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M') AS day,
+                   event_type, value
+            FROM events
+        )
+        GROUP BY GROUPING SETS ((hour, event_type), (day, event_type))
+        ORDER BY gran, bucket, event_type
+    """,
+    "q_range_join": f"""
+        WITH clicks AS (
+            SELECT user_id AS u, event_id AS click_id, epoch_us(ts) AS click_us
+            FROM events WHERE event_type = 'click'
+        ),
+        errors AS (
+            SELECT user_id AS u, event_id AS error_id, epoch_us(ts) AS error_us
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT e.u AS user_id, c.click_id, e.error_id,
+               e.error_us - c.click_us AS delta_us
+        FROM errors e JOIN clicks c ON e.u = c.u
+        WHERE abs(e.error_us - c.click_us) <= {BAND_SEC * 1_000_000}
+        ORDER BY user_id, click_id, error_id
+    """,
+}
