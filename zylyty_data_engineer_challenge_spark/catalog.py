@@ -29,6 +29,10 @@ def convert_event_ts(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its explicit schema (no inference)."""
     if name == "events":
+        # events.ts is TIMESTAMP(NANOS) — set the legacy conf here (it is a
+        # runtime SQL conf) so the read works on ANY session, not only ones
+        # built by .session.get_spark
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
         return convert_event_ts(raw)
     schema = TESTDATA_SCHEMAS[name]

@@ -41,6 +41,8 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan to the events file within the corpus directory. ts arrives as raw
     nanos (schemas.EVENTS_RAW) and is converted before windowing.
     """
+    # runtime-settable — makes the read independent of how the session was built
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
