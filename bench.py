@@ -48,6 +48,16 @@ def headline_queries() -> dict:
         "q_top_customers",
         "q_window_running_total",
         "q_semi_anti_join",
+        "q_outer_joins",
+        "q_cube_sales",
+        "q_asof_join",
+        "q_sessionize",
+        "q_range_join",
+        "q_topk_per_group",
+        "q_time_rollup",
+        "q_udf_surface",
+        "q_scalar_subquery",
+        "q_window_functions",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_")
