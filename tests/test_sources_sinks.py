@@ -229,3 +229,20 @@ def test_run_pipeline_completion_line(spark, api_server, derby_url, capsys):
     assert written["transactions"] > 0
     # temp views registered for engine-native consumers
     assert spark.table("transactions").count() == written["transactions"]
+
+
+def test_parse_ts_formats():
+    """ISO-8601 variants incl. offsets normalize to UTC-naive; junk -> None."""
+    import datetime as dt
+
+    from zylyty_data_engineer_challenge_spark.sources.rest_pages import _parse_ts
+
+    assert _parse_ts("2024-05-01T10:00:00") == dt.datetime(2024, 5, 1, 10)
+    assert _parse_ts("2024-05-01 10:00:00.250000") == dt.datetime(2024, 5, 1, 10, 0, 0, 250000)
+    assert _parse_ts("2024-05-01T10:00:00Z") == dt.datetime(2024, 5, 1, 10)
+    assert _parse_ts("2024-05-01T12:00:00+02:00") == dt.datetime(2024, 5, 1, 10)
+    assert _parse_ts("2024-05-01") == dt.datetime(2024, 5, 1)
+    assert _parse_ts(1714557600) == dt.datetime(2024, 5, 1, 10)
+    assert _parse_ts("not a date") is None
+    assert _parse_ts(None) is None
+    assert _parse_ts("") is None

@@ -90,7 +90,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact verification kernel; the scale path prunes pairs with
     LSH first (see :func:`dedup_minhash_lsh`).
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents")).cache()
+    # no cache(): shingling is a narrow per-row map — recomputing it is
+    # cheaper than pinning executor storage for the session lifetime
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")
@@ -132,7 +134,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size. Signature computation is one shuffle; banding is a narrow
     projection.
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents")).cache()
+    sh = _shingles(load_table(spark, sf_dir, "documents"))  # narrow; see above
     sig = _minhash_signatures(sh)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []

@@ -136,7 +136,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. Recall < 1.0 by construction — deterministic, so the
     oracle agrees bit-for-bit on the same construction.
     """
-    emb = _quantized(spark, sf_dir).cache()
+    emb = _quantized(spark, sf_dir)  # narrow map; no session-lifetime cache
     sig = _signatures(emb, _planes(spark))
     full = emb.join(sig, "vec_id")
     queries = full.filter(F.col("vec_id") < N_QUERIES).select(

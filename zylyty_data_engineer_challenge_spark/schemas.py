@@ -38,7 +38,10 @@ CLIENTS = T.StructType(
 # string (may be garbage / null) until the T4 coercion step (main.py:124-125).
 TRANSACTIONS_RAW = T.StructType(
     [
-        T.StructField("transaction_id", T.LongType(), False),
+        # nullable: the feed is allowed to contain garbage/missing ids
+        # (the reference tolerates them as pandas NaN); the sink's DDL
+        # types, not ingest, are the contract (main.py:163-170)
+        T.StructField("transaction_id", T.LongType(), True),
         T.StructField("timestamp", T.TimestampType(), True),
         T.StructField("account_id", T.LongType(), True),
         T.StructField("amount", T.StringType(), True),

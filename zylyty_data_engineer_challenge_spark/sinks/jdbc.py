@@ -89,15 +89,24 @@ def insert_data_to_tables(
     properties: dict[str, str] | None = None,
 ) -> dict[str, int]:
     """K1: load each non-empty frame; empty frames are skipped silently
-    (main.py:131-136). Returns per-table written row counts."""
+    (main.py:131-136). Returns per-table written row counts.
+
+    Each frame is persisted across the count + write actions — the
+    transactions lineage is the full paginated API fetch, which must not
+    execute twice (and the reported count must equal the rows written).
+    """
     written: dict[str, int] = {}
     for table, df in frames.items():
-        n = df.count()
-        if n == 0:
-            written[table] = 0
-            continue
-        write_table(df, url, table, properties=properties)
-        written[table] = n
+        df.persist()
+        try:
+            n = df.count()
+            if n == 0:
+                written[table] = 0
+                continue
+            write_table(df, url, table, properties=properties)
+            written[table] = n
+        finally:
+            df.unpersist()
     return written
 
 

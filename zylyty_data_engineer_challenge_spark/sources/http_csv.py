@@ -7,20 +7,23 @@ Reference semantics preserved exactly:
 * **any** failure (network, HTTP status, parse) yields an *empty* DataFrame
   — the pipeline loads what it can (main.py:71-73, SURVEY.md §8.4).
 
-Spark-first shape: the body is spooled to a temp file and read with
-``spark.read.csv`` under an explicit schema — so the parse happens in the
-JVM's vectorized CSV reader, types are declared (never inferred), and the
-same code path handles a multi-GB body without driver-side row
-materialization. (The reference parses with pandas in driver memory,
-main.py:68-69.)
+Spark-first shape: the body (already driver-resident — it came over one
+HTTP response) is CSV-parsed driver-side and becomes a typed DataFrame via
+``createDataFrame`` + JVM-side casts to the declared schema. No temp files:
+a driver-local spool path would break on a real cluster (executors cannot
+read the driver's /tmp). Feeds too large for one driver-held response
+belong in object storage + ``spark.read.csv`` — that is a different
+source, not this one (the reference's feed is a single bounded download,
+main.py:62-69).
 """
 
 from __future__ import annotations
 
-import os
-import tempfile
+import csv
+import io
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 try:
@@ -62,14 +65,14 @@ def fetch_csv(
         return _empty(spark, schema)
 
     try:
-        fd, path = tempfile.mkstemp(suffix=f"_{name}.csv")
-        with os.fdopen(fd, "wb") as f:
-            f.write(body)
-        return (
-            spark.read.schema(schema)
-            .option("header", True)
-            .option("mode", "PERMISSIVE")
-            .csv(path)
+        reader = csv.DictReader(io.StringIO(body.decode("utf-8")))
+        names = [f.name for f in schema.fields]
+        raw_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+        rows = [tuple(rec.get(n) for n in names) for rec in reader]
+        raw = spark.createDataFrame(rows, raw_schema)
+        # JVM-side casts to the declared types (PERMISSIVE: bad cells -> NULL)
+        return raw.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
     except Exception:
         return _empty(spark, schema)

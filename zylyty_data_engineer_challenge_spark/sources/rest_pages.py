@@ -28,7 +28,17 @@ import time
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+try:  # the Python Data Source API is Spark >= 4.0; the serial fallback
+    # below works everywhere, so the import must not be load-bearing
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - current env ships Spark 4.x
+    HAS_DATASOURCE_API = False
+    DataSource = object  # type: ignore[assignment,misc]
+    DataSourceReader = object  # type: ignore[assignment,misc]
+    InputPartition = object  # type: ignore[assignment,misc]
 
 from ..schemas import TRANSACTIONS_RAW
 
@@ -41,17 +51,21 @@ PAGES_PER_PARTITION = 8
 
 
 def _parse_ts(v) -> dt.datetime | None:
+    """Best-effort timestamp parse. ISO-8601 (incl. offsets) normalizes to
+    UTC-naive; unparseable values become NULL. NB: NULL keys then share one
+    dedup group per account — callers ingesting feeds with systematically
+    unparseable timestamps must extend this, not silently drop rows."""
     if v is None or v == "":
         return None
     if isinstance(v, (int, float)):
-        return dt.datetime.utcfromtimestamp(v)
-    s = str(v).replace("T", " ").replace("Z", "")
-    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-        try:
-            return dt.datetime.strptime(s, fmt)
-        except ValueError:
-            continue
-    return None
+        return dt.datetime.fromtimestamp(v, dt.timezone.utc).replace(tzinfo=None)
+    try:
+        parsed = dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return parsed
 
 
 def _unwrap(payload) -> list[dict]:
@@ -77,6 +91,11 @@ def _fetch_page(
                 headers={"Authorization": f"Bearer {token}"},
                 timeout=timeout,
             )
+            if resp.status_code in (400, 404, 410, 416):
+                # past-the-end page on APIs that error instead of returning
+                # an empty list — later partitions probe beyond the feed,
+                # so this is end-of-data, not a failure
+                return []
             resp.raise_for_status()
             return _unwrap(resp.json())
         except Exception as e:  # requests.RequestException + JSON errors
