@@ -21,6 +21,7 @@ from zylyty_data_engineer_challenge_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    sketches,
     text,
 )
 from zylyty_data_engineer_challenge_spark.queries import (
@@ -29,7 +30,11 @@ from zylyty_data_engineer_challenge_spark.queries import (
     relational,
     views,
 )
-from zylyty_data_engineer_challenge_spark.streaming import sessionize, views_stream
+from zylyty_data_engineer_challenge_spark.streaming import (
+    dedup_stream,
+    sessionize,
+    views_stream,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -87,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
         "text_fingerprint": text.text_fingerprint,
+        "text_top_ngrams": text.text_top_ngrams,
+        "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
         # [EXTENDED] multimodal plumbing
         "mm_features": multimodal.mm_features,
         "mm_frame_sample": multimodal.mm_frame_sample,
@@ -94,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_summary": views_stream.stream_event_summary,
         "stream_high_activity_users": views_stream.stream_high_activity_users,
         "stream_sessionize": sessionize.stream_sessionize,
+        "stream_dedup_events": dedup_stream.stream_dedup_events,
     }
 
 
@@ -108,7 +116,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
     out.update(text.ORACLE_SQL)
+    out.update(sketches.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
     out.update(views_stream.ORACLE_SQL)
     out.update(sessionize.ORACLE_SQL)
+    out.update(dedup_stream.ORACLE_SQL)
     return out

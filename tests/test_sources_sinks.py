@@ -246,3 +246,38 @@ def test_parse_ts_formats():
     assert _parse_ts("not a date") is None
     assert _parse_ts(None) is None
     assert _parse_ts("") is None
+
+
+def test_stream_to_jdbc_foreachbatch(spark, derby_url, tmp_path):
+    """Streaming foreachBatch delivery into a real database: bounded events
+    replay lands in Derby through the typed batch JDBC writer."""
+    from zylyty_data_engineer_challenge_spark.streaming.dedup_stream import (
+        dedup_events_stream,
+        stream_to_jdbc,
+    )
+    from zylyty_data_engineer_challenge_spark.streaming.views_stream import (
+        _stream_events,
+    )
+
+    url = derby_url.replace("testdb", "streamdb")
+    q = stream_to_jdbc(
+        dedup_events_stream(_stream_events(spark, "/root/testdata/sf0.001")),
+        url,
+        "event_keys",
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    back = spark.read.jdbc(url, "event_keys")
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    expected = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select(
+            "user_id", "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+        )
+        .distinct()
+        .count()
+    )
+    assert back.count() == expected > 0

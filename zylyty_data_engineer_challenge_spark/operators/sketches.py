@@ -1,0 +1,90 @@
+"""Mergeable sketches, cross-engine deterministic.
+
+[EXTENDED] — approximate distinct-counting at 100 TB is done with sketches
+(HLL, theta, KMV), whose partials merge associatively across partitions.
+Spark's approx_count_distinct (HLL++) is not reproducible against another
+engine, so this module implements **KMV (k-minimum-values)**: keep the k
+smallest 60-bit md5 hashes per group; the cardinality estimate is
+``(k-1) * 2^60 div kth_min`` — entirely integer arithmetic over md5, so
+Spark and DuckDB agree exactly, while keeping the real sketch properties
+(fixed size, mergeable by taking the k smallest of a union).
+
+Scale: one hash-shuffle on the group key; per-group state is k values
+regardless of cardinality. The window top-k form below is the test-scale
+expression; a production implementation holds the k-min set in a UDAF to
+avoid materializing all distinct hashes before pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+K = 64
+HASH_SPACE = 1 << 60  # 15 md5 hex chars
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of l_orderkey per l_returnflag, alongside
+    the exact count so the estimate's error is visible in the output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == K)
+        .select("l_returnflag", F.col("h").alias("kth_min"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        exact.join(kth, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            "kth_min",
+            F.when(
+                F.col("kth_min").isNotNull(),
+                # cast BEFORE multiplying: (k-1)*2^60 overflows int64
+                F.expr(f"(CAST({K} - 1 AS DECIMAL(38,0)) * {HASH_SPACE}) div kth_min"),
+            )
+            .otherwise(F.col("exact_distinct"))  # < K distinct: sketch is exact
+            .cast("bigint")
+            .alias("kmv_estimate"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SQL = {
+    "sketch_kmv_distinct": f"""
+        WITH hashed AS (
+            SELECT DISTINCT l_returnflag,
+                   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM lineitem
+        ),
+        kth AS (
+            SELECT l_returnflag, h AS kth_min
+            FROM hashed
+            QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h) = {K}
+        ),
+        exact AS (
+            SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+            FROM lineitem GROUP BY 1
+        )
+        SELECT e.l_returnflag, e.exact_distinct, k.kth_min,
+               CAST(CASE WHEN k.kth_min IS NOT NULL
+                    THEN CAST(({K} - 1) AS DECIMAL(38,0)) * {HASH_SPACE} // k.kth_min
+                    ELSE e.exact_distinct END AS BIGINT) AS kmv_estimate
+        FROM exact e LEFT JOIN kth k ON e.l_returnflag = k.l_returnflag
+        ORDER BY e.l_returnflag
+    """,
+}

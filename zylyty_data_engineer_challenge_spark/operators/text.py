@@ -194,3 +194,43 @@ ORACLE_SQL = {
         FROM chunks ORDER BY doc_id
     """,
 }
+
+
+TOP_NGRAMS = 20
+
+
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word trigrams with counts — the n-gram frequency
+    profile used for contamination checks and corpus fingerprinting. One
+    shuffle (count per shingle) + a tiny global top-k; ties broken
+    lexicographically for determinism."""
+    from .dedup import _shingles
+
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    return (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("s").asc())
+        .limit(TOP_NGRAMS)
+    )
+
+
+ORACLE_SQL["text_top_ngrams"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\\s+')) AS w,
+               generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    )
+    SELECT s, COUNT(*) AS n_docs
+    FROM sh
+    GROUP BY s
+    ORDER BY n_docs DESC, s ASC
+    LIMIT 20
+"""
