@@ -281,3 +281,23 @@ def test_stream_to_jdbc_foreachbatch(spark, derby_url, tmp_path):
         .count()
     )
     assert back.count() == expected > 0
+
+
+def test_pipeline_registers_engine_native_views(spark, api_server, derby_url):
+    """Q5 engine-native: after run_pipeline, the three analytical views are
+    queryable through spark.sql without any database."""
+    cfg = PipelineConfig(
+        api_base_url=api_server,
+        admin_api_key=TOKEN,
+        jdbc_url=derby_url.replace("testdb", "viewdb"),
+        push_views=False,
+        use_datasource=False,
+    )
+    run_pipeline(spark, cfg)
+    v2 = spark.sql(
+        "SELECT * FROM monthly_transaction_summary ORDER BY month, client_email"
+    ).collect()
+    assert len(v2) > 0
+    assert {r.month for r in v2} == {"2024-03-01"}  # all fixture tx are March
+    v3 = spark.sql("SELECT * FROM high_transaction_accounts").collect()
+    assert all(r.transaction_count > 2 for r in v3)

@@ -71,6 +71,10 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL unknown query names: {sorted(unknown)}")
+        failures.extend(sorted(unknown))
     for name, fn in queries.items():
         if only and name not in only:
             continue

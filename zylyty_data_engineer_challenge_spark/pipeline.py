@@ -87,9 +87,23 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig | None = None) -> dict
         frames, cfg.url(), properties=cfg.jdbc_properties()
     )
 
-    # engine-native views are always registered; DDL push is optional (Q5)
+    # engine-native consumers (Q5): base tables AND the three analytical
+    # views become temp views, so `spark.sql("SELECT * FROM
+    # monthly_transaction_summary")` works without a database; the DDL
+    # push-through to the JDBC target is optional on top
+    from .queries import views as view_queries
+
     for name, df in frames.items():
         df.createOrReplaceTempView(name)
+    view_queries.client_transaction_counts_ref(
+        frames["clients"], frames["accounts"], frames["transactions"]
+    ).createOrReplaceTempView("client_transaction_counts")
+    view_queries.monthly_transaction_summary_ref(
+        frames["clients"], frames["accounts"], frames["transactions"]
+    ).createOrReplaceTempView("monthly_transaction_summary")
+    view_queries.high_transaction_accounts_ref(
+        frames["transactions"]
+    ).createOrReplaceTempView("high_transaction_accounts")
     if cfg.push_views:
         jdbc_sink.create_views(spark, cfg.url(), properties=cfg.jdbc_properties())
 
