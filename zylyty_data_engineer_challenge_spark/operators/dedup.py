@@ -90,9 +90,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact verification kernel; the scale path prunes pairs with
     LSH first (see :func:`dedup_minhash_lsh`).
     """
-    # no cache(): shingling is a narrow per-row map — recomputing it is
-    # cheaper than pinning executor storage for the session lifetime
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    # cache(): the shingle table feeds both self-join sides + the size agg
+    # (3 scans). Spark's cache manager dedupes identical plans, so repeated
+    # invocations share ONE entry per corpus path — bounded, not per-call;
+    # owners free it with unpersist()/clearCache() when the corpus retires.
+    sh = _shingles(load_table(spark, sf_dir, "documents")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")
@@ -134,7 +136,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size. Signature computation is one shuffle; banding is a narrow
     projection.
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents"))  # narrow; see above
+    sh = _shingles(load_table(spark, sf_dir, "documents")).cache()  # see ngram_jaccard note
     sig = _minhash_signatures(sh)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []
