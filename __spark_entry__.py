@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_group": analytics.q_topk_per_group,
         "q_time_rollup": analytics.q_time_rollup,
         "q_range_join": analytics.q_range_join,
+        "q_histogram": analytics.q_histogram,
+        "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
         # [EXTENDED] dedup suite (SURVEY.md §2.12)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,

@@ -259,3 +259,85 @@ ORACLE_SQL = {
         ORDER BY user_id, click_id, error_id
     """,
 }
+
+
+N_HIST_BUCKETS = 20
+HIST_WIDTH = 25_000
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width integer histogram of order totals (floor-bucketed, last
+    bucket open-ended) — the profiling primitive behind range-partition
+    sizing and skew detection. One map-side-combinable aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        # floor, not cast: DuckDB CAST(double AS BIGINT) rounds; Spark truncates
+        F.expr(f"CAST(floor(o_totalprice) AS BIGINT) div {HIST_WIDTH}"),
+        F.lit(N_HIST_BUCKETS - 1),
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn("lo", F.col("bucket") * HIST_WIDTH)
+        .select("bucket", "lo", "n_orders")
+        .orderBy("bucket")
+    )
+
+
+FUZZY_MAX_DIST = 1
+
+
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match dedup on customer names: pairs at Levenshtein distance
+    <= 1 among a blocking-key bucket (same name length + same first 9
+    chars) — edit-distance is O(len^2) per pair, so production ALWAYS
+    blocks first; the block key here keeps the quadratic work inside
+    plausible-match buckets. Integer distances match across engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.length("c_name").alias("blk_len"),
+        F.substring("c_name", 1, 9).alias("blk_pfx"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_len") == F.col("b.blk_len"))
+            & (F.col("a.blk_pfx") == F.col("b.blk_pfx"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("k1"),
+            F.col("b.c_custkey").alias("k2"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .orderBy("k1", "k2")
+    )
+
+
+ORACLE_SQL["q_histogram"] = f"""
+    SELECT bucket, bucket * {HIST_WIDTH} AS lo, COUNT(*) AS n_orders
+    FROM (
+        SELECT least(CAST(floor(o_totalprice) AS BIGINT) // {HIST_WIDTH}, {N_HIST_BUCKETS - 1}) AS bucket
+        FROM orders
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+ORACLE_SQL["dedup_fuzzy_names"] = f"""
+    WITH c AS (
+        SELECT c_custkey, c_name, length(c_name) AS blk_len,
+               substr(c_name, 1, 9) AS blk_pfx
+        FROM customer
+    )
+    SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM c a JOIN c b
+      ON a.blk_len = b.blk_len AND a.blk_pfx = b.blk_pfx
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+    ORDER BY k1, k2
+"""
