@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_rollup": analytics.q_time_rollup,
         "q_range_join": analytics.q_range_join,
         "q_histogram": analytics.q_histogram,
+        "q_grouping_sets": analytics.q_grouping_sets,
+        "q_ntile_deciles": analytics.q_ntile_deciles,
+        "q_gaps_islands": analytics.q_gaps_islands,
         "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
         # [EXTENDED] dedup suite (SURVEY.md §2.12)
         "dedup_exact": dedup.dedup_exact,

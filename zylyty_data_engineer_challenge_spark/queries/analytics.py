@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load_table, register_views
+from ..functions import money_cents
 
 DEC = "decimal(18,2)"
 
@@ -340,4 +341,130 @@ ORACLE_SQL["dedup_fuzzy_names"] = f"""
      AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
     ORDER BY k1, k2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / distribution analytics (functions.scalars-backed)
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the DataFrame API (Spark 4
+    ``DataFrame.groupingSets``) with ``grouping_id()`` labeling each set —
+    the general form behind rollup/cube. One shuffle produces all three
+    granularities (priority×status, priority, grand total); money is
+    aggregated as exact integer cents (functions.money_cents) so the
+    cross-engine hash is bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(money_cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+N_DECILES = 10
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile profile of order totals: ntile(10) over a *total* order
+    (cents, then orderkey as tiebreak — required for cross-engine
+    determinism), then per-decile count/min/max.
+
+    Scale note: a global ntile is a single-partition sort by construction;
+    this is the exact-quantile yardstick, kept deliberately. The 100 TB
+    path for the same question is q_histogram (one map-side-combinable
+    pass) or approx percentiles; projecting to 2 narrow columns first
+    keeps the sorted row under 16 bytes so even the exact form survives
+    far past test scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("cents", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey", money_cents("o_totalprice").alias("cents")
+        )
+        .withColumn("decile", F.ntile(N_DECILES).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active *days* per
+    user (events table). The classic anchor trick — day minus
+    row_number() is constant within a consecutive run — turns an
+    order-dependent problem into a plain groupBy: one window shuffle on
+    user_id, one aggregate, no self-join. Dates are emitted as formatted
+    strings (date_format/strftime parity)."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.date_sub("day", F.col("rn")))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("start_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    )
+
+
+ORACLE_SQL["q_grouping_sets"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+ORACLE_SQL["q_ntile_deciles"] = f"""
+    WITH t AS (
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), d AS (
+        SELECT cents, ntile({N_DECILES}) OVER (ORDER BY cents, o_orderkey) AS decile
+        FROM t
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM d GROUP BY decile ORDER BY decile
+"""
+
+ORACLE_SQL["q_gaps_islands"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+        SELECT user_id, day,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM days
+    ), g AS (
+        SELECT user_id, day, day - CAST(rn AS INTEGER) AS anchor FROM r
+    )
+    SELECT user_id,
+           strftime(MIN(day), '%Y-%m-%d') AS start_day,
+           strftime(MAX(day), '%Y-%m-%d') AS end_day,
+           COUNT(*) AS n_days
+    FROM g
+    GROUP BY user_id, anchor
+    ORDER BY user_id, start_day
 """
