@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
         "text_fingerprint": text.text_fingerprint,
+        "text_chunk": text.text_chunk,
         "text_top_ngrams": text.text_top_ngrams,
         "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
         # [EXTENDED] multimodal plumbing

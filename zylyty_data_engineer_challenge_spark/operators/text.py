@@ -234,3 +234,73 @@ ORACLE_SQL["text_top_ngrams"] = """
     ORDER BY n_docs DESC, s ASC
     LIMIT 20
 """
+
+
+CHUNK_TOKENS = 64
+CHUNK_STEP = 48  # 16-token overlap between consecutive chunks
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: fixed-size token windows
+    (CHUNK_TOKENS wide, CHUNK_STEP stride → 16-token overlap) — the
+    context-window packing step of a training-data pipeline.
+
+    Scale shape: pure per-row codegen (split → sequence → explode →
+    slice) — a map-only fan-out with NO shuffle; chunk count per doc is
+    data-proportional, so the operator streams at scan speed and the
+    output partitioning inherits the input's. `sequence(0, hi)` is safe
+    here because hi = (n_tokens-1) div STEP >= 0 always (split yields at
+    least one element; Spark's sequence DESCENDS when hi < lo)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.split("text", r"\s+").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(f"sequence(0, (size(toks) - 1) div {CHUNK_STEP})")
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * CHUNK_STEP).alias("start_tok"),
+            F.size(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("chunk_id") * CHUNK_STEP + 1).cast("int"),
+                    CHUNK_TOKENS,
+                )
+            ).alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("chunk_id") * CHUNK_STEP + 1).cast("int"),
+                    CHUNK_TOKENS,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+ORACLE_SQL["text_chunk"] = f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+        FROM documents
+    ), x AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, (len(toks) - 1) // {CHUNK_STEP})) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * {CHUNK_STEP} AS start_tok,
+           len(toks[chunk_id * {CHUNK_STEP} + 1 : chunk_id * {CHUNK_STEP} + {CHUNK_TOKENS}]) AS n_chunk_tokens,
+           array_to_string(toks[chunk_id * {CHUNK_STEP} + 1 : chunk_id * {CHUNK_STEP} + {CHUNK_TOKENS}], ' ') AS chunk_text
+    FROM x
+    ORDER BY doc_id, chunk_id
+"""
