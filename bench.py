@@ -58,6 +58,9 @@ def headline_queries() -> dict:
         "q_udf_surface",
         "q_scalar_subquery",
         "q_window_functions",
+        "q_grouping_sets",
+        "q_ntile_deciles",
+        "q_gaps_islands",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_")

@@ -289,31 +289,52 @@ FUZZY_MAX_DIST = 1
 
 
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-match dedup on customer names: pairs at Levenshtein distance
-    <= 1 among a blocking-key bucket (same name length + same first 9
-    chars) — edit-distance is O(len^2) per pair, so production ALWAYS
-    blocks first; the block key here keeps the quadratic work inside
-    plausible-match buckets. Integer distances match across engines."""
+    """Fuzzy-match dedup on customer names: all pairs at Levenshtein
+    distance <= 1 (same length, i.e. one substitution), found via
+    *pigeonhole blocking*: a pair differing in at most one position must
+    agree entirely on either its odd-position chars or its even-position
+    chars, so blocking on (length, odd-chars) UNION (length, even-chars)
+    is EXACT — no candidate pair is missed — while every block stays
+    fine-grained.
+
+    Scale shape: naive prefix blocking degenerates when keys share a long
+    common prefix (TPC-H names all start 'Customer#' → ONE mega-block →
+    a single quadratic task; observed single-threaded at sf0.1). The
+    interleaved keys inherit the entropy of the *whole* string, so block
+    sizes — and the quadratic Levenshtein work — stay bounded as data
+    grows; the two equi-joins shuffle-hash on well-distributed keys and
+    UNION dedups the overlap."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
         F.length("c_name").alias("blk_len"),
-        F.substring("c_name", 1, 9).alias("blk_pfx"),
+        # odd-position chars: each "XY" pair -> "X" (trailing odd char kept)
+        F.regexp_replace("c_name", "(.).", "$1").alias("blk_odd"),
+        # even-position chars: each "XY" pair -> "Y" (trailing odd char dropped)
+        F.regexp_replace("c_name", ".(.)?", "$1").alias("blk_even"),
     )
-    a, b = cust.alias("a"), cust.alias("b")
+
+    def candidate_pairs(block_key: str) -> DataFrame:
+        a, b = cust.alias("a"), cust.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.blk_len") == F.col("b.blk_len"))
+                & (F.col(f"a.{block_key}") == F.col(f"b.{block_key}"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            )
+            .select(
+                F.col("a.c_custkey").alias("k1"),
+                F.col("b.c_custkey").alias("k2"),
+                F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+            )
+            .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.blk_len") == F.col("b.blk_len"))
-            & (F.col("a.blk_pfx") == F.col("b.blk_pfx"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("k1"),
-            F.col("b.c_custkey").alias("k2"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
-        )
-        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        candidate_pairs("blk_odd")
+        .union(candidate_pairs("blk_even"))
+        .distinct()
         .orderBy("k1", "k2")
     )
 
@@ -331,15 +352,24 @@ ORACLE_SQL["q_histogram"] = f"""
 ORACLE_SQL["dedup_fuzzy_names"] = f"""
     WITH c AS (
         SELECT c_custkey, c_name, length(c_name) AS blk_len,
-               substr(c_name, 1, 9) AS blk_pfx
+               regexp_replace(c_name, '(.).', '\\1', 'g') AS blk_odd,
+               regexp_replace(c_name, '.(.)?', '\\1', 'g') AS blk_even
         FROM customer
+    ), p AS (
+        SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM c a JOIN c b
+          ON a.blk_len = b.blk_len AND a.blk_odd = b.blk_odd
+         AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT a.c_custkey, b.c_custkey,
+               levenshtein(a.c_name, b.c_name)
+        FROM c a JOIN c b
+          ON a.blk_len = b.blk_len AND a.blk_even = b.blk_even
+         AND a.c_custkey < b.c_custkey
     )
-    SELECT a.c_custkey AS k1, b.c_custkey AS k2,
-           levenshtein(a.c_name, b.c_name) AS dist
-    FROM c a JOIN c b
-      ON a.blk_len = b.blk_len AND a.blk_pfx = b.blk_pfx
-     AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+    SELECT k1, k2, dist FROM p
+    WHERE dist <= {FUZZY_MAX_DIST}
     ORDER BY k1, k2
 """
 
