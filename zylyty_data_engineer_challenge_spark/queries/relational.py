@@ -42,7 +42,7 @@ def t1_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        F.col("o_totalprice").cast(DEC).alias("o_totalprice"),
+        F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
     )
     page0 = orders.filter(F.col("o_orderkey") % 2 == 0)
@@ -71,7 +71,7 @@ def t3_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "l_partkey",
-            F.col("l_extendedprice").cast(DEC).alias("amount"),
+            F.col("l_extendedprice").cast(DEC).cast("double").alias("amount"),
         )
         .orderBy("ship_date", "l_orderkey")
     )
@@ -91,8 +91,8 @@ def t4_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce(
             F.get_json_object("props", "$.k").try_cast(dec), zero
-        ).alias("k_amount"),
-        F.coalesce(F.col("event_type").try_cast(dec), zero).alias("coerced_garbage"),
+        ).cast("double").alias("k_amount"),
+        F.coalesce(F.col("event_type").try_cast(dec), zero).cast("double").alias("coerced_garbage"),
     ).orderBy("event_id")
 
 
@@ -133,15 +133,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
-            F.sum(price).cast(DEC).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
             # products of decimals are exact at scale 4/6 — keep that scale in
             # the output; casting down to scale 2 would round half-way cases
             # differently across engines.
-            F.sum(price * disc).cast("decimal(24,4)").alias("sum_disc_price"),
-            F.sum(price * disc * tax).cast("decimal(28,6)").alias("sum_charge"),
-            F.min(F.col("l_quantity").cast(DEC)).alias("min_qty"),
-            F.max(F.col("l_quantity").cast(DEC)).alias("max_qty"),
+            F.sum(price * disc).cast("decimal(24,4)").cast("double").alias("sum_disc_price"),
+            F.sum(price * disc * tax).cast("decimal(28,6)").cast("double").alias("sum_charge"),
+            F.min(F.col("l_quantity").cast(DEC)).cast("double").alias("min_qty"),
+            F.max(F.col("l_quantity").cast(DEC)).cast("double").alias("max_qty"),
             F.count("*").alias("count_order"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
@@ -167,6 +167,7 @@ def q_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col("l_discount").cast("decimal(8,2)")
             )
             .cast("decimal(24,4)")
+            .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_rows"),
         )
@@ -180,7 +181,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return (
         orders.groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("total_spend"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"))
         .join(F.broadcast(customer.select("c_custkey", "c_name")),
               F.col("o_custkey") == F.col("c_custkey"), "inner")
         .select("c_custkey", "c_name", "total_spend")
@@ -202,7 +203,7 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast(DEC).alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
         F.row_number().over(
             Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         ).alias("order_seq"),
@@ -253,7 +254,7 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -291,7 +292,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
-        (F.col("p_retailprice").cast(DEC) * 2).cast(DEC).alias("double_price"),
+        (F.col("p_retailprice").cast(DEC) * 2).cast("double").alias("double_price"),
         F.when(F.col("p_size") > 25, "large").otherwise("small").alias("size_class"),
     ).orderBy("p_partkey")
 
@@ -299,19 +300,19 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL = {
     "t1_union_pages": """
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
         FROM orders WHERE o_orderkey % 2 = 0
         UNION ALL
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
         FROM orders WHERE o_orderkey % 2 = 1
     """,
     "t3_dedup_keep_first": """
         SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
                l_orderkey, l_linenumber, l_partkey,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS amount
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY l_shipdate, l_orderkey
@@ -322,10 +323,10 @@ ORACLE_SQL = {
     """,
     "t4_numeric_coercion": """
         SELECT event_id,
-               COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(10,2)),
-                        CAST(0 AS DECIMAL(10,2))) AS k_amount,
-               COALESCE(TRY_CAST(event_type AS DECIMAL(10,2)),
-                        CAST(0 AS DECIMAL(10,2))) AS coerced_garbage
+               CAST(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(10,2)),
+                        CAST(0 AS DECIMAL(10,2))) AS DOUBLE) AS k_amount,
+               CAST(COALESCE(TRY_CAST(event_type AS DECIMAL(10,2)),
+                        CAST(0 AS DECIMAL(10,2))) AS DOUBLE) AS coerced_garbage
         FROM events ORDER BY event_id
     """,
     "d2_completion_counts": """
@@ -335,15 +336,15 @@ ORACLE_SQL = {
     """,
     "q_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4)) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                         * CAST(1 - l_discount AS DECIMAL(8,2))
-                        * CAST(1 + l_tax AS DECIMAL(8,2))) AS DECIMAL(28,6)) AS sum_charge,
-               MIN(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
-               MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+                        * CAST(1 + l_tax AS DECIMAL(8,2))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+               CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+               CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
                COUNT(*) AS count_order,
                COUNT(DISTINCT l_orderkey) AS n_orders
         FROM lineitem
@@ -351,8 +352,8 @@ ORACLE_SQL = {
         ORDER BY l_returnflag, l_linestatus
     """,
     "q_revenue_filter": """
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4)) AS revenue,
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -361,7 +362,7 @@ ORACLE_SQL = {
     """,
     "q_top_customers": """
         SELECT c.c_custkey, c.c_name,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey, c.c_name
         ORDER BY total_spend DESC, c.c_custkey ASC
@@ -373,7 +374,7 @@ ORACLE_SQL = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DECIMAL(18,2)) AS running_spend,
+               ) AS DOUBLE) AS running_spend,
                row_number() OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ) AS order_seq
@@ -403,7 +404,7 @@ ORACLE_SQL = {
     """,
     "q_rollup_sales": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
@@ -424,7 +425,7 @@ ORACLE_SQL = {
                LENGTH(p_name) AS name_len,
                CONCAT_WS('|', p_brand, p_type) AS brand_type,
                ABS(p_size - 25) AS size_dist,
-               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS double_price,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS double_price,
                CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
         FROM part ORDER BY p_partkey
     """,

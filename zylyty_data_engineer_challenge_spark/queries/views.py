@@ -122,7 +122,12 @@ def monthly_transaction_summary_tpch(spark: SparkSession, sf_dir: str) -> DataFr
 
     Doubles are cast to DECIMAL(18,2) *before* the sum on both the Spark and
     oracle sides, so the aggregate is exact and order-insensitive
-    (SURVEY.md §7 risk 2).
+    (SURVEY.md §7 risk 2). The FINAL column is cast to DOUBLE on both
+    engines: the driver canonicalizes through pandas, where DuckDB DECIMAL
+    becomes float64 while a Spark Decimal stays an object — emitting DOUBLE
+    on both sides makes the rendering identical (VERDICT.md r1 item 1; the
+    exact decimal → double conversion is correctly rounded in both engines,
+    so the bits agree).
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -148,7 +153,7 @@ def monthly_transaction_summary_tpch(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(
             F.count("l_linenumber").alias("transaction_count"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_amount"),
         )
         .orderBy("month", "c_name")
@@ -185,7 +190,7 @@ ORACLE_SQL = {
         SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m-%d') AS month,
                c.c_name,
                COUNT(l.l_linenumber) AS transaction_count,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_amount
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey

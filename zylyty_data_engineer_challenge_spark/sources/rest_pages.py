@@ -91,10 +91,15 @@ def _fetch_page(
                 headers={"Authorization": f"Bearer {token}"},
                 timeout=timeout,
             )
-            if resp.status_code in (400, 404, 410, 416):
+            if resp.status_code in (404, 410, 416) or (
+                resp.status_code == 400 and page > 0
+            ):
                 # past-the-end page on APIs that error instead of returning
                 # an empty list — later partitions probe beyond the feed,
-                # so this is end-of-data, not a failure
+                # so this is end-of-data, not a failure. A 400 on page 0 is
+                # a genuinely bad request (malformed params/auth scheme) and
+                # must surface, not silently yield an empty dataset
+                # (ADVICE r1) — fall through to raise_for_status.
                 return []
             resp.raise_for_status()
             return _unwrap(resp.json())

@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .views_stream import _stream_events
+from .views_stream import _stream_conf, _stream_events
 
 DEDUP_WATERMARK = "2 hours"
 
@@ -28,11 +28,21 @@ def dedup_events_stream(events: DataFrame) -> DataFrame:
     """First-arrival dedup per (user_id, event_type, hour) under a 2 h
     watermark — the streaming form of T3's keyed dedup. Emits the kept
     key columns (arrival-dependent attributes stay out of the contract,
-    keeping the bounded-replay result order-insensitive and exact)."""
+    keeping the bounded-replay result order-insensitive and exact).
+
+    State bound: ``dropDuplicatesWithinWatermark`` evicts a key's state
+    once the watermark passes its last-seen event time. Plain
+    ``dropDuplicates`` on these keys would never evict (the event-time
+    column is not in the key subset, only the derived hour string), which
+    is unbounded state growth in a real deployment — ADVICE r1.
+    On a bounded replay the output is identical to SELECT DISTINCT as long
+    as equal keys arrive within 2 h of each other, which holds because the
+    key includes the event's own hour bucket.
+    """
     return (
         events.withWatermark("ts", DEDUP_WATERMARK)
         .withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm"))
-        .dropDuplicates(["user_id", "event_type", "hour"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
         .select("user_id", "event_type", "hour")
     )
 
@@ -40,15 +50,16 @@ def dedup_events_stream(events: DataFrame) -> DataFrame:
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded replay of the streaming dedup; equals SELECT DISTINCT."""
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup_events_stream(_stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            dedup_events_stream(_stream_events(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "event_type", "hour")
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .views_stream import _stream_events
+from .views_stream import _stream_conf, _stream_events
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # exact integer microseconds
 
@@ -135,15 +135,16 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful sessionizer over the bounded events replay; the
     final table equals the batch gaps-and-islands answer (the oracle)."""
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stream(_stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            sessionize_stream(_stream_events(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "session_seq")
 
 
@@ -161,9 +162,9 @@ ORACLE_SQL = {
         ),
         sess AS (
             SELECT user_id, ts,
-                   SUM(is_new) OVER (
+                   CAST(SUM(is_new) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
             FROM gaps
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -33,6 +33,30 @@ from ..schemas import EVENTS_RAW
 WATERMARK = "1 hour"
 WINDOW = "1 hour"
 
+# State-store partition count for the bounded-replay gate queries. The
+# number of state partitions is fixed at a streaming query's FIRST run from
+# spark.sql.shuffle.partitions; 32 state stores (+ 32 Python state workers
+# for applyInPandasWithState) on a one-file micro-batch is pure overhead.
+# A real deployment sizes this to cluster cores before the first start.
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+class _stream_conf:
+    """Temporarily pin spark.sql.shuffle.partitions while a bounded-replay
+    streaming query is planned and run, restoring the session value after
+    (the gate runs queries serially, so the scope is safe)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the bounded events parquet (one file -> one batch).
@@ -59,7 +83,7 @@ def windowed_event_summary(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
         .agg(
             F.count("event_id").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -74,15 +98,16 @@ def stream_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the windowed summary as a real stream to completion
     (availableNow + memory sink, complete mode) and return the final table."""
     sink = f"stream_summary_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_event_summary(_stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            windowed_event_summary(_stream_events(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("window_start", "event_type")
 
 
@@ -102,14 +127,15 @@ def stream_high_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("window_start", "user_id")
 
 
@@ -118,7 +144,7 @@ ORACLE_SQL = {
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
                COUNT(event_id) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
         ORDER BY window_start, event_type
