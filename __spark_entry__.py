@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from zylyty_data_engineer_challenge_spark.operators import (
     dedup,
+    graph,
     multimodal,
     similarity,
     sketches,
@@ -29,6 +30,7 @@ from zylyty_data_engineer_challenge_spark.queries import (
     analytics,
     relational,
     views,
+    warehouse,
 )
 from zylyty_data_engineer_challenge_spark.streaming import (
     dedup_stream,
@@ -81,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_agg": advanced.q_salted_agg,
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_scalar_subquery": advanced.q_scalar_subquery,
+        "q_scd2_dim": warehouse.q_scd2_dim,
+        "q_window_extras": warehouse.q_window_extras,
         "q_udf_surface": analytics.q_udf_surface,
         "q_window_functions": analytics.q_window_functions,
         "q_topk_per_group": analytics.q_topk_per_group,
@@ -97,9 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_cc": graph.dedup_cc,
         # [EXTENDED] similarity search
         "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
         "sim_ann_lsh": similarity.sim_ann_lsh,
+        "sim_ann_ivf": similarity.sim_ann_ivf,
         # [EXTENDED] text analysis
         "text_token_stats": text.text_token_stats,
         "text_quality": text.text_quality,
@@ -107,7 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text.text_fingerprint,
         "text_chunk": text.text_chunk,
         "text_top_ngrams": text.text_top_ngrams,
+        "text_bpe_tokens": text.text_bpe_tokens,
         "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
+        "sketch_kmv_union": sketches.sketch_kmv_union,
         # [EXTENDED] multimodal plumbing
         "mm_features": multimodal.mm_features,
         "mm_frame_sample": multimodal.mm_frame_sample,
@@ -127,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLE_SQL)
     out.update(sketches.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
+    out.update(graph.ORACLE_SQL)
+    out.update(warehouse.ORACLE_SQL)
     out.update(views_stream.ORACLE_SQL)
     out.update(sessionize.ORACLE_SQL)
     out.update(dedup_stream.ORACLE_SQL)

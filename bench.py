@@ -61,9 +61,11 @@ def headline_queries() -> dict:
         "q_grouping_sets",
         "q_ntile_deciles",
         "q_gaps_islands",
+        "q_scd2_dim",
+        "q_window_extras",
     ]
     # extended ops register themselves under these prefixes as they land
-    extended_prefixes = ("dedup_", "sim_", "text_", "mm_")
+    extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")
     names += [n for n in all_q if n.startswith(extended_prefixes)]
     return {n: all_q[n] for n in names if n in all_q}
 

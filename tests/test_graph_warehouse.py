@@ -1,0 +1,89 @@
+"""Unit tests for the graph (connected components) and warehouse (SCD2)
+operators — semantics pinned on tiny hand-built frames, independent of the
+oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zylyty_data_engineer_challenge_spark.operators.graph import connected_components
+from zylyty_data_engineer_challenge_spark.queries.warehouse import q_scd2_dim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cc_chain_and_singleton(spark):
+    # chain 1-2-3 plus isolated 10: transitivity must label 3 with 1
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,)], ["node"])
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10}
+
+
+def test_cc_merges_two_clusters_via_bridge(spark):
+    # two cliques joined by one bridge edge collapse to one component
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["node"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (3, 4)], ["src", "dst"]
+    )
+    comps = {
+        r["component"] for r in connected_components(nodes, edges).collect()
+    }
+    assert comps == {1}
+
+
+def test_cc_direction_independent(spark):
+    # labels must not depend on edge orientation (min flows both ways)
+    nodes = spark.createDataFrame([(5,), (9,)], ["node"])
+    fwd = spark.createDataFrame([(9, 5)], ["src", "dst"])
+    got = {
+        r["node"]: r["component"] for r in connected_components(nodes, fwd).collect()
+    }
+    assert got == {5: 5, 9: 5}
+
+
+def test_scd2_versions_are_contiguous(spark):
+    out = q_scd2_dim(spark, SF_DIR)
+    # valid_to of version v equals valid_from of version v+1 per customer
+    a = out.alias("a")
+    b = out.alias("b")
+    mismatched = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.version") + 1 == F.col("b.version")),
+        )
+        .filter(F.col("a.valid_to") != F.col("b.valid_from"))
+        .count()
+    )
+    assert mismatched == 0
+    # exactly one current row per customer, and it's the last version
+    per_cust = out.groupBy("o_custkey").agg(
+        F.sum("is_current").alias("n_current"),
+        F.max("version").alias("max_v"),
+        F.max(F.when(F.col("is_current") == 1, F.col("version"))).alias("cur_v"),
+    )
+    bad = per_cust.filter(
+        (F.col("n_current") != 1) | (F.col("cur_v") != F.col("max_v"))
+    ).count()
+    assert bad == 0
+
+
+def test_scd2_collapses_consecutive_repeats(spark):
+    out = q_scd2_dim(spark, SF_DIR)
+    # no two consecutive versions carry the same attribute value
+    a = out.alias("a")
+    b = out.alias("b")
+    repeats = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.version") + 1 == F.col("b.version")),
+        )
+        .filter(F.col("a.attr") == F.col("b.attr"))
+        .count()
+    )
+    assert repeats == 0

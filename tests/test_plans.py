@@ -1,0 +1,130 @@
+"""Physical-plan regression tests — the scale story, pinned.
+
+Correctness says what a query returns; these tests pin HOW: filters reach
+the parquet scan, small sides broadcast, candidate joins are hash joins
+(never nested loops), and narrow operators don't acquire surprise
+shuffles. A regression here is invisible at test scale and fatal at 100 TB,
+which is exactly why it's asserted in CI rather than eyeballed.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from zylyty_data_engineer_challenge_spark.operators import dedup, similarity
+from zylyty_data_engineer_challenge_spark.queries import relational, views
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_nodes(plan: str, node: str) -> int:
+    return len(re.findall(rf"\b{node}\b", plan))
+
+
+def test_revenue_filter_pushdown_and_pruning(spark):
+    plan = formatted_plan(relational.q_revenue_filter(spark, SF_DIR))
+    # all three scan-side predicates reach the parquet reader
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1), f"{col} not pushed: {pushed.group(1)}"
+    # column pruning: the scan must not read l_orderkey/l_comment etc.
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schema, plan
+    read_cols = {c.split(":")[0] for c in schema.group(1).split(",") if c}
+    assert read_cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_view2_broadcasts_dim_and_hash_joins_fact(spark):
+    plan = physical_plan(views.monthly_transaction_summary_tpch(spark, SF_DIR))
+    # every join is a hash equi-join (at test SF the optimizer may choose
+    # to broadcast the orders side too — size-dependent and fine; what may
+    # never appear is a nested-loop or cartesian node)
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_top_customers_prunes_orders_scan(spark):
+    plan = formatted_plan(relational.q_top_customers(spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    orders_reads = [s for s in schemas if "o_custkey" in s]
+    assert orders_reads, plan
+    for s in orders_reads:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols == {"o_custkey", "o_totalprice"}, cols
+
+
+@pytest.mark.parametrize(
+    "name,builder,max_bnlj",
+    [
+        # candidate generation must be hash equi-joins; the only sanctioned
+        # nested-loop/cross nodes are constant-sized broadcast inputs:
+        # sim_ann_lsh/_ivf cross the 16x64 hyperplane / 16-row centroid
+        # table; ngram crosses the 1-row corpus count.
+        # counts are upper bounds on the STATIC plan, where shared
+        # subtrees print once per consumer (ReusedExchange dedupes them at
+        # runtime): ngram's 1-row corpus-count cross appears under each of
+        # the 4 shingle consumers.
+        ("dedup_simhash", dedup.dedup_simhash, 0),
+        ("dedup_minhash_lsh", dedup.dedup_minhash_lsh, 0),
+        ("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, 4),
+        ("sim_ann_lsh", similarity.sim_ann_lsh, 2),
+        ("sim_ann_ivf", similarity.sim_ann_ivf, 4),
+    ],
+)
+def test_candidate_joins_are_hash_joins(spark, name, builder, max_bnlj):
+    plan = physical_plan(builder(spark, SF_DIR))
+    bnlj = count_nodes(plan, "BroadcastNestedLoopJoin")
+    cart = count_nodes(plan, "CartesianProduct")
+    assert cart == 0, f"{name}: cartesian product in plan"
+    assert bnlj <= max_bnlj, f"{name}: {bnlj} nested-loop joins (max {max_bnlj})"
+    # and at least one real hash join does the candidate matching
+    assert (
+        count_nodes(plan, "BroadcastHashJoin")
+        + count_nodes(plan, "ShuffledHashJoin")
+        + count_nodes(plan, "SortMergeJoin")
+        > 0
+    ), f"{name}: no hash join found"
+
+
+def test_simhash_has_no_bit_explode(spark):
+    # fingerprints come from 60 aggregate expressions, not a 60-way bit
+    # explode: every Generate in the plan is the token split or the 4-way
+    # band explode — never a sequence(0, 59)
+    plan = physical_plan(dedup.dedup_simhash(spark, SF_DIR))
+    assert "sequence(0" not in plan
+    # two sanctioned Generates (tokens, bands), each printed once per
+    # self-join side in the static plan
+    assert count_nodes(plan, "Generate") <= 4, count_nodes(plan, "Generate")
+
+
+def test_no_collect_in_query_modules():
+    # driver-side collect() in an operator means it isn't distributed;
+    # the only sanctioned collect is graph.py's per-round convergence
+    # aggregate (a 1-row sum, documented)
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "zylyty_data_engineer_challenge_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if ".collect()" in line and "graph.py" not in str(p):
+                offenders.append(f"{p.name}:{i}")
+    assert not offenders, offenders

@@ -1,0 +1,125 @@
+"""Graph operators for dedup pipelines: connected components over
+near-duplicate pair lists.
+
+[EXTENDED] north-star surface — absent from the reference (its only dedup
+is the exact keyed ``drop_duplicates`` at `/root/reference/main.py:123`).
+
+A pair list (d1, d2) from MinHash-LSH / SimHash / embedding-cosine is not
+yet a dedup decision: duplicates form *clusters* via transitivity (A~B,
+B~C ⟹ keep one of {A,B,C}). Connected components assigns every document
+its cluster id (the minimum doc_id reachable through near-dup edges), from
+which "keep the representative, drop the rest" is a single filter.
+
+Algorithm: iterative **min-label propagation** — each round every node
+takes the minimum label among itself and its neighbors; at the fixpoint
+every node carries the minimum doc_id of its component. The driver loop
+runs Spark jobs (never collects data); per-round lineage is truncated with
+a lazy ``localCheckpoint`` so plan depth stays O(1) instead of O(rounds).
+Convergence is detected with a strictly-decreasing integer invariant
+(``SUM(component)``) — one cheap aggregate per round, exact (no floats).
+
+Scale: each round is one shuffle (edge join) + one aggregate; rounds =
+component diameter, which for dedup clusters is tiny (near-dup clusters
+are dense — typically 2-4 rounds). This is the standard formulation used
+at web scale; alternating "large-star/small-star" halves round count on
+pathological chains but the join shape is identical.
+
+Cross-engine determinism: the fixpoint (min reachable doc_id) is
+order-independent, so the DuckDB oracle computes the same labels with a
+recursive transitive closure — different algorithm, identical answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import ORACLE_SQL as _DEDUP_ORACLE
+from .dedup import dedup_minhash_lsh
+
+MAX_CC_ROUNDS = 20  # safety bound; convergence is checked every round
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(node) x (src, dst) -> (node, component) with component = min node
+    id reachable over undirected edges; singletons keep their own id."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    prev_sum = None
+    for _ in range(MAX_CC_ROUNDS):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)  # truncate per-round lineage
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for every document: component = min doc_id
+    reachable through MinHash-LSH near-dup pairs; ``is_representative``
+    marks the survivor each cluster keeps. Composes the LSH pair detector
+    (:func:`..operators.dedup.dedup_minhash_lsh`) with
+    :func:`connected_components`."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    cc = connected_components(docs, pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).cast("int").alias("is_representative"),
+    ).orderBy("doc_id")
+
+
+def _strip_order_by(sql: str) -> str:
+    """Drop the trailing ORDER BY of an oracle query so it can nest as a
+    derived table (DuckDB allows full WITH..SELECT inside parentheses)."""
+    idx = sql.rstrip().rstrip("\n").lower().rfind("order by")
+    return sql[:idx] if idx != -1 else sql
+
+
+ORACLE_SQL = {
+    # same labels via recursive transitive closure over the identical pair
+    # list (the minhash oracle nests as a derived table) — algorithm
+    # differs, fixpoint is the same by construction
+    "dedup_cc": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT d1, d2 FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_minhash_lsh"])})
+        ),
+        edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL
+            SELECT d2, d1 FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component,
+               CAST(d.doc_id = LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS INT)
+                   AS is_representative
+        FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
+}

@@ -2,14 +2,21 @@
 
 [EXTENDED] north-star surface (SURVEY.md §2.12) — absent from the reference.
 
-Two paths over ``embeddings.embedding`` (array<float>):
+Three paths over ``embeddings.embedding`` (array<float>):
 
 * brute-force cosine top-k — the exactness baseline; a broadcast of the
   (small) query set against the full corpus, ranked per query;
-* hyperplane-LSH ANN — the scale path: 16 deterministic pseudo-random
-  hyperplanes produce a 16-bit sign signature per vector, split into two
-  8-bit bands; candidates share at least one band bucket, and exact
-  ranking runs only on candidates.
+* hyperplane-LSH ANN — 16 deterministic pseudo-random hyperplanes produce
+  a 16-bit sign signature per vector, split into two 8-bit bands;
+  candidates share at least one band bucket, and exact ranking runs only
+  on candidates;
+* IVF ANN — an inverted-file index: every corpus vector is assigned to
+  its nearest of NLIST deterministic centroids (one narrow map against a
+  broadcast centroid table); queries probe their NPROBE nearest lists and
+  rank exactly within them. The centroid lists are the same structure a
+  trained k-means IVF gives; centroid *selection* here is deterministic
+  (first NLIST corpus vectors) so the oracle reproduces it bit-for-bit —
+  production swaps in k-means centroids without touching the plan shape.
 
 Cross-engine determinism: components are fixed-point quantized
 (floor(x*1000) as int), dot products and norms are exact integers, and the
@@ -191,6 +198,89 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+NLIST = 16  # IVF centroid count; centroids = first NLIST corpus vectors
+NPROBE = 4  # lists probed per query
+
+
+def _ivf_assign_key(n_col: str) -> str:
+    """Rank key for nearest-centroid by cosine with the vector's own norm
+    fixed: maximize sign(dot) * dot^2 / |c|^2 — one IEEE double division,
+    identical cross-engine."""
+    return (
+        f"CASE WHEN dot >= 0 THEN (dot * dot) * 1.0 / {n_col} "
+        f"ELSE -((dot * dot) * 1.0) / {n_col} END"
+    )
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: top-5 per query among vectors in the query's NPROBE nearest
+    centroid lists.
+
+    Plan shape (the part that matters at 100 TB): centroids are a broadcast
+    table; corpus-to-list assignment is a narrow map + per-vector top-1
+    (no corpus shuffle beyond the assignment window); query-to-candidate
+    matching is an equi-join on list id. Recall < 1.0 by construction and
+    deterministic — the oracle mirrors centroid choice, assignment ties
+    (centroid id ascending) and ranking exactly.
+    """
+    emb = _quantized(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + NLIST)
+    ).select(F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("n").alias("cn"))
+
+    def nearest_lists(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroids)).select(
+            id_col,
+            "cid",
+            F.expr(
+                "aggregate(zip_with(q, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "cn",
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.expr(_ivf_assign_key("cn")).desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= keep)
+            .select(id_col, "cid")
+        )
+
+    assign = nearest_lists(corpus.select("vec_id", "q"), "vec_id", 1)
+    probes = nearest_lists(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "q"
+        ),
+        "query_id",
+        NPROBE,
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .select("query_id", "vec_id")
+        .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "n2",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(_rank_key().desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
 _QUANT_CTE = f"""
     q AS (
         SELECT vec_id,
@@ -222,6 +312,59 @@ ORACLE_SQL = {
         )
         SELECT query_id, rank, vec_id, dot, n2
         FROM scored WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+
+    "sim_ann_ivf": f"""
+        WITH {_QUANT_CTE},
+        cent AS (
+            SELECT vec_id AS cid, v AS cv
+            FROM q WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + NLIST}
+        ),
+        cpos AS (
+            SELECT cid, unnest(cv) AS cd, generate_subscripts(cv, 1) - 1 AS d FROM cent
+        ),
+        cnorms AS (SELECT cid, CAST(SUM(cd * cd) AS BIGINT) AS cn FROM cpos GROUP BY 1),
+        cdots AS (
+            SELECT pos.vec_id, cpos.cid, CAST(SUM(pos.qd * cpos.cd) AS BIGINT) AS dot
+            FROM pos JOIN cpos ON pos.d = cpos.d
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT vec_id, cdots.cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY CASE WHEN dot >= 0 THEN (dot * dot) * 1.0 / cn
+                                     ELSE -((dot * dot) * 1.0) / cn END DESC,
+                                cdots.cid ASC) AS crk
+            FROM cdots JOIN cnorms ON cdots.cid = cnorms.cid
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM ranked WHERE vec_id >= {N_QUERIES} AND crk = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cid FROM ranked
+            WHERE vec_id < {N_QUERIES} AND crk <= {NPROBE}
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+        ),
+        dots AS (
+            SELECT c.query_id, c.vec_id, CAST(SUM(qp.qd * cp.qd) AS BIGINT) AS dot
+            FROM cand c
+            JOIN pos qp ON qp.vec_id = c.query_id
+            JOIN pos cp ON cp.vec_id = c.vec_id AND cp.d = qp.d
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT query_id, dots.vec_id AS vec_id, dot, n.n AS n2,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_RANK_KEY_SQL} DESC, dots.vec_id ASC) AS rank
+            FROM dots JOIN norms n ON dots.vec_id = n.vec_id
+        )
+        SELECT query_id, rank, vec_id, dot, n2
+        FROM scored WHERE rank <= {ANN_TOP_K}
         ORDER BY query_id, rank
     """,
     "sim_ann_lsh": f"""

@@ -64,7 +64,67 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE: the global distinct-count estimate obtained by merging
+    the per-returnflag KMV sketches — union the per-group k-min sets, keep
+    the k smallest — next to the exact global count.
+
+    Mergeability is the property that matters at 100 TB: per-partition /
+    per-group sketches combine associatively into coarser rollups without
+    rescanning the data. Merging KMV sketches = k smallest of the union of
+    k-min sets; since every hash retained by a group sketch is one of that
+    group's k smallest, the union contains the k globally-smallest distinct
+    hashes, so the merged estimator equals the global KMV estimator exactly
+    — which is what the oracle checks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    per_group = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K)
+    merged_kth = (
+        per_group.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") == K)
+        .select(F.col("h").alias("kth_min"))
+    )
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return exact.crossJoin(merged_kth).select(
+        "exact_distinct",
+        "kth_min",
+        F.expr(
+            f"CAST((CAST({K} - 1 AS DECIMAL(38,0)) * {HASH_SPACE}) div kth_min AS BIGINT)"
+        ).alias("kmv_estimate"),
+    )
+
+
 ORACLE_SQL = {
+    "sketch_kmv_union": f"""
+        WITH hashed AS (
+            SELECT DISTINCT l_returnflag,
+                   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM lineitem
+        ),
+        per_group AS (
+            SELECT l_returnflag, h
+            FROM hashed
+            QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h) <= {K}
+        ),
+        kth AS (
+            SELECT h AS kth_min FROM (SELECT DISTINCT h FROM per_group)
+            QUALIFY row_number() OVER (ORDER BY h) = {K}
+        )
+        SELECT (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_distinct,
+               k.kth_min,
+               CAST(CAST(({K} - 1) AS DECIMAL(38,0)) * {HASH_SPACE} // k.kth_min AS BIGINT)
+                   AS kmv_estimate
+        FROM kth k
+    """,
     "sketch_kmv_distinct": f"""
         WITH hashed AS (
             SELECT DISTINCT l_returnflag,

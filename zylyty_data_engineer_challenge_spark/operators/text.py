@@ -304,3 +304,48 @@ ORACLE_SQL["text_chunk"] = f"""
     FROM x
     ORDER BY doc_id, chunk_id
 """
+
+
+# BPE-ish subword pattern: lowercase runs, digit runs, or punctuation runs —
+# the pre-tokenization regex shape GPT-style BPE tokenizers apply before
+# merges. Kept inside the RE2/Java-regex COMMON subset (no lookaround) so
+# Spark and DuckDB extract identical token streams.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: subword-run counts per document next to the
+    whitespace word count — the pair every context-length budgeter needs
+    (words for humans, subword tokens for the model). A real tokenizer's
+    merge table changes the constant factor, not the plan: this is one
+    narrow regexp projection, no shuffle but the final sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    sub = F.expr(f"regexp_extract_all(lower(text), '{BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_words"),
+        F.size(sub).alias("n_subwords"),
+        F.size(F.array_distinct(sub)).alias("n_distinct_subwords"),
+        F.expr(
+            f"aggregate(regexp_extract_all(lower(text), '{BPE_PATTERN}', 0),"
+            " CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"
+        ).alias("sum_subword_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SQL["text_bpe_tokens"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(text, '\\s+') AS words,
+               regexp_extract_all(lower(text), '{BPE_PATTERN}') AS sub
+        FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           len(sub) AS n_subwords,
+           len(list_distinct(sub)) AS n_distinct_subwords,
+           CAST(coalesce(list_sum(list_transform(sub, x -> length(x))), 0) AS BIGINT)
+               AS sum_subword_len
+    FROM t
+    ORDER BY doc_id
+"""
