@@ -85,7 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": advanced.q_scalar_subquery,
         "q_scd2_dim": warehouse.q_scd2_dim,
         "q_window_extras": warehouse.q_window_extras,
+        "q_lateral_topn": warehouse.q_lateral_topn,
+        "q_bucketed_join": warehouse.q_bucketed_join,
         "q_udf_surface": analytics.q_udf_surface,
+        "q_udtf_surface": analytics.q_udtf_surface,
         "q_window_functions": analytics.q_window_functions,
         "q_topk_per_group": analytics.q_topk_per_group,
         "q_time_rollup": analytics.q_time_rollup,

@@ -63,6 +63,9 @@ def headline_queries() -> dict:
         "q_gaps_islands",
         "q_scd2_dim",
         "q_window_extras",
+        "q_lateral_topn",
+        "q_bucketed_join",
+        "q_udtf_surface",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

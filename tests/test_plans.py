@@ -16,7 +16,7 @@ import re
 import pytest
 
 from zylyty_data_engineer_challenge_spark.operators import dedup, similarity
-from zylyty_data_engineer_challenge_spark.queries import relational, views
+from zylyty_data_engineer_challenge_spark.queries import relational, views, warehouse
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -128,3 +128,16 @@ def test_no_collect_in_query_modules():
             if ".collect()" in line and "graph.py" not in str(p):
                 offenders.append(f"{p.name}:{i}")
     assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    # the whole point of q_bucketed_join: both scans satisfy the join's
+    # hash distribution, so no exchange on either join key may appear —
+    # the only sanctioned exchange is the final tiny aggregation/sort
+    df = warehouse.q_bucketed_join(spark, SF_DIR)
+    fmt = formatted_plan(df)
+    assert "Bucketed: true" in fmt, "bucketed scans not used"
+    phys = physical_plan(df)
+    assert "hashpartitioning(o_orderkey" not in phys
+    assert "hashpartitioning(l_orderkey" not in phys
+    assert count_nodes(phys, "SortMergeJoin") == 1

@@ -69,6 +69,40 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UDTF_MAX_TOKENS = 3
+
+
+def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function) in a LATERAL position:
+    each document expands to its first 3 leading tokens with positions —
+    the one-row-in / many-rows-out shape (parsers, span extractors,
+    segmenters) that scalar UDFs and UDAFs can't express.
+
+    The UDTF runs once per input row in an Arrow-batched Python worker;
+    the oracle re-derives the same expansion relationally
+    (generate_series lateral) to prove the table-function path is exact.
+    Splitting is on single spaces on BOTH engines (Python str.split(' ')
+    == DuckDB string_split) so empty tokens from runs agree.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class LeadingTokens:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF eval signature
+            for i, tok in enumerate(text.split(" ")[:UDTF_MAX_TOKENS]):
+                yield i, tok
+
+    spark.udtf.register("leading_tokens", LeadingTokens)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token
+        FROM documents d, LATERAL leading_tokens(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window-function breadth
 # ---------------------------------------------------------------------------
@@ -498,4 +532,16 @@ ORACLE_SQL["q_gaps_islands"] = """
     FROM g
     GROUP BY user_id, anchor
     ORDER BY user_id, start_day
+"""
+
+ORACLE_SQL["q_udtf_surface"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, token
+    FROM t WHERE i <= {UDTF_MAX_TOKENS}
+    ORDER BY doc_id, pos
 """

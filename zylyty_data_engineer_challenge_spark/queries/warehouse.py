@@ -105,3 +105,103 @@ ORACLE_SQL = {
         ORDER BY o_custkey, o_orderkey
     """,
 }
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-N per outer row): for every region, its
+    two most customer-heavy nations. The lateral subquery re-evaluates per
+    outer row *logically*; Catalyst decorrelates it into a join +
+    per-region window under the hood — the SQL surface a window-shy
+    consumer reaches for, with the same physical plan either way."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("region", "nation", "customer"))
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_custs
+        FROM region r,
+        LATERAL (
+          SELECT n.n_name, COUNT(c.c_custkey) AS n_custs
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_custs DESC, n_name
+          LIMIT 2
+        ) t
+        ORDER BY r.r_name, t.n_custs DESC, t.n_name
+        """
+    )
+
+
+N_BUCKETS = 8
+BUCKETED_ROOT = "/root/repo/.bucketed"  # repo-local; gitignored
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: orders and lineitem are written
+    bucketed+sorted INTO N_BUCKETS on the join key once per corpus, after
+    which the fact-fact equi-join needs NO exchange on either side — the
+    bucketed scans already satisfy the join's distribution, which is the
+    bucketing contract that removes the dominant shuffle of repeated
+    fact-fact joins at 100 TB (pay one clustered write, join forever).
+
+    The ``merge`` hint keeps the sort-merge plan at test scale (where AQE
+    would otherwise broadcast the small side and sidestep the bucketed
+    path being demonstrated). Result is checked against the plain-parquet
+    oracle join, proving bucketing changes the plan, not the answer.
+    """
+    tag = _sf_tag(sf_dir)
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        table = f"bucketed_{name}_{tag}"
+        if not spark.catalog.tableExists(table):
+            (
+                load_table(spark, sf_dir, name)
+                .write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", f"{BUCKETED_ROOT}/{tag}/{name}")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(table)
+            )
+    orders = spark.table(f"bucketed_orders_{tag}").select("o_orderkey", "o_orderstatus")
+    lineitem = spark.table(f"bucketed_lineitem_{tag}").select(
+        "l_orderkey", "l_quantity"
+    )
+    return (
+        orders.hint("merge")
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SQL["q_lateral_topn"] = """
+    SELECT r.r_name, t.n_name, t.n_custs
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name, COUNT(c.c_custkey) AS n_custs
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_custs DESC, n_name
+      LIMIT 2
+    ) t
+    ORDER BY r.r_name, t.n_custs DESC, t.n_name
+"""
+
+ORACLE_SQL["q_bucketed_join"] = """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+"""
