@@ -34,6 +34,7 @@ from zylyty_data_engineer_challenge_spark.queries import (
 )
 from zylyty_data_engineer_challenge_spark.streaming import (
     dedup_stream,
+    join_stream,
     sessionize,
     views_stream,
 )
@@ -65,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_high_activity_users": views_stream.stream_high_activity_users,
         "stream_sessionize": sessionize.stream_sessionize,
         "stream_dedup_events": dedup_stream.stream_dedup_events,
+        "stream_static_join": views_stream.stream_static_join,
+        "stream_stream_join": join_stream.stream_stream_join,
         # §2.12 — relational surface
         "q_pricing_summary": relational.q_pricing_summary,
         "q_revenue_filter": relational.q_revenue_filter,
@@ -87,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_extras": warehouse.q_window_extras,
         "q_lateral_topn": warehouse.q_lateral_topn,
         "q_bucketed_join": warehouse.q_bucketed_join,
+        "q_cdc_apply": warehouse.q_cdc_apply,
+        "q_recursive_cte": warehouse.q_recursive_cte,
         "q_udf_surface": analytics.q_udf_surface,
         "q_udtf_surface": analytics.q_udtf_surface,
         "q_window_functions": analytics.q_window_functions,
@@ -143,4 +148,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(views_stream.ORACLE_SQL)
     out.update(sessionize.ORACLE_SQL)
     out.update(dedup_stream.ORACLE_SQL)
+    out.update(join_stream.ORACLE_SQL)
     return out

@@ -66,6 +66,8 @@ def headline_queries() -> dict:
         "q_lateral_topn",
         "q_bucketed_join",
         "q_udtf_surface",
+        "q_cdc_apply",
+        "q_recursive_cte",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

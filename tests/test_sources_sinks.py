@@ -301,3 +301,45 @@ def test_pipeline_registers_engine_native_views(spark, api_server, derby_url):
     assert {r.month for r in v2} == {"2024-03-01"}  # all fixture tx are March
     v3 = spark.sql("SELECT * FROM high_transaction_accounts").collect()
     assert all(r.transaction_count > 2 for r in v3)
+
+
+# ---------------------------------------------------------------------------
+# S3: HTTP 400 semantics (end-of-data past page 0, hard error on page 0)
+# ---------------------------------------------------------------------------
+
+
+class _Always400Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):  # noqa: N802
+        body = b'{"error": "bad request"}'
+        self.send_response(400)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def bad_request_server():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Always400Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_page0_400_raises_after_bounded_retries(bad_request_server):
+    # a 400 on the FIRST page is a malformed request, not end-of-data —
+    # silently returning an empty dataset would mask a broken integration
+    from zylyty_data_engineer_challenge_spark.sources.rest_pages import _fetch_page
+
+    with pytest.raises(RuntimeError, match="page 0 failed"):
+        _fetch_page(bad_request_server, TOKEN, 0, 100, timeout=2.0, max_retries=1)
+
+
+def test_past_end_400_is_end_of_data(bad_request_server):
+    from zylyty_data_engineer_challenge_spark.sources.rest_pages import _fetch_page
+
+    assert _fetch_page(bad_request_server, TOKEN, 3, 100, timeout=2.0, max_retries=1) == []

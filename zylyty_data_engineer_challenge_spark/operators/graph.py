@@ -44,7 +44,13 @@ MAX_CC_ROUNDS = 20  # safety bound; convergence is checked every round
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(node) x (src, dst) -> (node, component) with component = min node
     id reachable over undirected edges; singletons keep their own id."""
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # checkpoint the symmetrized edge list ONCE: it is joined every round,
+    # and without materialization each round would re-execute the entire
+    # upstream pair-detection pipeline (e.g. MinHash-LSH) — measured ~2 s
+    # per round at sf0.1
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
     prev_sum = None
     for _ in range(MAX_CC_ROUNDS):

@@ -197,6 +197,133 @@ ORACLE_SQL["q_lateral_topn"] = """
     ORDER BY r.r_name, t.n_custs DESC, t.n_name
 """
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply without a transactional table format: the
+    events feed is read as a change log on a customer dimension (key =
+    user_id, ``error`` = delete, anything else = upsert), reduced to the
+    latest change per key by (ts, event_id), then FULL OUTER merged with
+    the base snapshot — WHEN MATCHED AND D THEN DELETE / WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED THEN INSERT, expressed as plain joins.
+
+    Scale: this is the standard big-data upsert shape — one window shuffle
+    over the *changes* (bounded by feed volume, not base size) and one
+    key-partitioned merge join; no per-row MERGE, no driver loop. On a
+    cluster the base side would be bucketed on the key so repeated applies
+    reuse the layout (see :func:`q_bucketed_join`).
+    """
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("base_key")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("feed_key"),
+            F.col("event_id").alias("last_event_id"),
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+    )
+    return (
+        base.join(latest, F.col("base_key") == F.col("feed_key"), "full_outer")
+        .withColumn(
+            "action",
+            F.when(F.col("last_event_id").isNull(), F.lit("keep"))
+            .when(F.col("is_delete"), F.lit("drop"))  # matched or not: delete
+            .when(F.col("base_key").isNotNull(), F.lit("update"))
+            .otherwise(F.lit("insert")),
+        )
+        .filter(F.col("action") != "drop")
+        .select(
+            F.coalesce("base_key", "feed_key").alias("key"),
+            "action",
+            "last_event_id",
+        )
+        .orderBy("key")
+    )
+
+
+SPINE_START = "2024-01-01"
+SPINE_END = "2024-01-30"
+CDC_SPARSE_USER = 7
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x ``WITH RECURSIVE``): generate a daily date
+    spine by recursion, left-join one sparse user's daily error counts, and
+    gap-fill with zero — the canonical warehouse calendar-spine pattern.
+
+    Scale: the recursion produces 30 driver-side rows (UnionLoop iterates
+    a constant-width plan 30 times); the data-bearing side is one filtered
+    aggregation pushed to the events scan. Recursion depth is bounded by
+    the spine length, not data volume — the shape that stays cheap at any
+    corpus size.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(d) AS (
+            SELECT DATE'{SPINE_START}'
+            UNION ALL
+            SELECT date_add(d, 1) FROM spine WHERE d < DATE'{SPINE_END}'
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+            FROM events
+            WHERE event_type = 'error' AND user_id = {CDC_SPARSE_USER}
+            GROUP BY 1
+        )
+        SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+               COALESCE(daily.n, CAST(0 AS BIGINT)) AS n_errors
+        FROM spine s LEFT JOIN daily ON s.d = daily.d
+        ORDER BY day
+        """
+    )
+
+
+ORACLE_SQL["q_cdc_apply"] = """
+    WITH latest AS (
+        SELECT user_id AS key,
+               event_id AS last_event_id,
+               event_type = 'error' AS is_delete,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    l1 AS (SELECT * FROM latest WHERE rn = 1)
+    SELECT COALESCE(b.c_custkey, l1.key) AS key,
+           CASE WHEN l1.last_event_id IS NULL THEN 'keep'
+                WHEN NOT l1.is_delete AND b.c_custkey IS NOT NULL THEN 'update'
+                WHEN NOT l1.is_delete THEN 'insert'
+           END AS action,
+           l1.last_event_id
+    FROM customer b FULL OUTER JOIN l1 ON b.c_custkey = l1.key
+    WHERE NOT (l1.is_delete IS TRUE)
+    ORDER BY key
+"""
+
+ORACLE_SQL["q_recursive_cte"] = f"""
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '{SPINE_START}'
+        UNION ALL
+        SELECT d + 1 FROM spine WHERE d < DATE '{SPINE_END}'
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events
+        WHERE event_type = 'error' AND user_id = {CDC_SPARSE_USER}
+        GROUP BY 1
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           COALESCE(daily.n, CAST(0 AS BIGINT)) AS n_errors
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    ORDER BY day
+"""
+
 ORACLE_SQL["q_bucketed_join"] = """
     SELECT o.o_orderstatus,
            COUNT(*) AS n_items,

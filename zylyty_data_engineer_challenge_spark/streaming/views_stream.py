@@ -159,3 +159,54 @@ ORACLE_SQL = {
         ORDER BY window_start, user_id
     """,
 }
+
+
+N_TIERS = 5
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against a static
+    (batch-loaded) user-dimension table, then aggregated per (tier,
+    event_type).
+
+    The static side is broadcast once and re-used by every micro-batch —
+    the standard pattern for dimension enrichment in a streaming pipeline
+    (no state, no watermark interaction; only the downstream aggregate
+    holds state, and its key space here is a bounded 5x5 grid). The
+    bounded replay equals the batch join, which is what the oracle checks.
+    """
+    static_dim = (
+        spark.read.schema(EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id")
+        .distinct()
+        .select("user_id", F.pmod("user_id", F.lit(N_TIERS)).alias("tier"))
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _stream_conf(spark):
+        agg = (
+            _stream_events(spark, sf_dir)
+            .join(F.broadcast(static_dim), "user_id")
+            .groupBy("tier", "event_type")
+            .agg(F.count("event_id").alias("n_events"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("tier", "event_type")
+
+
+ORACLE_SQL["stream_static_join"] = f"""
+    SELECT user_id % {N_TIERS} AS tier,
+           event_type,
+           COUNT(event_id) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY tier, event_type
+"""
