@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": analytics.q_grouping_sets,
         "q_ntile_deciles": analytics.q_ntile_deciles,
         "q_gaps_islands": analytics.q_gaps_islands,
+        "q_window_range_frame": analytics.q_window_range_frame,
+        "q_exact_median": analytics.q_exact_median,
         "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
         # [EXTENDED] dedup suite (SURVEY.md §2.12)
         "dedup_exact": dedup.dedup_exact,
@@ -124,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text.text_bpe_tokens,
         "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
         "sketch_kmv_union": sketches.sketch_kmv_union,
+        "sketch_hll_registers": sketches.sketch_hll_registers,
         # [EXTENDED] multimodal plumbing
         "mm_features": multimodal.mm_features,
         "mm_frame_sample": multimodal.mm_frame_sample,

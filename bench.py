@@ -68,6 +68,8 @@ def headline_queries() -> dict:
         "q_udtf_surface",
         "q_cdc_apply",
         "q_recursive_cte",
+        "q_window_range_frame",
+        "q_exact_median",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

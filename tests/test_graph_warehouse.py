@@ -87,3 +87,44 @@ def test_scd2_collapses_consecutive_repeats(spark):
         .count()
     )
     assert repeats == 0
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    from zylyty_data_engineer_challenge_spark.operators.sketches import (
+        HLL_BUCKETS,
+        hll_estimate,
+        sketch_hll_registers,
+    )
+
+    regs = sketch_hll_registers(spark, SF_DIR).collect()
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .collect()
+    }
+    by_group: dict[str, list] = {}
+    for r in regs:
+        by_group.setdefault(r["l_returnflag"], []).append(r)
+    assert set(by_group) == set(exact)
+    for flag, rows in by_group.items():
+        est = hll_estimate(rows)
+        # standard error of HLL is ~1.04/sqrt(m) ≈ 13% at m=64; allow 3σ
+        assert abs(est - exact[flag]) / exact[flag] < 3 * 1.04 / HLL_BUCKETS**0.5
+
+
+def test_cdc_apply_actions_partition_keyspace(spark):
+    from zylyty_data_engineer_challenge_spark.queries.warehouse import q_cdc_apply
+
+    out = q_cdc_apply(spark, SF_DIR).collect()
+    # keys are unique (it's a keyed MERGE result)
+    keys = [r["key"] for r in out]
+    assert len(keys) == len(set(keys))
+    by_action = {}
+    for r in out:
+        by_action.setdefault(r["action"], []).append(r)
+    # kept rows never carry a change id; update/insert always do
+    assert all(r["last_event_id"] is None for r in by_action.get("keep", []))
+    assert all(r["last_event_id"] is not None for r in by_action.get("update", []))
+    assert all(r["last_event_id"] is not None for r in by_action.get("insert", []))

@@ -103,7 +103,81 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_BUCKETS = 64  # m = 2^6
+HLL_MAX_RHO = 55  # 60-bit hash minus 6 bucket bits -> 54 payload bits + 1
+
+
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table of distinct l_orderkey per l_returnflag:
+    bucket = low 6 bits of the 60-bit md5 hash, rho = (trailing zeros of
+    the remaining bits) + 1, register = MAX(rho) per (group, bucket).
+
+    rho uses the trailing-zero variant (``bit_count((w & -w) - 1) + 1``) —
+    same geometric distribution as the classic leading-zero rank, chosen
+    because it is exact int64 arithmetic that Spark and DuckDB evaluate
+    identically (no float log2). The register table IS the sketch: fixed
+    64 rows per group, mergeable by MAX — partial aggregation means each
+    executor ships at most 64 registers per group regardless of data
+    volume, the whole point of HLL at 100 TB. The float estimator
+    (alpha_m * m^2 / sum 2^-rho) is applied at read time and is checked in
+    a unit test rather than the oracle (it is a derived constant away from
+    the registers, not extra information).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .select(
+            "l_returnflag",
+            F.expr(f"h % {HLL_BUCKETS}").alias("bucket"),
+            F.expr(f"h div {HLL_BUCKETS}").alias("w"),
+        )
+        .select(
+            "l_returnflag",
+            "bucket",
+            F.expr(
+                f"CASE WHEN w = 0 THEN {HLL_MAX_RHO} "
+                "ELSE bit_count((w & -w) - 1) + 1 END"
+            ).alias("rho"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("register"))
+        .orderBy("l_returnflag", "bucket")
+    )
+
+
+def hll_estimate(registers) -> float:
+    """Driver-side HLL estimator over collected (bucket, register) rows for
+    one group — used by the unit test to check the sketch's accuracy."""
+    m = HLL_BUCKETS
+    filled = {r["bucket"]: r["register"] for r in registers}
+    z = sum(2.0 ** -filled.get(b, 0) for b in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m / z
+
+
 ORACLE_SQL = {
+    "sketch_hll_registers": f"""
+        WITH hashed AS (
+            SELECT l_returnflag,
+                   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM lineitem
+        ),
+        split AS (
+            SELECT l_returnflag, h % {HLL_BUCKETS} AS bucket, h // {HLL_BUCKETS} AS w
+            FROM hashed
+        )
+        SELECT l_returnflag, bucket,
+               MAX(CASE WHEN w = 0 THEN {HLL_MAX_RHO}
+                        ELSE bit_count((w & (-w)) - 1) + 1 END) AS register
+        FROM split
+        GROUP BY 1, 2
+        ORDER BY l_returnflag, bucket
+    """,
     "sketch_kmv_union": f"""
         WITH hashed AS (
             SELECT DISTINCT l_returnflag,

@@ -550,3 +550,80 @@ ORACLE_SQL["q_udtf_surface"] = f"""
     FROM t WHERE i <= {UDTF_MAX_TOKENS}
     ORDER BY doc_id, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frames + exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per customer, the trailing-7-day order count
+    and spend (exact integer cents) as of each order — ``RANGE BETWEEN
+    INTERVAL 7 DAYS PRECEDING AND CURRENT ROW`` over the order-date axis.
+
+    A RANGE frame is value-defined, so peer rows (same customer, same date)
+    share one frame regardless of tie order — the result is deterministic
+    with no tie-break column, unlike a ROWS frame. One window shuffle on
+    o_custkey; at 100 TB the per-key frame state is bounded by orders
+    inside the 7-day band, not partition size.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+               COUNT(*) OVER w AS n_7d,
+               -- floor-before-cast: DuckDB CAST(double AS BIGINT) rounds,
+               -- Spark truncates; floor agrees bit-for-bit
+               SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w AS cents_7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (50th percentile, linear interpolation) of
+    lineitem quantity — integer inputs, so the midpoint is an exact IEEE
+    half and hashes identically cross-engine.
+
+    Spark's ``percentile`` aggregates a per-group counts map of distinct
+    values — exact, mergeable across partitions, memory bounded by distinct
+    values (50 here), not row count. For high-cardinality value domains at
+    100 TB the scale path is ``approx_percentile`` (mergeable quantile
+    summaries with bounded error); this operator is the exact yardstick the
+    same way q_ntile_deciles is for deciles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(CAST(l_quantity AS BIGINT), 0.5)").alias("median_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SQL["q_window_range_frame"] = """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+"""
+
+ORACLE_SQL["q_exact_median"] = """
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY l_returnflag
+"""
