@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from zylyty_data_engineer_challenge_spark.operators import (
+    curate,
     dedup,
     graph,
     multimodal,
@@ -86,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_agg": advanced.q_salted_agg,
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_scalar_subquery": advanced.q_scalar_subquery,
+        "q_unpivot": advanced.q_unpivot,
+        "q_null_semantics": advanced.q_null_semantics,
         "q_scd2_dim": warehouse.q_scd2_dim,
         "q_window_extras": warehouse.q_window_extras,
         "q_lateral_topn": warehouse.q_lateral_topn,
@@ -124,6 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": text.text_chunk,
         "text_top_ngrams": text.text_top_ngrams,
         "text_bpe_tokens": text.text_bpe_tokens,
+        "text_train_split": curate.text_train_split,
+        "text_pack_sequences": curate.text_pack_sequences,
+        "pipeline_curate": curate.pipeline_curate,
         "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
         "sketch_kmv_union": sketches.sketch_kmv_union,
         "sketch_hll_registers": sketches.sketch_hll_registers,
@@ -145,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLE_SQL)
     out.update(text.ORACLE_SQL)
     out.update(sketches.ORACLE_SQL)
+    out.update(curate.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
     out.update(graph.ORACLE_SQL)
     out.update(warehouse.ORACLE_SQL)

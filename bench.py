@@ -70,6 +70,9 @@ def headline_queries() -> dict:
         "q_recursive_cte",
         "q_window_range_frame",
         "q_exact_median",
+        "q_unpivot",
+        "q_null_semantics",
+        "pipeline_curate",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

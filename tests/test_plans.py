@@ -141,3 +141,35 @@ def test_bucketed_join_has_no_join_side_exchange(spark):
     assert "hashpartitioning(o_orderkey" not in phys
     assert "hashpartitioning(l_orderkey" not in phys
     assert count_nodes(phys, "SortMergeJoin") == 1
+
+
+# Sanctioned BroadcastNestedLoopJoin counts for the WHOLE registered batch
+# surface: only constant-sized broadcast inputs may nested-loop (hyperplane /
+# centroid tables, 1-row corpus counts or merged-kth rows). Counts are static-
+# plan upper bounds (shared subtrees print once per consumer). Everything not
+# listed must have zero. Streaming queries execute on build and are excluded
+# (their joins are covered by the oracle + their own modules' tests).
+GLOBAL_BNLJ_ALLOWANCE = {
+    "dedup_ngram_jaccard": 4,  # 1-row corpus count under 4 shingle consumers
+    "sim_topk_bruteforce": 1,  # 8-row query set broadcast
+    "sim_ann_lsh": 2,  # 16x64 hyperplane table
+    "sim_ann_ivf": 4,  # 16-row centroid table
+    "sketch_kmv_union": 1,  # 1-row merged-kth crossJoin
+}
+
+
+def test_global_plan_audit_no_unsanctioned_nested_loops(spark):
+    import __spark_entry__ as entry_mod
+
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        if name.startswith("stream_"):
+            continue
+        plan = physical_plan(fn(spark, SF_DIR))
+        cart = count_nodes(plan, "CartesianProduct")
+        bnlj = count_nodes(plan, "BroadcastNestedLoopJoin")
+        if cart > 0:
+            offenders.append(f"{name}: {cart} cartesian")
+        if bnlj > GLOBAL_BNLJ_ALLOWANCE.get(name, 0):
+            offenders.append(f"{name}: {bnlj} nested-loop (allowed {GLOBAL_BNLJ_ALLOWANCE.get(name, 0)})")
+    assert not offenders, offenders

@@ -1,0 +1,171 @@
+"""Training-corpus curation operators: deterministic splits, sequence
+packing, and the composed end-to-end curation pipeline.
+
+[EXTENDED] — the operators that turn a raw document corpus into LLM
+training data, on top of the per-signal operators in :mod:`.text` and
+:mod:`.dedup`:
+
+* **hash split** — reproducible train/val/test assignment from a content
+  hash, the standard replacement for random sampling in a pipeline that
+  must be re-runnable (same doc → same split, forever, on any cluster).
+* **sequence packing** — assign documents to fixed-token-budget training
+  sequences by cumulative token count, the batch form of example packing.
+* **curation pipeline** — length filter → language filter → exact dedup,
+  composed as one declarative plan so Catalyst fuses the filters into the
+  scan and the only shuffles are the dedup aggregation.
+
+All outputs are integers/strings (hash-stable cross-engine); md5-derived
+hashing keeps every assignment reproducible on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+SPLIT_BUCKETS = 100
+TEST_PCT = 10
+VAL_PCT = 10
+
+PACK_BUDGET = 256  # tokens per packed sequence
+
+MIN_TOKENS = 30  # curation floor
+CURATE_LANG = "en"
+
+
+def _hash_bucket(col: str) -> F.Column:
+    """Stable bucket in [0, SPLIT_BUCKETS) from md5 — identical in DuckDB
+    as ('0x' || substr(md5(x),1,15))::BIGINT % buckets."""
+    return F.expr(
+        f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        f" % {SPLIT_BUCKETS}"
+    )
+
+
+def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5(doc_id) %
+    100; test < 10, val < 20, else train. Map-only — no shuffle, no state;
+    the split of a 100 TB corpus is decided row-local at scan speed, and
+    re-ingesting a document can never flip its split (unlike rand())."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket("doc_id")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TEST_PCT, "test")
+        .when(bucket < TEST_PCT + VAL_PCT, "val")
+        .otherwise("train")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: within each language, documents (in doc_id order)
+    are concatenated greedily into fixed-budget training sequences; a
+    document's sequence is its *starting* cumulative token offset div
+    budget (documents may straddle a boundary — the reader splits them,
+    which is the standard pack-then-split layout).
+
+    Scale: one window shuffle partitioned by lang. Per-partition packing
+    is inherently sequential (each offset depends on all prior docs), so
+    the partition key chooses the parallelism/determinism trade: a
+    production run packs per (lang, shard) with shard = hash-bucket of
+    doc_id to bound partition size; the lang-only form here keeps the
+    oracle simple.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    with_cum = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+    ).withColumn(
+        "cum_end", F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        # integral div, not float division: exact for any budget value
+        F.expr(f"(cum_end - n_tokens) div {PACK_BUDGET}").alias("seq_id"),
+        F.expr(f"(cum_end - n_tokens) % {PACK_BUDGET}").alias("seq_offset"),
+    ).orderBy("doc_id")
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: token-length floor → language
+    filter → exact dedup (keep the lowest doc_id per distinct text hash).
+    One declarative plan: both filters reach the parquet scan (pushdown on
+    lang; token floor right above it), and the only shuffle is the dedup's
+    min-per-hash aggregate — a map-side-combinable agg on the md5 key.
+
+    This is the "a reference user can run their whole curation job" query:
+    the per-signal operators feed it, and at 100 TB it is scan-bound, not
+    shuffle-bound, because filters run before the one keyed exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(F.col("lang") == CURATE_LANG).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        F.md5("text").alias("text_hash"),
+    ).filter(F.col("n_tokens") >= MIN_TOKENS)
+    keeper = filtered.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        filtered.join(keeper, "text_hash")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "n_tokens", "text_hash")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL = {
+    "text_train_split": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {SPLIT_BUCKETS} AS bucket
+            FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < {TEST_PCT} THEN 'test'
+                    WHEN bucket < {TEST_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM b
+        ORDER BY doc_id
+    """,
+    "text_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               (cum_end - n_tokens) // {PACK_BUDGET} AS seq_id,
+               (cum_end - n_tokens) % {PACK_BUDGET} AS seq_offset
+        FROM c
+        ORDER BY doc_id
+    """,
+    "pipeline_curate": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+                   md5(text) AS text_hash
+            FROM documents
+            WHERE lang = '{CURATE_LANG}'
+        ),
+        f2 AS (SELECT * FROM f WHERE n_tokens >= {MIN_TOKENS}),
+        k AS (SELECT text_hash, MIN(doc_id) AS keep_id FROM f2 GROUP BY 1)
+        SELECT f2.doc_id, f2.n_tokens, f2.text_hash
+        FROM f2 JOIN k ON f2.text_hash = k.text_hash AND f2.doc_id = k.keep_id
+        ORDER BY f2.doc_id
+    """,
+}

@@ -195,7 +195,10 @@ ORACLE_SQL = {
         )
         SELECT (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_distinct,
                k.kth_min,
-               CAST(CAST(({K} - 1) AS DECIMAL(38,0)) * {HASH_SPACE} // k.kth_min AS BIGINT)
+               -- HUGEINT (int128) floor division: DECIMAL // rounds at scale 0
+               -- BEFORE flooring and can come out one high; Spark's integral
+               -- div truncates exactly
+               CAST(CAST(({K} - 1) AS HUGEINT) * {HASH_SPACE} // k.kth_min AS BIGINT)
                    AS kmv_estimate
         FROM kth k
     """,
@@ -215,8 +218,9 @@ ORACLE_SQL = {
             FROM lineitem GROUP BY 1
         )
         SELECT e.l_returnflag, e.exact_distinct, k.kth_min,
+               -- HUGEINT floor division, not DECIMAL //: see sketch_kmv_union
                CAST(CASE WHEN k.kth_min IS NOT NULL
-                    THEN CAST(({K} - 1) AS DECIMAL(38,0)) * {HASH_SPACE} // k.kth_min
+                    THEN CAST(({K} - 1) AS HUGEINT) * {HASH_SPACE} // k.kth_min
                     ELSE e.exact_distinct END AS BIGINT) AS kmv_estimate
         FROM exact e LEFT JOIN kth k ON e.l_returnflag = k.l_returnflag
         ORDER BY e.l_returnflag

@@ -307,3 +307,116 @@ ORACLE_SQL = {
         ORDER BY o.o_orderkey
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Reshape (unpivot) + null semantics
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape: per-user event counts are pivoted into one
+    column per event type, then ``DataFrame.unpivot`` (ANSI UNPIVOT /
+    melt) turns them back into (user_id, event_type, n_events) rows —
+    round-tripping q_pivot_events' reshape, with absent combinations
+    (NULL cells) dropped to match the relational group-by form.
+
+    Scale: unpivot is a map-only explode of W value columns into W rows —
+    no shuffle at all; the only shuffle here is the upstream pivot
+    aggregate. The oracle states the equivalent long-form group-by.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count("event_id"))
+    )
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=list(EVENT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events").isNotNull())
+        .orderBy("user_id", "event_type")
+    )
+
+
+NULLIF_NATION = 5
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics breadth on one derived nullable key: NULLIF
+    manufactures NULLs, a null-safe self-equality (``<=>`` /
+    IS NOT DISTINCT FROM) join groups the NULL key with itself (a plain
+    ``=`` join would drop it), and the aggregate shows NULL's own group
+    with COALESCE labeling.
+
+    Scale: the null-safe join hashes NULL like any other key value — which
+    is exactly why a high-NULL column needs the same skew treatment as any
+    hot key (see q_salted_agg); the demo key here is low-cardinality and
+    broadcast. Output: per nation-or-NULL group, customer count from both
+    join paths, proving = drops the NULL group while <=> keeps it.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif("c_nationkey", F.lit(NULLIF_NATION)).alias("nkey")
+    )
+    groups = cust.select("nkey").distinct()
+    eq = groups.alias("g").join(
+        cust.alias("c"), F.col("g.nkey") == F.col("c.nkey"), "left"
+    )
+    nseq = groups.alias("g").join(
+        cust.alias("c"), F.col("g.nkey").eqNullSafe(F.col("c.nkey")), "left"
+    )
+
+    def counted(df: DataFrame, colname: str) -> DataFrame:
+        return df.groupBy(F.col("g.nkey").alias("nkey")).agg(
+            F.count("c.c_custkey").alias(colname)
+        )
+
+    left, right = counted(eq, "n_eq").alias("l"), counted(nseq, "n_nullsafe").alias("r")
+    return (
+        # the combining join must itself be null-safe, or the NULL group
+        # row (the query's whole point) would be dropped right here
+        left.join(right, F.col("l.nkey").eqNullSafe(F.col("r.nkey")))
+        .select(F.col("l.nkey").alias("nkey"), "n_eq", "n_nullsafe")
+        .select(
+            F.coalesce(F.col("nkey").cast("string"), F.lit("<null>")).alias("group_key"),
+            "n_eq",
+            "n_nullsafe",
+        )
+        .orderBy("group_key")
+    )
+
+
+ORACLE_SQL["q_unpivot"] = """
+    SELECT user_id, event_type, COUNT(event_id) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY user_id, event_type
+"""
+
+ORACLE_SQL["q_null_semantics"] = f"""
+    WITH cust AS (
+        SELECT c_custkey, NULLIF(c_nationkey, {NULLIF_NATION}) AS nkey
+        FROM customer
+    ),
+    groups AS (SELECT DISTINCT nkey FROM cust),
+    eq AS (
+        SELECT g.nkey, COUNT(c.c_custkey) AS n_eq
+        FROM groups g LEFT JOIN cust c ON g.nkey = c.nkey
+        GROUP BY 1
+    ),
+    nseq AS (
+        SELECT g.nkey, COUNT(c.c_custkey) AS n_nullsafe
+        FROM groups g LEFT JOIN cust c ON g.nkey IS NOT DISTINCT FROM c.nkey
+        GROUP BY 1
+    )
+    SELECT COALESCE(CAST(e.nkey AS VARCHAR), '<null>') AS group_key,
+           e.n_eq, n.n_nullsafe
+    FROM eq e JOIN nseq n ON e.nkey IS NOT DISTINCT FROM n.nkey
+    ORDER BY group_key
+"""

@@ -325,56 +325,56 @@ FUZZY_MAX_DIST = 1
 
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-match dedup on customer names: all pairs at Levenshtein
-    distance <= 1 (same length, i.e. one substitution), found via
-    *pigeonhole blocking*: a pair differing in at most one position must
-    agree entirely on either its odd-position chars or its even-position
-    chars, so blocking on (length, odd-chars) UNION (length, even-chars)
-    is EXACT — no candidate pair is missed — while every block stays
-    fine-grained.
+    distance <= 1 (same length, i.e. one substitution), found via a
+    *wildcard-pattern equi-join*: each name explodes into L patterns with
+    position i replaced by a sentinel char; two single-sentinel patterns
+    compare equal iff the names agree everywhere except (at most) that one
+    position, so the join produces EXACTLY the hamming<=1 pairs — no
+    candidate filtering at all, and for equal lengths hamming<=1 is
+    Levenshtein<=1.
 
-    Scale shape: naive prefix blocking degenerates when keys share a long
-    common prefix (TPC-H names all start 'Customer#' → ONE mega-block →
-    a single quadratic task; observed single-threaded at sf0.1). The
-    interleaved keys inherit the entropy of the *whole* string, so block
-    sizes — and the quadratic Levenshtein work — stay bounded as data
-    grows; the two equi-joins shuffle-hash on well-distributed keys and
-    UNION dedups the overlap."""
+    Scale shape: candidate volume equals OUTPUT volume (each dist-1 pair
+    matches at exactly its one differing position), vs 1.86M
+    Levenshtein-filtered candidates for the previous pigeonhole
+    odd/even-chars blocking (6.3 s -> 3.6 s at sf0.1). Pattern buckets are
+    bounded by alphabet size (all names matching a fixed pattern differ
+    only in the free char), so no block ever goes quadratic, unlike prefix
+    blocking where TPC-H's shared 'Customer#' prefix creates one
+    single-threaded mega-block. The L-fold explode is linear fan-out
+    before one well-distributed shuffle — the same explode-don't-filter
+    trade as dedup_minhash_lsh banding.
+
+    The DuckDB oracle keeps the independent pigeonhole formulation
+    (odd/even interleave blocking + Levenshtein filter), so the check also
+    cross-validates two different exact algorithms against each other."""
     cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.length("c_name").alias("ln")
+    )
+    # chr(1) cannot appear in names; one sentinel per position i (0-based)
+    variants = cust.select(
         "c_custkey",
         "c_name",
-        F.length("c_name").alias("blk_len"),
-        # odd-position chars: each "XY" pair -> "X" (trailing odd char kept)
-        F.regexp_replace("c_name", "(.).", "$1").alias("blk_odd"),
-        # even-position chars: each "XY" pair -> "Y" (trailing odd char dropped)
-        F.regexp_replace("c_name", ".(.)?", "$1").alias("blk_even"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, ln - 1), i -> "
+                "concat(substring(c_name, 1, i), chr(1), substring(c_name, i + 2)))"
+            )
+        ).alias("pat"),
     )
-    # two independent blocked self-joins + union — measured FASTER (6.3 s
-    # vs 9.5 s at sf0.1) than folding both blockings into one exploded-key
-    # join: the branches' smaller broadcast builds run as parallel stages,
-    # while the folded form funnels all probes through one double-sized
-    # hash relation
-
-    def candidate_pairs(block_key: str) -> DataFrame:
-        a, b = cust.alias("a"), cust.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.blk_len") == F.col("b.blk_len"))
-                & (F.col(f"a.{block_key}") == F.col(f"b.{block_key}"))
-                & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-            )
-            .select(
-                F.col("a.c_custkey").alias("k1"),
-                F.col("b.c_custkey").alias("k2"),
-                F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
-            )
-            .filter(F.col("dist") <= FUZZY_MAX_DIST)
-        )
-
+    a, b = variants.alias("a"), variants.alias("b")
     return (
-        candidate_pairs("blk_odd")
-        .union(candidate_pairs("blk_even"))
-        .distinct()
+        a.join(
+            b,
+            (F.col("a.pat") == F.col("b.pat"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("k1"),
+            F.col("b.c_custkey").alias("k2"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)  # invariant guard; no-op filter
+        .distinct()  # identical names (dist 0) match at every position
         .orderBy("k1", "k2")
     )
 
