@@ -1,0 +1,104 @@
+"""Curation-operator properties + exactness of the wildcard fuzzy join.
+
+The oracle differential already checks value equality vs DuckDB; these
+tests pin the *semantic claims* the docstrings make (split determinism and
+proportions, packing invariants, dedup minimality) and — via hypothesis —
+that the wildcard-pattern equi-join in dedup_fuzzy_names finds EXACTLY the
+same-length Levenshtein<=1 pairs that a brute-force scan finds, on inputs
+far nastier than TPC-H names (repeats, sentinel-adjacent chars, ties).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zylyty_data_engineer_challenge_spark.operators.curate import (
+    MIN_TOKENS,
+    PACK_BUDGET,
+    SPLIT_BUCKETS,
+    TEST_PCT,
+    VAL_PCT,
+    pipeline_curate,
+    text_pack_sequences,
+    text_train_split,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_train_split_deterministic_and_proportional(spark):
+    a = {r["doc_id"]: r["split"] for r in text_train_split(spark, SF_DIR).collect()}
+    b = {r["doc_id"]: r["split"] for r in text_train_split(spark, SF_DIR).collect()}
+    assert a == b  # same doc -> same split, forever
+    n = len(a)
+    test_frac = sum(1 for s in a.values() if s == "test") / n
+    val_frac = sum(1 for s in a.values() if s == "val") / n
+    # binomial 3-sigma at n=500 around 10% is ~±4pp
+    assert abs(test_frac - TEST_PCT / SPLIT_BUCKETS) < 0.05
+    assert abs(val_frac - VAL_PCT / SPLIT_BUCKETS) < 0.05
+
+
+def test_pack_sequences_invariants(spark):
+    rows = text_pack_sequences(spark, SF_DIR).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["seq_offset"] < PACK_BUDGET
+        by_lang.setdefault(r["lang"], []).append(r)
+    for rs in by_lang.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == cum // PACK_BUDGET
+            assert r["seq_offset"] == cum % PACK_BUDGET
+            cum += r["n_tokens"]
+
+
+def test_pipeline_curate_is_minimal_and_filtered(spark):
+    out = pipeline_curate(spark, SF_DIR).collect()
+    assert all(r["n_tokens"] >= MIN_TOKENS for r in out)
+    hashes = [r["text_hash"] for r in out]
+    assert len(hashes) == len(set(hashes))  # one survivor per distinct text
+
+
+# ---------------------------------------------------------------------------
+# Wildcard-join exactness (hypothesis): equals brute-force lev<=1 same-length
+# ---------------------------------------------------------------------------
+
+
+def _lev_le1_same_len(a: str, b: str) -> bool:
+    return len(a) == len(b) and sum(x != y for x, y in zip(a, b)) <= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab\x02c", min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_wildcard_join_matches_bruteforce(spark, names):
+    import tempfile
+
+    from zylyty_data_engineer_challenge_spark.queries.analytics import (
+        dedup_fuzzy_names,
+    )
+    from zylyty_data_engineer_challenge_spark.schemas import CUSTOMER
+
+    rows = [(i + 1, n, 0, 0.0, "seg") for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, CUSTOMER)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/customer.parquet")
+        got = {
+            (r["k1"], r["k2"])
+            for r in dedup_fuzzy_names(spark, d).collect()
+        }
+    keyed = [(i + 1, n) for i, n in enumerate(names)]
+    want = {
+        (i1, i2)
+        for i1, n1 in keyed
+        for i2, n2 in keyed
+        if i1 < i2 and _lev_le1_same_len(n1, n2)
+    }
+    assert got == want
