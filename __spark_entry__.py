@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_cc": graph.dedup_cc,
+        "pagerank": graph.pagerank,
         # [EXTENDED] similarity search
         "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
         "sim_ann_lsh": similarity.sim_ann_lsh,

@@ -73,6 +73,7 @@ def headline_queries() -> dict:
         "q_unpivot",
         "q_null_semantics",
         "pipeline_curate",
+        "pagerank",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

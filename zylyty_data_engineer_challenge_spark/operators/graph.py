@@ -129,3 +129,117 @@ ORACLE_SQL = {
         ORDER BY d.doc_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer-exact)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000_000  # rank unit = 1e-12 of total mass
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite order->supplier graph from lineitem
+    (edge = order includes a line supplied by supplier), PR_ITERS rounds of
+    power iteration in *integer-scaled* arithmetic: ranks carry units of
+    1e-12 total mass, every per-edge contribution is the exact integral
+    ``(85 * rank) div (100 * outdeg)``, so Spark and the oracle's unrolled
+    SQL agree bit-for-bit (no float accumulation order to diverge).
+    Dangling mass (supplier nodes have no out-edges) is dropped, the
+    common simplification.
+
+    Scale: each round is one equi-join of the edge list with the current
+    rank vector (hash-partitioned on src) + one aggregate on dst — the
+    standard distributed PageRank; the edge list is checkpointed once and
+    re-joined per round, and the driver loop only launches jobs (rounds are
+    fixed, no collect-based convergence test). The oracle unrolls the same
+    three rounds as chained CTEs — iteration expressed two ways, one
+    fixpoint.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE // n_nodes) // PR_DAMP_DEN
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    weighted = edges.join(outdeg, "src")
+
+    ranks = nodes.select("node", F.lit(PR_SCALE // n_nodes).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .select(
+                "dst",
+                F.expr(f"({PR_DAMP_NUM} * rank) div ({PR_DAMP_DEN} * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).alias("rank"),
+        )
+    return ranks.orderBy("node")
+
+
+def _pr_oracle() -> str:
+    """Unrolled PR_ITERS-round PageRank as chained CTEs (no recursion —
+    aggregates are not allowed in a recursive term)."""
+    rounds = []
+    for i in range(PR_ITERS):
+        prev = f"r{i}"
+        rounds.append(
+            f"""
+        r{i + 1} AS (
+            SELECT n.node,
+                   -- SUM(BIGINT) is HUGEINT in DuckDB: pin each round back
+                   -- to BIGINT so the final column type is hash-stable
+                   CAST({{base}} + COALESCE(SUM(({PR_DAMP_NUM} * p.rank)
+                       // ({PR_DAMP_DEN} * o.deg)), 0) AS BIGINT) AS rank
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN outdeg o ON o.src = e.src
+            LEFT JOIN {prev} p ON p.node = e.src
+            GROUP BY n.node
+        )"""
+        )
+    return (
+        f"""
+        WITH edges AS (
+            SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS rank FROM nodes
+        ),"""
+        + ",".join(rounds)
+        + f"""
+        SELECT node, rank FROM r{PR_ITERS} ORDER BY node
+    """
+    ).replace(
+        "{base}",
+        f"({PR_DAMP_DEN} - {PR_DAMP_NUM}) * ({PR_SCALE} // (SELECT n FROM nn))"
+        f" // {PR_DAMP_DEN}",
+    )
+
+
+ORACLE_SQL["pagerank"] = _pr_oracle()
