@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
         "sketch_kmv_union": sketches.sketch_kmv_union,
         "sketch_hll_registers": sketches.sketch_hll_registers,
+        "sketch_bloom_join": sketches.sketch_bloom_join,
         # [EXTENDED] multimodal plumbing
         "mm_features": multimodal.mm_features,
         "mm_frame_sample": multimodal.mm_frame_sample,

@@ -155,6 +155,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_ann_lsh": 2,  # 16x64 hyperplane table
     "sim_ann_ivf": 4,  # 16-row centroid table
     "sketch_kmv_union": 1,  # 1-row merged-kth crossJoin
+    "sketch_bloom_join": 3,  # crossJoins of four 1-row summary aggregates
 }
 
 

@@ -226,3 +226,130 @@ ORACLE_SQL = {
         ORDER BY e.l_returnflag
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 960  # 16 words x 60 usable bits (DuckDB << overflows at 63)
+BLOOM_WORD_BITS = 60
+BLOOM_ACCTBAL_MIN = 9000
+
+
+def sketch_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, end to end: build a 960-bit bloom
+    (k=3 md5-derived hash positions, bit_or word aggregation) over the
+    keys of a filtered customer dimension, probe every distinct orders
+    custkey against it, and report build/probe/pass/true-match counts —
+    the false-positive overshoot (n_bloom_pass - n_true_match) is visible
+    in the output.
+
+    Scale: this is THE shuffle-avoidance pattern for selective joins at
+    100 TB — the bloom aggregates to 16 int64 words per executor
+    (map-side bit_or partials), broadcasts for free, and filters the fact
+    scan *before* the join shuffle, which is what Spark's runtime row-group
+    bloom pushdown does internally; building it explicitly makes the
+    technique engine-portable and the FP rate auditable. All arithmetic is
+    md5-derived integers: both engines build bit-identical filters.
+    """
+    cust_keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= BLOOM_ACCTBAL_MIN)
+        .select("c_custkey")
+        .distinct()
+    )
+    h = (
+        "CAST(conv(substr(md5(CAST({k} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        hh = h.format(k=key)
+        return df.select(
+            F.col(key).alias("key"),
+            F.explode(
+                F.expr(
+                    f"array({hh} % {BLOOM_BITS},"
+                    f" ({hh} div {BLOOM_BITS}) % {BLOOM_BITS},"
+                    f" ({hh} div {BLOOM_BITS * BLOOM_BITS}) % {BLOOM_BITS})"
+                )
+            ).alias("pos"),
+        ).select(
+            "key",
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"pos % {BLOOM_WORD_BITS}").alias("bit"),
+        )
+
+    bloom = (
+        positions(cust_keys, "c_custkey")
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").alias("bits"))
+    )
+    probe_keys = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    probed = (
+        positions(probe_keys, "o_custkey")
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("key")
+        .agg(
+            F.min(
+                F.expr("CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), CAST(bit AS INT)) & 1 AS INT)")
+            ).alias("all_set")
+        )
+    )
+    n_pass = probed.filter(F.col("all_set") == 1).agg(
+        F.count("*").alias("n_bloom_pass")
+    )
+    n_true = (
+        probe_keys.join(cust_keys, probe_keys.o_custkey == cust_keys.c_custkey, "semi")
+        .agg(F.count("*").alias("n_true_match"))
+    )
+    return (
+        cust_keys.agg(F.count("*").alias("n_build_keys"))
+        .crossJoin(probe_keys.agg(F.count("*").alias("n_probe_keys")))
+        .crossJoin(n_pass)
+        .crossJoin(n_true)
+    )
+
+
+ORACLE_SQL["sketch_bloom_join"] = f"""
+    WITH build AS (
+        SELECT DISTINCT c_custkey AS key FROM customer
+        WHERE c_acctbal >= {BLOOM_ACCTBAL_MIN}
+    ),
+    bpos AS (
+        SELECT key,
+               unnest([h % {BLOOM_BITS},
+                       (h // {BLOOM_BITS}) % {BLOOM_BITS},
+                       (h // {BLOOM_BITS * BLOOM_BITS}) % {BLOOM_BITS}]) AS pos
+        FROM (SELECT key,
+                     ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM build)
+    ),
+    bloom AS (
+        SELECT pos // {BLOOM_WORD_BITS} AS word,
+               bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
+        FROM bpos GROUP BY 1
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    ppos AS (
+        SELECT key,
+               unnest([h % {BLOOM_BITS},
+                       (h // {BLOOM_BITS}) % {BLOOM_BITS},
+                       (h // {BLOOM_BITS * BLOOM_BITS}) % {BLOOM_BITS}]) AS pos
+        FROM (SELECT key,
+                     ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM probe)
+    ),
+    probed AS (
+        SELECT p.key,
+               MIN(CAST((COALESCE(b.bits, 0) >> CAST(p.pos % {BLOOM_WORD_BITS} AS INT)) & 1 AS INT))
+                   AS all_set
+        FROM ppos p LEFT JOIN bloom b ON b.word = p.pos // {BLOOM_WORD_BITS}
+        GROUP BY p.key
+    )
+    SELECT (SELECT COUNT(*) FROM build) AS n_build_keys,
+           (SELECT COUNT(*) FROM probe) AS n_probe_keys,
+           (SELECT COUNT(*) FROM probed WHERE all_set = 1) AS n_bloom_pass,
+           (SELECT COUNT(*) FROM probe WHERE key IN (SELECT key FROM build))
+               AS n_true_match
+"""
