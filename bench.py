@@ -74,6 +74,7 @@ def headline_queries() -> dict:
         "q_null_semantics",
         "pipeline_curate",
         "pagerank",
+        "q_zorder_layout",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

@@ -159,28 +159,32 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(
-            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # checkpoint the degree-annotated edge list ONCE: it is the loop-
+    # invariant joined every round (checkpointing raw edges instead would
+    # re-run the outdeg aggregate + join per round)
+    weighted = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    nodes = (
+        weighted.select(F.col("src").alias("node"))
+        .union(weighted.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     n_nodes = nodes.count()
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE // n_nodes) // PR_DAMP_DEN
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    weighted = edges.join(outdeg, "src")
 
     ranks = nodes.select("node", F.lit(PR_SCALE // n_nodes).alias("rank"))
     for _ in range(PR_ITERS):
+        # broadcast the rank vector: the (larger) edge list then never
+        # reshuffles — only per-dst contributions move. On a cluster where
+        # ranks outgrow broadcast, drop the hint and both sides hash-
+        # partition on the join key instead; the algorithm is unchanged.
         contrib = (
-            weighted.join(ranks, weighted.src == ranks.node)
+            weighted.join(F.broadcast(ranks), weighted.src == ranks.node)
             .select(
                 "dst",
                 F.expr(f"({PR_DAMP_NUM} * rank) div ({PR_DAMP_DEN} * deg)").alias("c"),

@@ -332,3 +332,61 @@ ORACLE_SQL["q_bucketed_join"] = """
     GROUP BY o.o_orderstatus
     ORDER BY o.o_orderstatus
 """
+
+
+ZORDER_BITS = 8  # 8+8 bits -> 16-bit Morton code
+
+
+def _morton_expr(xcol: str, ycol: str) -> str:
+    """Bit-interleave expression (x even positions, y odd) — plain shifts
+    and masks, identical in Spark and DuckDB."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions — customer
+    bucket x order-day bucket — the multi-dimensional layout technique
+    behind data-skipping file formats: sorting by the interleaved key
+    co-locates rows close in BOTH dimensions, so per-file min/max column
+    stats prune scans for predicates on either dimension (a plain sort
+    only prunes its leading column).
+
+    Scale: computing the key is map-only bit arithmetic; the layout write
+    is one range-repartition + sort — the same one-time cost as any
+    clustered write (see q_bucketed_join for the hash-bucket analog). The
+    query emits the key plus per-key aggregates so the oracle checks the
+    full interleave arithmetic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    code = _morton_expr(f"(o_custkey % {1 << ZORDER_BITS})", "day_bucket")
+    return (
+        orders.select(
+            "o_custkey",
+            F.expr(f"datediff(o_orderdate, DATE'1992-01-01') % {1 << ZORDER_BITS}").alias(
+                "day_bucket"
+            ),
+        )
+        .select(F.expr(code).alias("zval"))
+        .groupBy("zval")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("zval")
+    )
+
+
+ORACLE_SQL["q_zorder_layout"] = f"""
+    WITH b AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1992-01-01', o_orderdate)
+                   % {1 << ZORDER_BITS} AS day_bucket
+        FROM orders
+    )
+    SELECT {_morton_expr(f"(o_custkey % {1 << ZORDER_BITS})", "day_bucket")} AS zval,
+           COUNT(*) AS n_orders
+    FROM b
+    GROUP BY 1
+    ORDER BY zval
+"""
