@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": dedup_stream.stream_dedup_events,
         "stream_static_join": views_stream.stream_static_join,
         "stream_stream_join": join_stream.stream_stream_join,
+        "stream_session_window": views_stream.stream_session_window,
         # §2.12 — r1 hash-fails (fixed; need a green row to prove it)
         "q_pricing_summary": relational.q_pricing_summary,
         "q_window_running_total": relational.q_window_running_total,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_train_split": curate.text_train_split,
         "text_pack_sequences": curate.text_pack_sequences,
         "pipeline_curate": curate.pipeline_curate,
+        "q_reservoir_sample": relational.q_reservoir_sample,
         # operators added late in r1 (also no driver row yet)
         "dedup_cc": graph.dedup_cc,
         "sim_ann_ivf": similarity.sim_ann_ivf,

@@ -75,6 +75,7 @@ def headline_queries() -> dict:
         "pipeline_curate",
         "pagerank",
         "q_zorder_layout",
+        "q_reservoir_sample",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

@@ -430,3 +430,40 @@ ORACLE_SQL = {
         FROM part ORDER BY p_partkey
     """,
 }
+
+
+RESERVOIR_K = 100
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic "reservoir" sample: the RESERVOIR_K orders with the
+    smallest md5 hash of their key — a uniform-at-random-but-reproducible
+    sample (the hash order is fixed, so re-runs, retries, and different
+    partitionings all pick the same rows, unlike rand()-based sampling).
+
+    Scale: expressed as ORDER BY hash LIMIT k, which Spark executes as
+    TakeOrderedAndProject — each partition keeps its local top-k, the
+    driver merges k-sized heaps; no global sort, no single-partition
+    window. This is exactly how distributed reservoir sampling should
+    ship: O(k) state per partition.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .orderBy("h")
+        .limit(RESERVOIR_K)
+    )
+
+
+ORACLE_SQL["q_reservoir_sample"] = f"""
+    SELECT o_orderkey,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM orders
+    ORDER BY h
+    LIMIT {RESERVOIR_K}
+"""

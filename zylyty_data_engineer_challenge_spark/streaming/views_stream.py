@@ -210,3 +210,74 @@ ORACLE_SQL["stream_static_join"] = f"""
     GROUP BY 1, 2
     ORDER BY tier, event_type
 """
+
+
+SESSION_GAP = "30 minutes"
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with Spark's NATIVE session_window operator (dynamic
+    gap-merged windows in the streaming state store) — the built-in
+    counterpart to the custom applyInPandasWithState sessionizer in
+    .sessionize: per (user, session) event counts where a session extends
+    until a 30-minute silence.
+
+    Scale: state is one open window per active (user) key, merged in the
+    state store as events arrive; the watermark closes and evicts sessions
+    whose end precedes it. The oracle states the same sessions relationally
+    (lag-based island detection): new session when the gap since the
+    previous event is >= 30 min, end = last event + gap.
+    """
+    sink = f"stream_sessw_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("event_id").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "session_start")
+
+
+ORACLE_SQL["stream_session_window"] = """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           COUNT(*) AS n_events
+    FROM grouped
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+"""
