@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": curate.text_pack_sequences,
         "pipeline_curate": curate.pipeline_curate,
         "q_reservoir_sample": relational.q_reservoir_sample,
+        "mm_arrow_resize": multimodal.mm_arrow_resize,
         # operators added late in r1 (also no driver row yet)
         "dedup_cc": graph.dedup_cc,
         "sim_ann_ivf": similarity.sim_ann_ivf,

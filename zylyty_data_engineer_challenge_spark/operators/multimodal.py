@@ -175,3 +175,72 @@ ORACLE_SQL = {
         ORDER BY doc_id, frame_idx
     """,
 }
+
+
+RESIZE_TARGET = 64  # bytes per "thumbnail" (stand-in for pixel dims)
+
+
+def mm_arrow_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload "resize" via ``mapInArrow`` — the zero-copy Arrow-native
+    batch API (no pandas materialization between the JVM and Python; each
+    batch arrives as a ``pyarrow.RecordBatch``). The stand-in transform
+    subsamples every k-th byte of the payload down to <= RESIZE_TARGET
+    bytes and reports old/new sizes plus the resized content hash — the
+    exact plumbing shape of an image-thumbnail stage, where the per-batch
+    columnar layout is what lets a real codec vectorize.
+
+    Scale: map-only (no shuffle); Arrow batches stream through the Python
+    worker at arrow.maxRecordsPerBatch granularity, so peak memory is one
+    batch of payloads regardless of partition size. The oracle recomputes
+    the same subsample relationally (stride indexing into the byte array).
+    """
+    import pyarrow as pa
+
+    def resize_batches(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out_rows = {
+                "doc_id": [],
+                "n_bytes_in": [],
+                "n_bytes_out": [],
+                "resized_md5": [],
+            }
+            for did, pl in zip(doc_ids, payloads):
+                b = bytes(pl)
+                stride = max(1, -(-len(b) // RESIZE_TARGET))  # ceil div
+                resized = b[::stride]
+                out_rows["doc_id"].append(did)
+                out_rows["n_bytes_in"].append(len(b))
+                out_rows["n_bytes_out"].append(len(resized))
+                out_rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pa.RecordBatch.from_pydict(out_rows)
+
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    return media.mapInArrow(
+        resize_batches,
+        schema="doc_id bigint, n_bytes_in bigint, n_bytes_out bigint, resized_md5 string",
+    ).orderBy("doc_id")
+
+
+ORACLE_SQL["mm_arrow_resize"] = f"""
+    -- DuckDB cannot slice BLOBs; the corpus text is pure ASCII (verified:
+    -- octet_length(encode(text)) == length(text) at every SF), so char
+    -- indexing into the VARCHAR equals byte indexing into the payload
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS n_in FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, text, n_in,
+               GREATEST(1, CAST(ceil(n_in / {RESIZE_TARGET}.0) AS BIGINT)) AS stride
+        FROM m
+    )
+    SELECT doc_id,
+           n_in AS n_bytes_in,
+           CAST(ceil(n_in / CAST(stride AS DOUBLE)) AS BIGINT) AS n_bytes_out,
+           md5(list_aggregate(
+               [text[i + 1 : i + 1] FOR i IN range(0, n_in, stride)],
+               'string_agg', '')) AS resized_md5
+    FROM sized
+    ORDER BY doc_id
+"""
