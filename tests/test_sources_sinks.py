@@ -282,6 +282,18 @@ def test_stream_to_jdbc_foreachbatch(spark, derby_url, tmp_path):
     )
     assert back.count() == expected > 0
 
+    # restart with the SAME checkpoint: the source offsets are committed,
+    # so the rerun processes zero micro-batches and Derby stays unchanged —
+    # the effectively-once contract checkpointLocation exists to provide
+    q2 = stream_to_jdbc(
+        dedup_events_stream(_stream_events(spark, "/root/testdata/sf0.001")),
+        url,
+        "event_keys",
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    assert spark.read.jdbc(url, "event_keys").count() == expected
+
 
 def test_pipeline_registers_engine_native_views(spark, api_server, derby_url):
     """Q5 engine-native: after run_pipeline, the three analytical views are
