@@ -9,10 +9,11 @@ smallest 60-bit md5 hashes per group; the cardinality estimate is
 Spark and DuckDB agree exactly, while keeping the real sketch properties
 (fixed size, mergeable by taking the k smallest of a union).
 
-Scale: one hash-shuffle on the group key; per-group state is k values
-regardless of cardinality. The window top-k form below is the test-scale
-expression; a production implementation holds the k-min set in a UDAF to
-avoid materializing all distinct hashes before pruning.
+Scale: per-group state is k values regardless of cardinality.
+``sketch_kmv_distinct`` maintains the k-min set per partition in a
+streaming mapInPandas pass and merges the O(partitions x k) partials —
+raw hashes never shuffle. ``sketch_kmv_union`` keeps the window form on
+per-group sketches to state the merge semantics declaratively.
 """
 
 from __future__ import annotations
@@ -26,19 +27,57 @@ K = 64
 HASH_SPACE = 1 << 60  # 15 md5 hex chars
 
 
+def _partition_kmins(batches):
+    """Per-partition KMV state: stream the partition's Arrow batches
+    through a {group -> k smallest distinct hashes} dict and emit only the
+    final k-min sets — O(groups x K) memory and output per partition, no
+    shuffle of raw hashes. Any value among a group's global k smallest
+    distinct hashes is necessarily among its partition's k smallest, so
+    merging the per-partition sets (distinct -> sort -> first K) is exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    state: dict[str, "np.ndarray"] = {}
+    for pdf in batches:
+        for flag, sub in pdf.groupby("l_returnflag"):
+            arr = np.unique(sub["h"].to_numpy())  # sorted distinct
+            prev = state.get(flag)
+            merged = arr if prev is None else np.unique(np.concatenate([prev, arr]))
+            state[flag] = merged[:K]
+    flags = sorted(state)
+    yield pd.DataFrame(
+        {
+            "l_returnflag": [f for f in flags for _ in range(len(state[f]))],
+            "h": np.concatenate([state[f] for f in flags])
+            if flags
+            else np.array([], dtype="int64"),
+        }
+    )
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch of l_orderkey per l_returnflag, alongside
-    the exact count so the estimate's error is visible in the output."""
+    the exact count so the estimate's error is visible in the output.
+
+    The k-min set is maintained per partition in a streaming mapInPandas
+    pass (bounded state, output O(groups x K) per partition), then merged
+    globally — raw hashes are never shuffled, which is the production KMV
+    shape; the exact_distinct companion column is the one full-shuffle
+    aggregate, present by design as the yardstick.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     hashed = li.select(
         "l_returnflag",
         F.expr(
             "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),
-    ).distinct()
+    )
+    partials = hashed.mapInPandas(_partition_kmins, schema="l_returnflag string, h bigint")
     w = Window.partitionBy("l_returnflag").orderBy("h")
     kth = (
-        hashed.withColumn("rn", F.row_number().over(w))
+        partials.distinct()
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == K)
         .select("l_returnflag", F.col("h").alias("kth_min"))
     )
