@@ -169,3 +169,58 @@ ORACLE_SQL = {
         ORDER BY f2.doc_id
     """,
 }
+
+
+def pipeline_curate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline with NEAR-duplicate removal: the
+    length/language filters of :func:`pipeline_curate` intersected with
+    the MinHash-LSH cluster representatives from
+    :func:`..operators.graph.dedup_cc` — a document survives iff it passes
+    quality AND is the keeper (minimum doc_id) of its near-dup cluster.
+
+    This is the composition a training-data pipeline actually ships:
+    per-signal operators (shingle -> minhash -> band -> verify -> cluster)
+    feed one declarative join, so Catalyst schedules the whole thing as a
+    single plan — quality filters reach the scan, and the expensive LSH
+    pipeline runs once. The oracle nests the dedup_cc transitive-closure
+    SQL inside the same filters: two engines, two algorithms (label
+    propagation vs recursive closure), one surviving set.
+    """
+    from .graph import dedup_cc
+
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(F.col("lang") == CURATE_LANG).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= MIN_TOKENS)
+    reps = (
+        dedup_cc(spark, sf_dir)
+        .filter(F.col("is_representative") == 1)
+        .select("doc_id")
+    )
+    return filtered.join(reps, "doc_id").select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+def _curate_near_oracle() -> str:
+    from .graph import ORACLE_SQL as _G
+    from .graph import _strip_order_by
+
+    return f"""
+        WITH cc AS (
+            SELECT doc_id FROM ({_strip_order_by(_G["dedup_cc"])})
+            WHERE is_representative = 1
+        ),
+        f AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+            FROM documents
+            WHERE lang = '{CURATE_LANG}'
+        )
+        SELECT f.doc_id, f.n_tokens
+        FROM f JOIN cc ON f.doc_id = cc.doc_id
+        WHERE f.n_tokens >= {MIN_TOKENS}
+        ORDER BY f.doc_id
+    """
+
+
+ORACLE_SQL["pipeline_curate_near"] = _curate_near_oracle()
