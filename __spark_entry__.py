@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_layout": warehouse.q_zorder_layout,
         "q_window_range_frame": analytics.q_window_range_frame,
         "q_exact_median": analytics.q_exact_median,
+        "q_approx_quantile": analytics.q_approx_quantile,
         "q_unpivot": advanced.q_unpivot,
         "q_null_semantics": advanced.q_null_semantics,
         "pagerank": graph.pagerank,

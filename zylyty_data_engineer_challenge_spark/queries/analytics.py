@@ -627,3 +627,57 @@ ORACLE_SQL["q_exact_median"] = """
     GROUP BY 1
     ORDER BY l_returnflag
 """
+
+
+APPROX_QUANTILE_ACC = 100  # 1/relative-error accuracy knob
+
+
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the mergeable quantile-summary path that
+    replaces q_exact_median at 100 TB — checked against a CONTRACT oracle:
+    the output carries the exact median alongside a flag that the
+    approximate answer lies within the summary's rank-error bound. The
+    oracle states the same exact median and asserts the flag TRUE, so the
+    gate fails if Spark's sketch ever violates its accuracy contract
+    (sketch internals differ per engine, so value-equality on the
+    approximation itself would be meaningless).
+
+    Scale: approx_percentile aggregates a bounded quantile summary
+    (Greenwald-Khanna style) per partition and merges summaries — O(acc)
+    state regardless of row count, the property the exact counts-map
+    median lacks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = "CAST(l_quantity AS BIGINT)"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"percentile({qty}, 0.5)").alias("exact_median"),
+            F.expr(
+                f"approx_percentile({qty}, 0.5, {APPROX_QUANTILE_ACC})"
+            ).alias("approx"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            "n_rows",
+            # rank error <= 1/acc: for these narrow int domains that means
+            # the approx median sits within 1 quantity unit of exact
+            (F.abs(F.col("approx") - F.col("exact_median")) <= F.lit(1.0))
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SQL["q_approx_quantile"] = """
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS exact_median,
+           COUNT(*) AS n_rows,
+           1 AS within_bound
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY l_returnflag
+"""
