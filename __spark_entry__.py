@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_range_frame": analytics.q_window_range_frame,
         "q_exact_median": analytics.q_exact_median,
         "q_approx_quantile": analytics.q_approx_quantile,
+        "q_forward_fill": analytics.q_forward_fill,
         "q_unpivot": advanced.q_unpivot,
         "q_null_semantics": advanced.q_null_semantics,
         "pagerank": graph.pagerank,

@@ -681,3 +681,53 @@ ORACLE_SQL["q_approx_quantile"] = """
     GROUP BY 1
     ORDER BY l_returnflag
 """
+
+
+FFILL_NULL_BELOW = 20.0  # values below this are nulled to create gaps
+
+
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward) — the canonical
+    time-series gap repair: per user, NULL readings take the most recent
+    non-NULL value, via ``last(col, ignorenulls=True)`` over a running
+    ROWS frame. The demo nulls out low readings first so the corpus
+    actually has gaps to fill.
+
+    Values pass through untouched (the filled column copies stored doubles
+    bit-for-bit, no arithmetic), so cross-engine hashing is safe. One
+    window shuffle on user_id; frame state is a single value per key —
+    forward fill scales like any running aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gapped = events.select(
+        "user_id",
+        "event_id",
+        "ts",  # the window's order key must survive this projection
+        F.when(F.col("value") >= FFILL_NULL_BELOW, F.col("value")).alias("reading"),
+    )
+    return gapped.select(
+        "user_id",
+        "event_id",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE_SQL["q_forward_fill"] = f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN value >= {FFILL_NULL_BELOW} THEN value END AS reading
+        FROM events
+    )
+    SELECT user_id, event_id, reading,
+           last_value(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled
+    FROM g
+    ORDER BY user_id, event_id
+"""
