@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": curate.text_pack_sequences,
         "pipeline_curate": curate.pipeline_curate,
         "pipeline_curate_near": curate.pipeline_curate_near,
+        "text_redact": text.text_redact,
         "q_reservoir_sample": relational.q_reservoir_sample,
         "mm_arrow_resize": multimodal.mm_arrow_resize,
         # operators added late in r1 (also no driver row yet)

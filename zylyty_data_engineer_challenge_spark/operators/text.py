@@ -349,3 +349,65 @@ ORACLE_SQL["text_bpe_tokens"] = f"""
     FROM t
     ORDER BY doc_id
 """
+
+
+# PII-ish surface patterns in the RE2∩Java subset (no lookaround): email,
+# long digit runs (phone/account/card), IPv4-shaped dotted quads
+REDACT_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("NUM", r"[0-9]{7,}"),
+    ("IP", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+)
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — the governance stage every training-data
+    pipeline runs before anything else sees the text: surface-pattern
+    matches (emails, long digit runs, IP-shaped quads) are counted and
+    replaced with typed placeholders, and the output carries the redacted
+    text's hash + length so the transform is auditable without shipping
+    the text itself.
+
+    Map-only (regexp_replace/count chain in whole-stage codegen, no
+    Python); patterns stay in the RE2∩Java-compatible subset so the
+    DuckDB oracle applies the identical automata. At 100 TB this runs at
+    scan speed and is the cheapest stage to put FIRST, shrinking every
+    downstream operator's input.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.col("text")
+    counts = []
+    for tag, pat in REDACT_PATTERNS:
+        counts.append(
+            F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).alias(
+                f"n_{tag.lower()}"
+            )
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{tag}>")
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _redact_oracle() -> str:
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{tag.lower()}"
+        for tag, pat in REDACT_PATTERNS
+    )
+    red = "text"
+    for tag, pat in REDACT_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<{tag}>', 'g')"
+    return f"""
+        SELECT doc_id,
+               {counts},
+               length({red}) AS redacted_len,
+               md5({red}) AS redacted_md5
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["text_redact"] = _redact_oracle()
