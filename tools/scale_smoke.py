@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""10x scale-stress smoke: synthesize ~sf1 data from sf0.1 and wall-time the
+heaviest operators to verify the plans' scaling behavior (not correctness —
+the oracle differential covers that at sf<=0.1).
+
+Corpus construction (written once to .scale/x10/, gitignored):
+* relational tables: 10 offset-keyed replicas (keys stay unique, join
+  fan-outs stay realistic);
+* events: 10 replicas with offset event_ids and shifted user_ids (10x users);
+* documents: GENERATED word salad from the real corpus vocabulary (replica
+  text would create artificial 10-way near-dup clusters); 2% of docs copy
+  their neighbor's text with one word changed, so dedup has true work;
+* embeddings: 10 replicas with offset vec_ids (identical vectors across
+  replicas = genuine duplicate clusters for the cosine kernel).
+
+Usage: python tools/scale_smoke.py [--rebuild]
+Prints one JSON line: {"sf10_wall": {query: sec, ...}, "n_rows": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from zylyty_data_engineer_challenge_spark.catalog import load_table  # noqa: E402
+from zylyty_data_engineer_challenge_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = Path("/root/repo/.scale/x10")
+REPLICAS = 10
+N_DOCS = 50_000
+DOC_WORDS = 120
+VOCAB = 2_000
+
+KEY_OFFSETS = {
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "customer": ("c_custkey", 1_000_000),
+}
+
+HEAVY = [
+    "view2_monthly_transaction_summary",
+    "q_pricing_summary",
+    "q_window_functions",
+    "q_window_range_frame",
+    "dedup_minhash_lsh",
+    "dedup_fuzzy_names",
+    "dedup_cc",
+    "pagerank",
+    "sim_ann_lsh",
+    "dedup_embedding_cosine",
+    "text_redact",
+    "sketch_kmv_distinct",
+    "pipeline_curate_near",
+]
+
+
+def _replicate(spark, name: str, key: str, offset: int):
+    base = load_table(spark, BASE, name)
+    parts = [
+        base.withColumn(key, F.col(key) + F.lit(i * offset)) for i in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def build(spark) -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    # relational replicas (orders also re-keys custkey to match customer)
+    for name, (key, off) in KEY_OFFSETS.items():
+        df = _replicate(spark, name, key, off)
+        if name == "orders":
+            base = load_table(spark, BASE, name)
+            parts = [
+                base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * off))
+                .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 1_000_000))
+                for i in range(REPLICAS)
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.union(p)
+        df.coalesce(8).write.mode("overwrite").parquet(str(OUT / f"{name}.parquet"))
+    for name in ("region", "nation", "supplier", "part"):
+        shutil.copy(f"{BASE}/{name}.parquet", OUT / f"{name}.parquet")
+    # events: offset ids, shifted users
+    ev = load_table(spark, BASE, "events")
+    # ts here is already converted; rewrite raw-compatible by re-reading raw
+    raw = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = [
+        raw.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000))
+        for i in range(REPLICAS)
+    ]
+    evx = parts[0]
+    for p in parts[1:]:
+        evx = evx.union(p)
+    evx.coalesce(8).write.mode("overwrite").parquet(str(OUT / "events.parquet"))
+    del ev
+    # documents: generated word salad from the real vocabulary
+    docs = load_table(spark, BASE, "documents")
+    from pyspark.sql import Window
+
+    vocab = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(VOCAB)
+        .select("w")
+        .withColumn("wid", F.row_number().over(Window.orderBy("w")) - 1)
+    )
+    # deterministic word order: sort the (pos, word) structs then join words
+    gen = (
+        spark.range(N_DOCS)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(DOC_WORDS - 1))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                f"CAST(conv(substr(md5(concat(doc_id, ':', pos)), 1, 8), 16, 10)"
+                f" AS BIGINT) % {VOCAB}"
+            ).alias("wid"),
+        )
+        .join(F.broadcast(vocab), "wid")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    langs = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("es"), F.lit("fr"), F.lit("zh")),
+        (F.pmod("doc_id", F.lit(5)) + 1).cast("int"),
+    )
+    full = gen.select(
+        "doc_id",
+        "text",
+        langs.alias("lang"),
+        F.lit("scale_smoke").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    # 2% near-dups: doc copies neighbor's text with its own id token appended
+    dup = (
+        full.filter(F.pmod("doc_id", F.lit(50)) == 0)
+        .select(
+            (F.col("doc_id") + F.lit(N_DOCS)).alias("doc_id"),
+            F.concat("text", F.lit(" dup")).alias("text"),
+            "lang",
+            "source",
+            (F.length("text") + F.lit(4)).alias("n_chars"),
+        )
+    )
+    full.union(dup).coalesce(8).write.mode("overwrite").parquet(
+        str(OUT / "documents.parquet")
+    )
+    # embeddings: replicas with offset ids (true duplicate vectors)
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        for i in range(REPLICAS)
+    ]
+    embx = parts[0]
+    for p in parts[1:]:
+        embx = embx.union(p)
+    embx.coalesce(4).write.mode("overwrite").parquet(str(OUT / "embeddings.parquet"))
+
+
+def main() -> int:
+    spark = get_spark("scale-smoke")
+    if "--rebuild" in sys.argv or not (OUT / "lineitem.parquet").exists():
+        t0 = time.time()
+        build(spark)
+        print(f"# built {OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    rows = {}
+    for t in ("lineitem", "documents", "events", "embeddings"):
+        rows[t] = spark.read.parquet(str(OUT / f"{t}.parquet")).count()
+    timings = {}
+    for name in HEAVY:
+        t0 = time.time()
+        queries[name](spark, str(OUT)).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 2)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    print(json.dumps({"sf10_wall": timings, "n_rows": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
