@@ -118,6 +118,10 @@ def build(spark) -> None:
         .select("w")
         .withColumn("wid", F.row_number().over(Window.orderBy("w")) - 1)
     )
+    # mod by the ACTUAL vocab size — the corpus word-salad vocabulary is
+    # tiny (31 distinct words at sf0.1); modding by the cap would miss the
+    # vocab ~98% of the time and produce near-empty documents
+    n_vocab = vocab.count()
     # deterministic word order: sort the (pos, word) structs then join words
     gen = (
         spark.range(N_DOCS)
@@ -130,7 +134,7 @@ def build(spark) -> None:
             "pos",
             F.expr(
                 f"CAST(conv(substr(md5(concat(doc_id, ':', pos)), 1, 8), 16, 10)"
-                f" AS BIGINT) % {VOCAB}"
+                f" AS BIGINT) % {n_vocab}"
             ).alias("wid"),
         )
         .join(F.broadcast(vocab), "wid")
