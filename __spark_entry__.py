@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": curate.pipeline_curate,
         "pipeline_curate_near": curate.pipeline_curate_near,
         "text_redact": text.text_redact,
+        "text_stratified_sample": curate.text_stratified_sample,
+        "q_interval_overlap": advanced.q_interval_overlap,
         "q_reservoir_sample": relational.q_reservoir_sample,
         "mm_arrow_resize": multimodal.mm_arrow_resize,
         # operators added late in r1 (also no driver row yet)

@@ -224,3 +224,52 @@ def _curate_near_oracle() -> str:
 
 
 ORACLE_SQL["pipeline_curate_near"] = _curate_near_oracle()
+
+
+STRATUM_QUOTA = 40  # docs per language stratum
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language quotas: the first
+    STRATUM_QUOTA documents of each language in md5-hash order — the
+    data-mixture primitive (balance languages/sources regardless of their
+    corpus frequencies), reproducible for the same reason as
+    :func:`text_train_split` (hash order is stable; rand() is not).
+
+    Scale: one window shuffle partitioned by the stratum key; per-stratum
+    state during the rank is one counter. For heavy-quota strata the
+    alternative is the per-partition top-k merge used by
+    sketch_kmv_distinct; at quota 40 the window form is already the plan
+    you want.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_QUOTA)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+ORACLE_SQL["text_stratified_sample"] = f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents
+    )
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        FROM h
+    )
+    WHERE rk <= {STRATUM_QUOTA}
+    ORDER BY lang, rk
+"""

@@ -420,3 +420,72 @@ ORACLE_SQL["q_null_semantics"] = f"""
     FROM eq e JOIN nseq n ON e.nkey IS NOT DISTINCT FROM n.nkey
     ORDER BY group_key
 """
+
+
+OVERLAP_MIN = 15
+OVERLAP_US = OVERLAP_MIN * 60 * 1_000_000
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of events by the same user whose
+    15-minute activity intervals [ts, ts+15min) overlap, with the exact
+    overlap length in integer microseconds — completing the temporal-join
+    family (as-of = q_asof_join, band = q_range_join, overlap = here).
+
+    Scale shape: equal-length intervals overlap only if their start bins
+    (bin width = interval length) differ by at most 1, so one side explodes
+    into its three adjacent bin keys and the join is a pure (user, bin)
+    EQUI-join plus a residual |Δts| filter — never an inequality
+    (nested-loop) join. Each true pair matches on exactly one bin key, so
+    no distinct is needed. 3x fan-out on one side, hash join, done.
+    """
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"unix_micros(ts) div {OVERLAP_US}").alias("bin"),
+    )
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("key"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        F.col("bin").alias("key"),
+    )
+    return (
+        a.join(b, ["user_id", "key"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_us") - F.col("b_us")) < OVERLAP_US)
+        )
+        .select(
+            "user_id",
+            "a_id",
+            "b_id",
+            (F.lit(OVERLAP_US) - F.abs(F.col("a_us") - F.col("b_us"))).alias(
+                "overlap_us"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+ORACLE_SQL["q_interval_overlap"] = f"""
+    SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           {OVERLAP_US} - abs(epoch_us(a.ts) - epoch_us(b.ts)) AS overlap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < {OVERLAP_US}
+    ORDER BY a_id, b_id
+"""
