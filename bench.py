@@ -98,6 +98,7 @@ def headline_queries() -> dict:
         "pagerank",
         "q_zorder_layout",
         "q_reservoir_sample",
+        "q_interval_overlap",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")
