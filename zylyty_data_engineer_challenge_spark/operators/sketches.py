@@ -9,11 +9,10 @@ smallest 60-bit md5 hashes per group; the cardinality estimate is
 Spark and DuckDB agree exactly, while keeping the real sketch properties
 (fixed size, mergeable by taking the k smallest of a union).
 
-Scale: per-group state is k values regardless of cardinality.
-``sketch_kmv_distinct`` maintains the k-min set per partition in a
-streaming mapInPandas pass and merges the O(partitions x k) partials —
-raw hashes never shuffle. ``sketch_kmv_union`` keeps the window form on
-per-group sketches to state the merge semantics declaratively.
+Scale: per-group state is k values regardless of cardinality. Both KMV
+queries maintain the k-min set per partition in a streaming mapInPandas
+pass and derive the per-group / merged sketches from the
+O(partitions x k) partials — raw hashes never shuffle.
 """
 
 from __future__ import annotations
@@ -122,9 +121,17 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),
-    ).distinct()
+    )
+    # same bounded-state partial pass as sketch_kmv_distinct: per-partition
+    # k-min sets (superset of every group's true k-min set), then the
+    # per-group and merged sketches both derive from the tiny partials
+    partials = hashed.mapInPandas(_partition_kmins, schema="l_returnflag string, h bigint")
     w = Window.partitionBy("l_returnflag").orderBy("h")
-    per_group = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K)
+    per_group = (
+        partials.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+    )
     merged_kth = (
         per_group.select("h")
         .distinct()
