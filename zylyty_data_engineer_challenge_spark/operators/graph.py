@@ -135,7 +135,7 @@ ORACLE_SQL = {
 # PageRank (integer-exact)
 # ---------------------------------------------------------------------------
 
-PR_SCALE = 1_000_000_000_000  # rank unit = 1e-12 of total mass
+PR_SCALE = 1_000_000_000  # rank unit = 1e-9 of one node's initial mass
 PR_ITERS = 3
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
 
@@ -143,12 +143,16 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite order->supplier graph from lineitem
     (edge = order includes a line supplied by supplier), PR_ITERS rounds of
-    power iteration in *integer-scaled* arithmetic: ranks carry units of
-    1e-12 total mass, every per-edge contribution is the exact integral
-    ``(85 * rank) div (100 * outdeg)``, so Spark and the oracle's unrolled
-    SQL agree bit-for-bit (no float accumulation order to diverge).
-    Dangling mass (supplier nodes have no out-edges) is dropped, the
-    common simplification.
+    power iteration in *integer-scaled* arithmetic: every node starts at
+    PR_SCALE (PageRank is defined up to normalization, so skipping the 1/N
+    scaling removes the only driver-side count job — ranks are relative,
+    N times the conventional values), and every per-edge contribution is
+    the exact integral ``(85 * rank) div (100 * outdeg)``, so Spark and
+    the oracle's unrolled SQL agree bit-for-bit (no float accumulation
+    order to diverge). Hub mass is bounded by 0.85 * N * PR_SCALE — at
+    PR_SCALE=1e9 the 85x multiply stays inside int64 up to ~10^8 nodes
+    (DuckDB range-checks overflow). Dangling mass (supplier nodes have no
+    out-edges) is dropped, the common simplification.
 
     Scale: each round is one equi-join of the edge list with the current
     rank vector (hash-partitioned on src) + one aggregate on dst — the
@@ -174,10 +178,9 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_nodes = nodes.count()
-    base = (PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE // n_nodes) // PR_DAMP_DEN
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
 
-    ranks = nodes.select("node", F.lit(PR_SCALE // n_nodes).alias("rank"))
+    ranks = nodes.select("node", F.lit(PR_SCALE).alias("rank"))
     for _ in range(PR_ITERS):
         # broadcast the rank vector: the (larger) edge list then never
         # reshuffles — only per-dst contributions move. On a cluster where
@@ -231,17 +234,17 @@ def _pr_oracle() -> str:
             SELECT src AS node FROM edges UNION SELECT dst FROM edges
         ),
         outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
-        nn AS (SELECT COUNT(*) AS n FROM nodes),
         r0 AS (
-            SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS rank FROM nodes
+            SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes
         ),"""
         + ",".join(rounds)
         + f"""
         SELECT node, rank FROM r{PR_ITERS} ORDER BY node
     """
     ).replace(
+        # DuckDB integer literals are INT32 — widen before multiplying
         "{base}",
-        f"({PR_DAMP_DEN} - {PR_DAMP_NUM}) * ({PR_SCALE} // (SELECT n FROM nn))"
+        f"({PR_DAMP_DEN} - {PR_DAMP_NUM}) * CAST({PR_SCALE} AS BIGINT)"
         f" // {PR_DAMP_DEN}",
     )
 
