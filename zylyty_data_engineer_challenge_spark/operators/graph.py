@@ -53,6 +53,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=False)
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
     prev_sum = None
+    converged = False
     for _ in range(MAX_CC_ROUNDS):
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
@@ -72,8 +73,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a component whose min-label propagation distance exceeds the round
+        # cap would silently carry stale labels — fail loud instead
+        raise RuntimeError(
+            f"connected_components did not converge within {MAX_CC_ROUNDS} "
+            "rounds (component diameter exceeds the cap); raise MAX_CC_ROUNDS"
+        )
     return labels
 
 
@@ -180,7 +189,9 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
 
-    ranks = nodes.select("node", F.lit(PR_SCALE).alias("rank"))
+    # seed as 64-bit: PR_SCALE itself fits int32, but ANSI-mode `85 * rank`
+    # would overflow a 32-bit rank column on round 1
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
         # broadcast the rank vector: the (larger) edge list then never
         # reshuffles — only per-dst contributions move. On a cluster where
@@ -197,7 +208,10 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
-            (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).alias("rank"),
+            (
+                F.lit(base).cast("long")
+                + F.coalesce(F.col("in_mass"), F.lit(0).cast("long"))
+            ).alias("rank"),
         )
     return ranks.orderBy("node")
 
