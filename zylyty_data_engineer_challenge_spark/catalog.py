@@ -14,27 +14,44 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .schemas import EVENTS_RAW, TESTDATA_SCHEMAS, TESTDATA_TABLES
+from .schemas import EVENTS, EVENTS_RAW, TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_is_nanos(events_path: str) -> bool:
+    """Sniff the parquet footer: does ``ts`` need the legacy nanos read path?
+
+    Returns True when the column is TIMESTAMP(NANOS) (which Spark's reader
+    rejects as a timestamp) or a raw int64 (assumed epoch nanos). For the
+    standard units (us/ms/s) Spark reads TimestampType natively and no
+    conversion is needed. One footer read on the driver — O(KB) regardless
+    of data scale.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(events_path).schema_arrow.field("ts").type
+    unit = getattr(t, "unit", None)
+    return unit == "ns" or unit is None
+
+
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts arrives as raw epoch nanos (see schemas.EVENTS_RAW);
-    truncate to micros — integer div, matching DuckDB's nanos handling —
-    and expose a proper TimestampType column."""
+    """Raw epoch-nanos ``ts`` (see schemas.EVENTS_RAW) -> TimestampType,
+    truncating to micros (integer div, matching DuckDB's nanos handling)."""
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its explicit schema (no inference)."""
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) — set the legacy conf here (it is a
-        # runtime SQL conf) so the read works on ANY session, not only ones
-        # built by .session.get_spark
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
-        return convert_event_ts(raw)
+        path = f"{sf_dir}/events.parquet"
+        if events_ts_is_nanos(path):
+            # TIMESTAMP(NANOS): read the raw int64 under the legacy conf
+            # (runtime-settable, so this works on ANY session) and convert.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return convert_event_ts(spark.read.schema(EVENTS_RAW).parquet(path))
+        # TIMESTAMP(MICROS/MILLIS/SECONDS): native TimestampType read.
+        return spark.read.schema(EVENTS).parquet(path)
     schema = TESTDATA_SCHEMAS[name]
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 

@@ -155,10 +155,11 @@ LINEITEM = T.StructType(
     ]
 )
 
-# events.parquet stores ts as TIMESTAMP(NANOS,false), which Spark's parquet
-# reader rejects as a timestamp; with spark.sql.legacy.parquet.nanosAsLong
-# the raw int64 nanos surface as LongType and the catalog converts to a
-# proper TimestampType column (truncating to micros, matching DuckDB).
+# Fallback schema for an events fixture whose ts is TIMESTAMP(NANOS,false)
+# (Spark's parquet reader rejects NANOS as a timestamp) or a raw int64.
+# catalog.load_table sniffs the parquet footer and only uses this path —
+# spark.sql.legacy.parquet.nanosAsLong + timestamp_micros(ts div 1000) —
+# when needed; standard units (us/ms/s) read natively via EVENTS.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),

@@ -41,9 +41,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
-        # events.parquet stores ts as TIMESTAMP(NANOS) which the parquet
-        # reader rejects; read the raw int64 nanos and convert in the catalog.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts unit handling lives in catalog.load_table, which sniffs
+        # the parquet footer and only enables the legacy nanosAsLong conf
+        # (runtime-settable) when the column really is TIMESTAMP(NANOS).
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

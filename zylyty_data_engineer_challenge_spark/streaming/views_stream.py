@@ -27,8 +27,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import convert_event_ts
-from ..schemas import EVENTS_RAW
+from ..catalog import convert_event_ts, events_ts_is_nanos, load_table
+from ..schemas import EVENTS, EVENTS_RAW
 
 WATERMARK = "1 hour"
 WINDOW = "1 hour"
@@ -62,17 +62,24 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the bounded events parquet (one file -> one batch).
 
     FileStreamSource requires a directory path; pathGlobFilter narrows the
-    scan to the events file within the corpus directory. ts arrives as raw
-    nanos (schemas.EVENTS_RAW) and is converted before windowing.
+    scan to the events file within the corpus directory. The ts unit is
+    sniffed from the parquet footer (catalog.events_ts_is_nanos) so batch
+    and streaming reads can never diverge on unit handling.
     """
-    # runtime-settable — makes the read independent of how the session was built
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
+    if events_ts_is_nanos(f"{sf_dir}/events.parquet"):
+        # runtime-settable — independent of how the session was built
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return convert_event_ts(raw)
+    return (
+        spark.readStream.schema(EVENTS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return convert_event_ts(raw)
 
 
 def windowed_event_summary(events: DataFrame) -> DataFrame:
@@ -176,9 +183,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded replay equals the batch join, which is what the oracle checks.
     """
     static_dim = (
-        spark.read.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        load_table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
         .select("user_id", F.pmod("user_id", F.lit(N_TIERS)).alias("tier"))
