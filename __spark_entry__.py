@@ -50,13 +50,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    ORDERING IS DELIBERATE: r1's correctness run truncated after exactly 50
-    queries, so the registry front-loads (a) the reference operators, (b)
-    the streaming suite, (c) every query that was red or flaky in
-    CORRECTNESS_r01 (their fixes need a driver-graded row to be proven),
-    and (d) every operator added since r1 (never yet graded). Queries that
-    already have a green r1 row carry the least new information and sit at
-    the tail, where any budget cut lands on them.
+    ORDERING IS DELIBERATE: the driver's correctness run grades the first
+    50 entries, so each round the registry front-loads the queries whose
+    driver row carries the most NEW information. Round-5 rotation
+    (VERDICT r4 items 3-4): (a) the §2 reference surface (always graded),
+    (b) the nine r4-red queries fixed by the events-ts unit fix, (c) the
+    twelve queries that have never received a driver row in any round,
+    (d) the three latent ts casualties the judge flagged, (e) the
+    r1-green tail not re-graded since r1. Queries with a green r4 row
+    carry the least new information and sit past position 50; all 86 are
+    verified locally every round by tools/oracle_check.py regardless.
     """
     return {
         # §2.10 — the three reference views, retargeted (FIXTURES.md Family B)
@@ -68,37 +71,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
-        # [EXTENDED] streaming (real readStream/writeStream runs)
+        # r4-red, fixed by the events-ts unit fix — need green rows to prove it
         "stream_event_summary": views_stream.stream_event_summary,
         "stream_high_activity_users": views_stream.stream_high_activity_users,
         "stream_sessionize": sessionize.stream_sessionize,
         "stream_dedup_events": dedup_stream.stream_dedup_events,
-        "stream_static_join": views_stream.stream_static_join,
         "stream_stream_join": join_stream.stream_stream_join,
         "stream_session_window": views_stream.stream_session_window,
-        # §2.12 — r1 hash-fails (fixed; need a green row to prove it)
+        "q_sessionize": advanced.q_sessionize,
+        "q_time_rollup": analytics.q_time_rollup,
+        "q_recursive_cte": warehouse.q_recursive_cte,
+        # never driver-graded in any round (50-row truncation); kmv_union and
+        # dedup_cc first — both changed after their last local verification
+        "sketch_kmv_union": sketches.sketch_kmv_union,
+        "dedup_cc": graph.dedup_cc,
+        "q_interval_overlap": advanced.q_interval_overlap,
+        "q_reservoir_sample": relational.q_reservoir_sample,
+        "mm_arrow_resize": multimodal.mm_arrow_resize,
+        "sim_ann_ivf": similarity.sim_ann_ivf,
+        "text_bpe_tokens": text.text_bpe_tokens,
+        "q_scd2_dim": warehouse.q_scd2_dim,
+        "q_window_extras": warehouse.q_window_extras,
+        "q_lateral_topn": warehouse.q_lateral_topn,
+        "q_bucketed_join": warehouse.q_bucketed_join,
+        "q_udtf_surface": analytics.q_udtf_surface,
+        # latent r4 ts casualties (emit event times/days; were outside the
+        # graded 50 when the unit bug hit) — grade once post-fix
+        "q_asof_join": advanced.q_asof_join,
+        "q_range_join": analytics.q_range_join,
+        "q_gaps_islands": analytics.q_gaps_islands,
+        # r1-green tail not re-graded since r1
+        "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "q_semi_anti_join": relational.q_semi_anti_join,
+        "q_set_ops": relational.q_set_ops,
+        "q_pivot_events": relational.q_pivot_events,
+        "q_histogram": analytics.q_histogram,
+        "q_ntile_deciles": analytics.q_ntile_deciles,
+        "q_udf_surface": analytics.q_udf_surface,
+        "text_token_stats": text.text_token_stats,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "text_fingerprint": text.text_fingerprint,
+        "text_chunk": text.text_chunk,
+        "text_top_ngrams": text.text_top_ngrams,
+        "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
+        "mm_features": multimodal.mm_features,
+        "mm_frame_sample": multimodal.mm_frame_sample,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # everything below has a green CORRECTNESS_r04 row; still verified
+        # locally by tools/oracle_check.py each round
+        "stream_static_join": views_stream.stream_static_join,
         "q_pricing_summary": relational.q_pricing_summary,
         "q_window_running_total": relational.q_window_running_total,
         "q_scalar_functions": relational.q_scalar_functions,
         "q_outer_joins": advanced.q_outer_joins,
-        "q_sessionize": advanced.q_sessionize,
         "q_salted_agg": advanced.q_salted_agg,
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_scalar_subquery": advanced.q_scalar_subquery,
         "q_window_functions": analytics.q_window_functions,
         "q_topk_per_group": analytics.q_topk_per_group,
-        "q_time_rollup": analytics.q_time_rollup,
         "q_grouping_sets": analytics.q_grouping_sets,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
         "sim_ann_lsh": similarity.sim_ann_lsh,
-        # r1 lucky passers (decimal output made them flaky; re-grade)
         "q_top_customers": relational.q_top_customers,
         "q_rollup_sales": relational.q_rollup_sales,
         "q_cube_sales": advanced.q_cube_sales,
-        # operators added in r2 (no driver row yet)
         "q_cdc_apply": warehouse.q_cdc_apply,
-        "q_recursive_cte": warehouse.q_recursive_cte,
         "q_zorder_layout": warehouse.q_zorder_layout,
         "q_window_range_frame": analytics.q_window_range_frame,
         "q_exact_median": analytics.q_exact_median,
@@ -115,45 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_near": curate.pipeline_curate_near,
         "text_redact": text.text_redact,
         "text_stratified_sample": curate.text_stratified_sample,
-        "q_interval_overlap": advanced.q_interval_overlap,
-        "q_reservoir_sample": relational.q_reservoir_sample,
-        "mm_arrow_resize": multimodal.mm_arrow_resize,
-        # operators added late in r1 (also no driver row yet)
-        "dedup_cc": graph.dedup_cc,
-        "sim_ann_ivf": similarity.sim_ann_ivf,
-        "sketch_kmv_union": sketches.sketch_kmv_union,
-        "text_bpe_tokens": text.text_bpe_tokens,
-        "q_scd2_dim": warehouse.q_scd2_dim,
-        "q_window_extras": warehouse.q_window_extras,
-        "q_lateral_topn": warehouse.q_lateral_topn,
-        "q_bucketed_join": warehouse.q_bucketed_join,
-        "q_udtf_surface": analytics.q_udtf_surface,
-        # r1-green tail: dedup/text/sketch/mm + remaining relational, each
-        # already proven by a green CORRECTNESS_r01 row
-        "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
         "q_revenue_filter": relational.q_revenue_filter,
-        "q_semi_anti_join": relational.q_semi_anti_join,
-        "q_set_ops": relational.q_set_ops,
-        "q_pivot_events": relational.q_pivot_events,
-        "q_asof_join": advanced.q_asof_join,
-        "q_range_join": analytics.q_range_join,
-        "q_histogram": analytics.q_histogram,
-        "q_ntile_deciles": analytics.q_ntile_deciles,
-        "q_gaps_islands": analytics.q_gaps_islands,
-        "q_udf_surface": analytics.q_udf_surface,
-        "text_token_stats": text.text_token_stats,
-        "text_quality": text.text_quality,
-        "text_langid": text.text_langid,
-        "text_fingerprint": text.text_fingerprint,
-        "text_chunk": text.text_chunk,
-        "text_top_ngrams": text.text_top_ngrams,
-        "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
-        "mm_features": multimodal.mm_features,
-        "mm_frame_sample": multimodal.mm_frame_sample,
+        "dedup_exact": dedup.dedup_exact,
     }
 
 
