@@ -146,6 +146,12 @@ def main() -> int:
                 "n_r01_subset": sum(1 for n in timings if n in R01_BENCH_SET),
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                # cross-round caveat: r4/r5 hosts run this same best-of-2
+                # harness ~1.4x slower than r3's on queries whose code and
+                # inputs did not change (uniform inflation, idle system,
+                # stable across repeated runs) — compare ratios within a
+                # round, not absolute seconds across rounds
+                "notes": "best-of-2 per query; wall time is host-dependent",
             }
         )
     )

@@ -361,7 +361,14 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pat"),
     )
-    a, b = variants.alias("a"), variants.alias("b")
+    # shuffle_hash, NOT broadcast: Catalyst costs the join from the tiny
+    # pre-explode parquet size and broadcasts the 270k-row variant side —
+    # a single-threaded hashed-relation build measured at ~2x the whole
+    # query, and scale-wrong (variants grow linearly with customers).
+    # Hash-partitioning both sides on pat keeps the join distributed and
+    # each bucket alphabet-bounded; no sort needed, so hash beats merge.
+    a = variants.hint("shuffle_hash").alias("a")
+    b = variants.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

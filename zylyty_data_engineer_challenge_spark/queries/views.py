@@ -132,29 +132,38 @@ def monthly_transaction_summary_tpch(spark: SparkSession, sf_dir: str) -> DataFr
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    month = F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM-dd")
     return (
         # orders is fact-sized (1:4 with lineitem) — NOT broadcast; the
         # equi-join shuffles on the order key and AQE picks SMJ/SHJ. Only the
-        # customer dimension is broadcast.
+        # customer dimension is broadcast — AFTER the aggregate: the group
+        # key is (month timestamp, custkey long), 16 bytes, instead of two
+        # strings, so the agg shuffle is smaller and hash probes cheaper;
+        # c_custkey -> c_name is functional, so attaching the name and
+        # formatting the month post-agg touches only the reduced rows and
+        # leaves the result identical.
         lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
         .join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "inner",
         )
-        .join(
-            F.broadcast(customer.select("c_custkey", "c_name")),
-            F.col("o_custkey") == F.col("c_custkey"),
-            "inner",
-        )
-        .withColumn("month", month)
-        .groupBy("month", "c_name")
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("m"), "o_custkey")
         .agg(
             F.count("l_linenumber").alias("transaction_count"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_amount"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("month"),
+            "c_name",
+            "transaction_count",
+            "total_amount",
         )
         .orderBy("month", "c_name")
     )
