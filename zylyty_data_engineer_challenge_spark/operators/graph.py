@@ -175,7 +175,10 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node keys are BIGINT during iteration (2k = order k, 2k+1 = supplier
     # k) and formatted to the 'o…'/'s…' strings only on the final output:
     # every distinct/join/groupBy below then shuffles and compares int64
-    # instead of varchar (measured ~35% off the whole query at sf0.1)
+    # instead of varchar (measured ~35% off the whole query at sf0.1).
+    # INVARIANT: requires keys >= 0 — Spark's % and div truncate toward
+    # zero, so the % 2 / div 2 decode below would mis-route a negative odd
+    # key (TPC-H keys are >= 1; re-check before reusing this encoding)
     edges = li.select(
         (F.col("l_orderkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
