@@ -174,3 +174,30 @@ def test_global_plan_audit_no_unsanctioned_nested_loops(spark):
         if bnlj > GLOBAL_BNLJ_ALLOWANCE.get(name, 0):
             offenders.append(f"{name}: {bnlj} nested-loop (allowed {GLOBAL_BNLJ_ALLOWANCE.get(name, 0)})")
     assert not offenders, offenders
+
+
+def test_fuzzy_names_pattern_join_is_shuffled_not_broadcast(spark):
+    """r5 regression pin: Catalyst costs the pattern self-join from the
+    tiny pre-explode parquet size and would broadcast the exploded variant
+    side — a single-threaded hashed-relation build that grows linearly
+    with the customer table (scale-fatal). The shuffle_hash hint must keep
+    winning: the pattern join distributes on pat with NO broadcast."""
+    from zylyty_data_engineer_challenge_spark.queries import analytics
+
+    plan = physical_plan(analytics.dedup_fuzzy_names(spark, SF_DIR))
+    assert count_nodes(plan, "ShuffledHashJoin") >= 1, plan
+    assert count_nodes(plan, "BroadcastHashJoin") == 0, plan
+
+
+def test_minhash_signatures_hash_once_per_group(spark):
+    """r5 regression pin: each shingle row must compute exactly
+    MINHASH_GROUPS md5 digests (split into 32-bit pieces), not one md5 per
+    hash function — the digests are projected BEFORE the aggregate so
+    Catalyst cannot re-derive them inside every MIN."""
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+
+    sig = dedup._minhash_signatures(
+        dedup._shingles(load_table(spark, SF_DIR, "documents"))
+    )
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == dedup.MINHASH_GROUPS, plan
