@@ -156,6 +156,8 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_ann_ivf": 4,  # 16-row centroid table
     "sketch_kmv_union": 1,  # 1-row merged-kth crossJoin
     "sketch_bloom_join": 3,  # crossJoins of four 1-row summary aggregates
+    "sim_ann_recall": 3,  # inherits bruteforce (1) + ann_lsh (2) constants
+    "sketch_cms_topk": 2,  # 3-row hash-row table crossed twice (build+probe)
 }
 
 

@@ -408,3 +408,64 @@ ORACLE_SQL = {
         ORDER BY query_id, rank
     """,
 }
+
+
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the LSH ANN index against exact brute force —
+    the acceptance gate a production pipeline runs before trusting an
+    approximate index. For each query: hits = |LSH top-k ∩ exact top-k|,
+    recall = hits/k (k = ANN_TOP_K).
+
+    Scale shape: composes the two existing operators (each already
+    bucketed/broadcast as documented on them) and adds only a k-row-per-
+    query equi-join plus an 8-group aggregate — evaluation cost is
+    output-sized, not corpus-sized. Deterministic by construction, so the
+    oracle reproduces it exactly from the same two nested definitions.
+    """
+    exact = sim_topk_bruteforce(spark, sf_dir).filter(
+        F.col("rank") <= ANN_TOP_K
+    ).select("query_id", "vec_id")
+    ann = sim_ann_lsh(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+            F.count("*").alias("k"),
+        )
+        .select(
+            "query_id",
+            "hits",
+            "k",
+            (F.col("hits") * 1.0 / F.col("k")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _strip_order_by(sql: str) -> str:
+    idx = sql.rstrip().lower().rfind("order by")
+    return sql[:idx] if idx != -1 else sql
+
+
+ORACLE_SQL["sim_ann_recall"] = f"""
+    WITH exact AS (
+        SELECT query_id, vec_id
+        FROM ({_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"])})
+        WHERE rank <= {ANN_TOP_K}
+    ),
+    ann AS (
+        SELECT query_id, vec_id, 1 AS hit
+        FROM ({_strip_order_by(ORACLE_SQL["sim_ann_lsh"])})
+    )
+    SELECT e.query_id,
+           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
+           COUNT(*) AS k,
+           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1.0 / COUNT(*) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+"""

@@ -399,3 +399,84 @@ ORACLE_SQL["sketch_bloom_join"] = f"""
            (SELECT COUNT(*) FROM probe WHERE key IN (SELECT key FROM build))
                AS n_true_match
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 3  # hash rows
+CMS_W = 256  # buckets per row
+CMS_TOPK = 20
+
+_CMS_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(concat(r, '#', token)), 1, 15), 16, 10) AS BIGINT)"
+    f" % {CMS_W}"
+)
+
+
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the documents token stream: estimate the
+    counts of the CMS_TOPK most frequent tokens and emit them next to the
+    exact counts, so the sketch's one-sided error (cms_n >= exact_n,
+    inflated only by bucket collisions) is visible in the output.
+
+    Scale shape: the token-count table is one map-side-combinable shuffle;
+    the sketch itself compresses it to a CONSTANT CMS_D x CMS_W cells (the
+    whole point — at 100 TB the vocabulary is huge but the sketch is 768
+    integers, mergeable across partitions/corpora by cell-wise addition).
+    Bucket assignment is the repo-standard 60-bit md5 integer (identical
+    in DuckDB), the hash rows are a 3-row constant broadcast, and the
+    estimate probe touches only CMS_TOPK x CMS_D rows against the tiny
+    broadcast sketch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", r"\s+")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    rows = spark.range(CMS_D).select(F.col("id").alias("r"))
+    sketch = (
+        counts.crossJoin(F.broadcast(rows))
+        .select("r", F.expr(_CMS_BUCKET_SPARK).alias("b"), "n")
+        .groupBy("r", "b")
+        .agg(F.sum("n").alias("bn"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(CMS_TOPK)
+    return (
+        top.crossJoin(F.broadcast(rows))
+        .select("token", "n", "r", F.expr(_CMS_BUCKET_SPARK).alias("b"))
+        .join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("token", "n")
+        .agg(F.min("bn").alias("cms_n"))
+        .select("token", F.col("n").alias("exact_n"), "cms_n")
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+    )
+
+
+_CMS_BUCKET_DUCK = "('0x' || substr(md5(r || '#' || token), 1, 15))::BIGINT % {w}"
+
+ORACLE_SQL["sketch_cms_topk"] = f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+    ),
+    hrows AS (SELECT r FROM range({CMS_D}) t(r)),
+    sketch AS (
+        SELECT r, {_CMS_BUCKET_DUCK.format(w=CMS_W)} AS b, CAST(SUM(n) AS BIGINT) AS bn
+        FROM counts CROSS JOIN hrows
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT {CMS_TOPK}
+    )
+    SELECT t.token, t.n AS exact_n, MIN(s.bn) AS cms_n
+    FROM top t
+    CROSS JOIN hrows h
+    JOIN sketch s ON s.r = h.r
+        AND s.b = ('0x' || substr(md5(h.r || '#' || t.token), 1, 15))::BIGINT % {CMS_W}
+    GROUP BY 1, 2
+    ORDER BY exact_n DESC, token ASC
+"""
