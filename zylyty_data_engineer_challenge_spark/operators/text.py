@@ -411,3 +411,88 @@ def _redact_oracle() -> str:
 
 
 ORACLE_SQL["text_redact"] = _redact_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+CONTAM_EVAL_DOCS = 20  # doc_id < 20 stand in for the held-out benchmark set
+CONTAM_PCT = 10  # contaminated iff overlap >= 1/10 of the doc's shingles
+
+
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    3-gram shingles overlap a held-out eval set (doc_id < CONTAM_EVAL_DOCS
+    stands in for the benchmark corpus) by >= 1/CONTAM_PCT of the doc's
+    own shingles — the n-gram contamination filter run before training so
+    eval answers don't leak into the training corpus.
+
+    Scale shape: the eval shingle universe is benchmark-sized (tiny next
+    to the corpus) and broadcasts; each training doc is then scored by a
+    broadcast hash join + one keyed count — a single corpus-wide pass, no
+    corpus self-join. The contamination rule is integer arithmetic
+    (CONTAM_PCT * n_overlap >= n_shingles), exact on both engines.
+    """
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    eval_sh = (
+        sh.filter(F.col("doc_id") < CONTAM_EVAL_DOCS).select("s").distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS)
+    overlap = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                CONTAM_PCT * F.coalesce("n_overlap", F.lit(0))
+                >= F.col("n_shingles")
+            )
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["text_contamination_check"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\\s+')) AS w,
+               generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    eval_sh AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id < {CONTAM_EVAL_DOCS}
+    ),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id >= {CONTAM_EVAL_DOCS}),
+    overlap AS (
+        SELECT t.doc_id, COUNT(*) AS n_overlap
+        FROM train t JOIN eval_sh e ON t.s = e.s
+        GROUP BY t.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+    SELECT z.doc_id,
+           z.n_shingles,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           CAST({CONTAM_PCT} * COALESCE(o.n_overlap, 0) >= z.n_shingles AS INT)
+               AS contaminated
+    FROM sizes z LEFT JOIN overlap o ON z.doc_id = o.doc_id
+    ORDER BY z.doc_id
+"""

@@ -489,3 +489,75 @@ ORACLE_SQL["q_interval_overlap"] = f"""
      AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < {OVERLAP_US}
     ORDER BY a_id, b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join
+# ---------------------------------------------------------------------------
+
+SALT_JOIN_SHARDS = 8
+# fold every suppkey divisible by 10 onto one hot key: ~10% of lineitem
+# lands on skew_key 0, a realistic power-law hot spot
+_SKEW_KEY = "CASE WHEN l_suppkey % 10 = 0 THEN 0 ELSE l_suppkey END"
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dimension join: the fact side's hot key is
+    sharded with a deterministic salt and the dimension side is replicated
+    across all SALT_JOIN_SHARDS shards, so the hot key's rows spread over
+    SALT_JOIN_SHARDS reducers instead of one straggler — the manual
+    technique AQE's skew-join automates, expressed as a plan. The oracle
+    runs the PLAIN unsalted join: salting must be semantically invisible,
+    and the differential check proves it.
+
+    Scale shape: fan-out is dimension-side only (|dim| x shards rows),
+    fact rows are mapped once; the join is a pure (key, salt) equi-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(_SKEW_KEY).alias("skew_key"),
+        # deterministic shard from line identity — NOT rand(): reruns and
+        # retried tasks must land rows on the same shard
+        F.expr(f"(l_orderkey * 7 + l_linenumber) % {SALT_JOIN_SHARDS}").alias("salt"),
+        "l_extendedprice",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.expr("CASE WHEN s_suppkey % 10 = 0 THEN 0 ELSE s_suppkey END").alias(
+            "skew_key"
+        ),
+        "s_nationkey",
+    )
+    dim = supp.distinct().crossJoin(
+        F.broadcast(
+            spark.range(SALT_JOIN_SHARDS).select(F.col("id").alias("salt"))
+        )
+    )
+    return (
+        li.join(dim, ["skew_key", "salt"])
+        .groupBy("skew_key", "s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("skew_key", "s_nationkey")
+    )
+
+
+ORACLE_SQL["q_salted_join"] = f"""
+    WITH li AS (
+        SELECT {_SKEW_KEY} AS skew_key, l_extendedprice FROM lineitem
+    ),
+    dim AS (
+        SELECT DISTINCT CASE WHEN s_suppkey % 10 = 0 THEN 0 ELSE s_suppkey END
+                   AS skew_key,
+               s_nationkey
+        FROM supplier
+    )
+    SELECT li.skew_key, dim.s_nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM li JOIN dim ON li.skew_key = dim.skew_key
+    GROUP BY 1, 2
+    ORDER BY li.skew_key, dim.s_nationkey
+"""
