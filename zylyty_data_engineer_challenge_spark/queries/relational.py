@@ -60,18 +60,25 @@ def t3_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:mod:`..etl.clean`).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_shipdate", "l_orderkey").orderBy(
-        "l_linenumber", "l_partkey"
+    # min_by aggregate, not a row_number window: the hash agg gets map-side
+    # partial combine (each mapper keeps one candidate row per key before
+    # the shuffle) and needs no per-partition sort — same wall time at
+    # sf0.1, strictly less shuffled data and no sort at cluster scale.
+    # Struct comparison is lexicographic by field order = the arrival
+    # ordinal (l_linenumber, l_partkey).
+    first = F.min_by(
+        F.struct("l_linenumber", "l_partkey", "l_extendedprice"),
+        F.struct("l_linenumber", "l_partkey"),
     )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        li.groupBy("l_shipdate", "l_orderkey")
+        .agg(first.alias("f"))
         .select(
             F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
             "l_orderkey",
-            "l_linenumber",
-            "l_partkey",
-            F.col("l_extendedprice").cast(DEC).cast("double").alias("amount"),
+            F.col("f.l_linenumber").alias("l_linenumber"),
+            F.col("f.l_partkey").alias("l_partkey"),
+            F.col("f.l_extendedprice").cast(DEC).cast("double").alias("amount"),
         )
         .orderBy("ship_date", "l_orderkey")
     )
