@@ -99,6 +99,7 @@ def headline_queries() -> dict:
         "q_zorder_layout",
         "q_reservoir_sample",
         "q_interval_overlap",
+        "q_salted_join",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")
