@@ -100,6 +100,8 @@ def headline_queries() -> dict:
         "q_reservoir_sample",
         "q_interval_overlap",
         "q_salted_join",
+        "q_shipping_priority",
+        "q_local_supplier_volume",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

@@ -486,3 +486,140 @@ ORACLE_SQL["q_reservoir_sample"] = f"""
     ORDER BY h
     LIMIT {RESERVOIR_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join breadth: Q3 (shipping priority) and Q5 (local
+# supplier volume)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_ODATE_LT = "1999-01-01"
+Q3_SDATE_GT = "1998-06-30"
+Q3_TOPN = 10
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per order, top-N. The segment filter prunes the broadcast
+    customer dim BEFORE the join (predicate pushdown to its scan); the
+    orders date filter is scan-side on the fact; revenue is exact decimal,
+    cast to double on output; ties broken by (o_orderdate, l_orderkey)
+    for cross-engine determinism."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q3_ODATE_LT
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q3_SDATE_GT
+    )
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("decimal(24,4)").cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(Q3_TOPN)
+    )
+
+
+Q5_REGION = "ASIA"
+Q5_ODATE_GE = "1996-01-01"
+Q5_ODATE_LT = "1998-01-01"
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: six-table join (region→nation→{customer,supplier}
+    ⋈ orders ⋈ lineitem) with the "local supplier" condition
+    c_nationkey = s_nationkey, revenue per nation. The three dimension
+    chains (region/nation, customer, supplier) broadcast; only the
+    orders⋈lineitem fact-fact equi-join shuffles — the canonical star-join
+    shape Catalyst should (and does) pick when the dims are broadcast."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q5_ODATE_GE) & (F.col("o_orderdate") < Q5_ODATE_LT)
+    )
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supp.join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(24,4)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+ORACLE_SQL["q_shipping_priority"] = f"""
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4))
+               AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q3_ODATE_LT} 00:00:00'
+      AND l_shipdate > TIMESTAMP '{Q3_SDATE_GT} 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT {Q3_TOPN}
+"""
+
+ORACLE_SQL["q_local_supplier_volume"] = f"""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4))
+               AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{Q5_ODATE_GE} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{Q5_ODATE_LT} 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
