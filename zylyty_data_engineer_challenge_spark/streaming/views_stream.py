@@ -286,3 +286,67 @@ ORACLE_SQL["stream_session_window"] = """
     GROUP BY user_id, session_no
     ORDER BY user_id, session_start
 """
+
+
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze-layer file delivery: the events stream written to a
+    partitioned parquet table through Spark's transactional file sink,
+    then read back and summarized per (event_type).
+
+    The file sink + checkpoint is Structured Streaming's exactly-once
+    delivery mechanism: each micro-batch's files are recorded in the
+    sink's _spark_metadata commit log, so a crashed/retried batch can
+    never double-count — the semantics a production bronze ingest relies
+    on. partitionBy(event_type) gives the downstream reader partition
+    pruning for free. The oracle aggregates the same source directly, so
+    the differential check proves the sink delivered exactly-once (any
+    duplicated or dropped file would flip counts/sums).
+
+    Scale: append-mode file sink, no state store; throughput is bounded
+    by parquet write bandwidth, and the commit log keeps O(batches)
+    metadata, compacted periodically.
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    try:
+        with _stream_conf(spark):
+            q = (
+                _stream_events(spark, sf_dir)
+                .select("event_id", "event_type", "value", "ts")
+                .writeStream.format("parquet")
+                .option("path", f"{out}/data")
+                .option("checkpointLocation", f"{out}/chk")
+                .partitionBy("event_type")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        delivered = spark.read.parquet(f"{out}/data")
+        return (
+            delivered.groupBy("event_type")
+            .agg(
+                F.count("event_id").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("event_type")
+            # materialize before the temp dir disappears
+            .localCheckpoint(eager=True)
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLE_SQL["stream_parquet_sink"] = """
+    SELECT event_type,
+           COUNT(event_id) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
