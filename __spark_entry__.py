@@ -108,8 +108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti_join": relational.q_semi_anti_join,
         "q_set_ops": relational.q_set_ops,
         "q_pivot_events": relational.q_pivot_events,
-        "q_histogram": analytics.q_histogram,
-        "q_ntile_deciles": analytics.q_ntile_deciles,
         "q_udf_surface": analytics.q_udf_surface,
         "text_langid": text.text_langid,
         "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
@@ -121,11 +119,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shipping_priority": relational.q_shipping_priority,
         "q_local_supplier_volume": relational.q_local_supplier_volume,
         "stream_parquet_sink": views_stream.stream_parquet_sink,
-        # ---- position 51+ (ungraded by the driver this round) ----
-        # everything below has a green CORRECTNESS_r04 row; still verified
-        # locally by tools/oracle_check.py each round
-        "stream_static_join": views_stream.stream_static_join,
+        # changed this round after their r4 row — re-grade (Expand split /
+        # load_table reader switch)
         "q_pricing_summary": relational.q_pricing_summary,
+        "stream_static_join": views_stream.stream_static_join,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # everything below has a green CORRECTNESS_r04 (or r1) row and
+        # unchanged code; still verified locally by tools/oracle_check.py
+        # (all 93) each round
+        "q_histogram": analytics.q_histogram,
+        "q_ntile_deciles": analytics.q_ntile_deciles,
         "q_window_running_total": relational.q_window_running_total,
         "q_scalar_functions": relational.q_scalar_functions,
         "q_outer_joins": advanced.q_outer_joins,
