@@ -58,8 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     twelve queries that have never received a driver row in any round,
     (d) the three latent ts casualties the judge flagged, (e) the
     r1-green tail not re-graded since r1. Queries with a green r4 row
-    carry the least new information and sit past position 50; all 86 are
-    verified locally every round by tools/oracle_check.py regardless.
+    carry the least new information and sit past position 50; every
+    registered query is verified locally every round by
+    tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
+    regardless of grading position.
     """
     return {
         # §2.10 — the three reference views, retargeted (FIXTURES.md Family B)

@@ -102,3 +102,28 @@ def test_row_counts_match_duckdb(spark, sf_dir, table):
     dn = con.execute(f"SELECT count(*) FROM '{sf_dir}/{table}.parquet'").fetchone()[0]
     con.close()
     assert load_table(spark, sf_dir, table).count() == dn
+
+
+def test_events_ts_unit_sniff_fails_loud_on_ambiguous_int64(tmp_path):
+    """Code-review r5 finding: a raw int64 ts column has no unit metadata;
+    assuming nanos would recreate the r4 unit-corruption bug for an int64
+    micros fixture. The sniff must accept real TIMESTAMP units, use footer
+    stats to confirm nanos-magnitude int64, and raise on anything else."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zylyty_data_engineer_challenge_spark.catalog import events_ts_is_nanos
+
+    def write(name, arr):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table({"ts": arr}), p)
+        return p
+
+    nanos_raw = write("n.parquet", pa.array([1_700_000_000_000_000_000], pa.int64()))
+    micros_raw = write("m.parquet", pa.array([1_700_000_000_000_000], pa.int64()))
+    micros_ts = write("u.parquet", pa.array([1_700_000_000_000_000], pa.timestamp("us")))
+
+    assert events_ts_is_nanos(nanos_raw) is True
+    assert events_ts_is_nanos(micros_ts) is False
+    with pytest.raises(ValueError, match="not epoch nanos"):
+        events_ts_is_nanos(micros_raw)

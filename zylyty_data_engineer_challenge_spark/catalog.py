@@ -23,16 +23,57 @@ def events_ts_is_nanos(events_path: str) -> bool:
     """Sniff the parquet footer: does ``ts`` need the legacy nanos read path?
 
     Returns True when the column is TIMESTAMP(NANOS) (which Spark's reader
-    rejects as a timestamp) or a raw int64 (assumed epoch nanos). For the
-    standard units (us/ms/s) Spark reads TimestampType natively and no
-    conversion is needed. One footer read on the driver — O(KB) regardless
-    of data scale.
-    """
-    import pyarrow.parquet as pq
+    rejects as a timestamp). For the standard units (us/ms/s) Spark reads
+    TimestampType natively and no conversion is needed. One footer read on
+    the driver — O(KB) regardless of data scale.
 
-    t = pq.ParquetFile(events_path).schema_arrow.field("ts").type
-    unit = getattr(t, "unit", None)
-    return unit == "ns" or unit is None
+    A raw int64 ``ts`` has NO unit metadata; guessing recreates the r4
+    unit-corruption bug, so the footer's column statistics decide: an
+    epoch-nanos value for any plausible date is ~1e18 while micros is
+    ~1e15 — three orders of magnitude apart. Ambiguous or missing stats
+    fail LOUD instead of silently collapsing every timestamp.
+
+    The pyarrow footer read only works on driver-visible filesystems; on
+    a remote path (hdfs://, s3a://) it falls back to probing Spark's own
+    schema resolution, which raises a legacy-conf error iff the column is
+    TIMESTAMP(NANOS) — filesystem-agnostic, same answer.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(events_path)
+        t = f.schema_arrow.field("ts").type
+        unit = getattr(t, "unit", None)
+        if unit is not None:
+            return unit == "ns"
+        # raw int64: decide by magnitude from footer stats (no data scan)
+        idx = f.schema_arrow.get_field_index("ts")
+        stats = f.metadata.row_group(0).column(idx).statistics
+        if stats is None or stats.min is None:
+            raise ValueError(
+                f"events ts at {events_path} is raw int64 with no column "
+                "statistics — cannot infer the epoch unit; fix the fixture "
+                "or declare the unit explicitly"
+            )
+        if stats.min > 10**17:  # epoch nanos: ~1e18 for any modern date
+            return True
+        raise ValueError(
+            f"events ts at {events_path} is raw int64 with min={stats.min}"
+            " — not epoch nanos; add a conversion for this unit instead of"
+            " guessing"
+        )
+    except OSError:
+        # non-local filesystem: let Spark resolve the footer. A NANOS
+        # column makes schema resolution raise the nanosAsLong guidance
+        # error; any readable schema means a native timestamp unit.
+        spark = SparkSession.getActiveSession()
+        try:
+            spark.read.parquet(events_path).schema
+            return False
+        except Exception as e:
+            if "nanosAsLong" in str(e):
+                return True
+            raise
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:

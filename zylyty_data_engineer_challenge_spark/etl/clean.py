@@ -35,8 +35,12 @@ def dedup_keep_first(
 ) -> DataFrame:
     """T3: keep the first row per key by arrival ordinal (main.py:123).
 
-    ``order_col`` must be a total order within each key group for the result
-    to be deterministic; ingestion provides ``_arrival``.
+    ``order_col`` must be a NON-NULL total order within each key group for
+    the result to be deterministic; ingestion provides ``_arrival``
+    (page * page_limit + offset, never null). min_by skips rows whose
+    ordering value is NULL, so a null ordinal cannot win its group — the
+    row_number formulation this replaced sorted NULLS FIRST instead; with
+    the documented non-null contract the two never diverge.
 
     Implemented as a ``min_by`` hash aggregate rather than a row_number
     window: the agg gets map-side partial combine (one candidate row per

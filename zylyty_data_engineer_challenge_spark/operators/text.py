@@ -437,7 +437,12 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # one exchange materializes the shingle table for all three consumers
+    # (eval universe, overlap agg, sizes agg) via ReusedExchange — without
+    # it each subtree re-runs the corpus scan + explode (the
+    # dedup_ngram_jaccard pattern); doc_id partitioning also lets both
+    # downstream doc_id aggregates skip their own shuffle
+    sh = _shingles(docs).repartition("doc_id")
     eval_sh = (
         sh.filter(F.col("doc_id") < CONTAM_EVAL_DOCS).select("s").distinct()
     )

@@ -149,21 +149,27 @@ def monthly_transaction_summary_tpch(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("m"), "o_custkey")
         .agg(
-            F.count("l_linenumber").alias("transaction_count"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_amount"),
+            F.count("l_linenumber").alias("tc"),
+            # stays decimal through the second-level agg so re-grouping by
+            # name is exact; cast to double only on output
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ta"),
         )
         .join(
             F.broadcast(customer.select("c_custkey", "c_name")),
             F.col("o_custkey") == F.col("c_custkey"),
             "inner",
         )
-        .select(
-            F.date_format("m", "yyyy-MM-dd").alias("month"),
-            "c_name",
-            "transaction_count",
-            "total_amount",
+        # second-level agg: the view is defined per (month, NAME); regroup
+        # the already-reduced rows so two customers sharing a c_name merge
+        # into one row exactly as the name-keyed grouping would. With
+        # unique names (TPC-H) every group has one row and this is a
+        # near-free pass over the reduced output.
+        .groupBy(
+            F.date_format("m", "yyyy-MM-dd").alias("month"), F.col("c_name")
+        )
+        .agg(
+            F.sum("tc").alias("transaction_count"),
+            F.sum("ta").cast("double").alias("total_amount"),
         )
         .orderBy("month", "c_name")
     )
