@@ -19,7 +19,7 @@ from .schemas import EVENTS, EVENTS_RAW, TESTDATA_SCHEMAS, TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def events_ts_is_nanos(events_path: str) -> bool:
+def events_ts_is_nanos(events_path: str, spark: SparkSession | None = None) -> bool:
     """Sniff the parquet footer: does ``ts`` need the legacy nanos read path?
 
     Returns True when the column is TIMESTAMP(NANOS) (which Spark's reader
@@ -66,7 +66,9 @@ def events_ts_is_nanos(events_path: str) -> bool:
         # non-local filesystem: let Spark resolve the footer. A NANOS
         # column makes schema resolution raise the nanosAsLong guidance
         # error; any readable schema means a native timestamp unit.
-        spark = SparkSession.getActiveSession()
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise
         try:
             spark.read.parquet(events_path).schema
             return False
@@ -86,7 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its explicit schema (no inference)."""
     if name == "events":
         path = f"{sf_dir}/events.parquet"
-        if events_ts_is_nanos(path):
+        if events_ts_is_nanos(path, spark):
             # TIMESTAMP(NANOS): read the raw int64 under the legacy conf
             # (runtime-settable, so this works on ANY session) and convert.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -66,7 +66,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sniffed from the parquet footer (catalog.events_ts_is_nanos) so batch
     and streaming reads can never diverge on unit handling.
     """
-    if events_ts_is_nanos(f"{sf_dir}/events.parquet"):
+    if events_ts_is_nanos(f"{sf_dir}/events.parquet", spark):
         # runtime-settable — independent of how the session was built
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
