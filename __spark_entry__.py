@@ -110,7 +110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti_join": relational.q_semi_anti_join,
         "q_set_ops": relational.q_set_ops,
         "q_pivot_events": relational.q_pivot_events,
-        "q_udf_surface": analytics.q_udf_surface,
         "text_langid": text.text_langid,
         "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
         # new in r5 — graded on their first round (no proof debt)
@@ -125,10 +124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # load_table reader switch)
         "q_pricing_summary": relational.q_pricing_summary,
         "stream_static_join": views_stream.stream_static_join,
+        "dedup_lsh_recall": dedup.dedup_lsh_recall,
         # ---- position 51+ (ungraded by the driver this round) ----
         # everything below has a green CORRECTNESS_r04 (or r1) row and
         # unchanged code; still verified locally by tools/oracle_check.py
         # (all 93) each round
+        "q_udf_surface": analytics.q_udf_surface,
         "q_histogram": analytics.q_histogram,
         "q_ntile_deciles": analytics.q_ntile_deciles,
         "q_window_running_total": relational.q_window_running_total,

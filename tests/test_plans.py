@@ -159,6 +159,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_ann_recall": 3,  # inherits bruteforce (1) + ann_lsh (2) constants
     "sketch_cms_topk": 2,  # 3-row hash-row table crossed twice (build+probe)
     "q_salted_join": 1,  # 8-row salt-shard table crossed into the dimension
+    "dedup_lsh_recall": 5,  # ngram's 4 corpus-count crosses + 1-row lsh-count cross
 }
 
 

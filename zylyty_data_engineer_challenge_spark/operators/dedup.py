@@ -579,3 +579,61 @@ ORACLE_SQL = {
         ORDER BY v1, v2
     """,
 }
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance evaluation of the MinHash-LSH detector against the exact
+    n-gram Jaccard ground truth: one row with the exact pair count, the
+    LSH pair count, how many LSH found (hits), and recall — the number a
+    pipeline checks before trusting LSH-pruned dedup at full scale
+    (the dedup analog of similarity.sim_ann_recall).
+
+    Note the two operators define Jaccard over slightly different shingle
+    universes (ngram drops corpus-hot shingles; LSH keeps them), so this
+    measures end-to-end detector agreement, not just banding recall —
+    which is exactly what an acceptance gate should measure.
+
+    Scale: composes the two detectors (each already banded/capped as
+    documented) and adds one pair-keyed join over output-sized inputs
+    plus a global 1-row aggregate.
+    """
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("hit")
+    )
+    joined = exact.join(lsh, ["d1", "d2"], "left")
+    return (
+        joined.agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+        )
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh"))))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "hits",
+            (F.col("hits") * 1.0 / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def _strip_order_by(sql: str) -> str:
+    idx = sql.rstrip().lower().rfind("order by")
+    return sql[:idx] if idx != -1 else sql
+
+
+ORACLE_SQL["dedup_lsh_recall"] = f"""
+    WITH exact AS (
+        SELECT d1, d2 FROM ({_strip_order_by(ORACLE_SQL["dedup_ngram_jaccard"])})
+    ),
+    lsh AS (
+        SELECT d1, d2, 1 AS hit FROM ({_strip_order_by(ORACLE_SQL["dedup_minhash_lsh"])})
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh,
+           CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+                 ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+                 ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) * 1.0
+               / (SELECT COUNT(*) FROM exact) AS recall
+"""
