@@ -18,6 +18,12 @@ from .schemas import EVENTS, EVENTS_RAW, TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Sniff results per path: the remote-FS fallback probes Spark's schema
+# resolution, which must run WITHOUT the legacy nanosAsLong conf (a prior
+# events load sets it); caching makes the sniff one-shot per path so the
+# probe never races the conf state of an already-warmed session.
+_TS_UNIT_CACHE: dict[str, bool] = {}
+
 
 def events_ts_is_nanos(events_path: str, spark: SparkSession | None = None) -> bool:
     """Sniff the parquet footer: does ``ts`` need the legacy nanos read path?
@@ -38,6 +44,15 @@ def events_ts_is_nanos(events_path: str, spark: SparkSession | None = None) -> b
     schema resolution, which raises a legacy-conf error iff the column is
     TIMESTAMP(NANOS) — filesystem-agnostic, same answer.
     """
+    cached = _TS_UNIT_CACHE.get(events_path)
+    if cached is not None:
+        return cached
+    result = _sniff_events_ts(events_path, spark)
+    _TS_UNIT_CACHE[events_path] = result
+    return result
+
+
+def _sniff_events_ts(events_path: str, spark: SparkSession | None) -> bool:
     try:
         import pyarrow.parquet as pq
 
@@ -62,13 +77,20 @@ def events_ts_is_nanos(events_path: str, spark: SparkSession | None = None) -> b
             " — not epoch nanos; add a conversion for this unit instead of"
             " guessing"
         )
-    except OSError:
-        # non-local filesystem: let Spark resolve the footer. A NANOS
-        # column makes schema resolution raise the nanosAsLong guidance
-        # error; any readable schema means a native timestamp unit.
+    except (OSError, ImportError):
+        # non-local filesystem (or no pyarrow): let Spark resolve the
+        # footer. A NANOS column makes schema resolution raise the
+        # nanosAsLong guidance error; any readable schema means a native
+        # timestamp unit. The probe is only meaningful with the legacy
+        # conf OFF — a prior events load may have set it, so unset for
+        # the probe and restore after (the sniff is cached, but restore
+        # anyway so the session conf is never left mutated by a probe).
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
             raise
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.unset(conf_key)
         try:
             spark.read.parquet(events_path).schema
             return False
@@ -76,6 +98,9 @@ def events_ts_is_nanos(events_path: str, spark: SparkSession | None = None) -> b
             if "nanosAsLong" in str(e):
                 return True
             raise
+        finally:
+            if prior is not None:
+                spark.conf.set(conf_key, prior)
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:

@@ -158,14 +158,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("count_order"),
     )
     n_orders = (
-        li.groupBy("l_returnflag", "l_linestatus", "l_orderkey")
+        # NOT NULL filter keeps the split exactly equivalent to
+        # COUNT(DISTINCT l_orderkey), which ignores NULLs — without it a
+        # null key would count as its own group.
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
         .agg(F.lit(1).alias("_one"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n_orders"))
     )
-    return main.join(
-        F.broadcast(n_orders), ["l_returnflag", "l_linestatus"]
-    ).orderBy("l_returnflag", "l_linestatus")
+    # LEFT join + coalesce: a group whose every l_orderkey is NULL has
+    # COUNT(DISTINCT) = 0, not a dropped row.
+    return (
+        main.join(F.broadcast(n_orders), ["l_returnflag", "l_linestatus"], "left")
+        .withColumn("n_orders", F.coalesce(F.col("n_orders"), F.lit(0)))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def q_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
