@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pricing_summary": relational.q_pricing_summary,
         "stream_static_join": views_stream.stream_static_join,
         "dedup_lsh_recall": dedup.dedup_lsh_recall,
+        "dedup_lsh_recall_sampled": dedup.dedup_lsh_recall_sampled,
         # ---- position 51+ (ungraded by the driver this round) ----
         # everything below has a green CORRECTNESS_r04 (or r1) row and
         # unchanged code; still verified locally by tools/oracle_check.py

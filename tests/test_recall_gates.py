@@ -1,0 +1,106 @@
+"""Recall-gate robustness: the division guard on a duplicate-free corpus
+(r6 ADVICE item 2) and the anchor-sampled gate's agreement with the
+exhaustive gate on the sampled stratum, plus the shared strip_order_by
+helper's refusal semantics (r6 ADVICE item 3).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from zylyty_data_engineer_challenge_spark.operators.dedup import (
+    ORACLE_SQL,
+    _is_anchor,
+    _ngram_jaccard_pairs,
+    dedup_lsh_recall,
+    dedup_lsh_recall_sampled,
+)
+from zylyty_data_engineer_challenge_spark.oracle_utils import strip_order_by
+from zylyty_data_engineer_challenge_spark.schemas import DOCUMENTS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# 12 pairwise-dissimilar texts: no shared 3-grams beyond noise, so the
+# exact Jaccard>=0.5 pair set is empty by construction.
+_UNIQUE_TEXTS = [
+    "alpha bravo charlie delta echo foxtrot",
+    "golf hotel india juliet kilo lima",
+    "mike november oscar papa quebec romeo",
+    "sierra tango uniform victor whiskey xray",
+    "yankee zulu zero one two three",
+    "four five six seven eight nine",
+    "red orange yellow green blue indigo",
+    "violet magenta cyan teal maroon olive",
+    "north south east west up down",
+    "spring summer autumn winter solstice equinox",
+    "granite basalt marble quartz slate shale",
+    "oak maple birch cedar willow aspen",
+]
+
+
+@pytest.fixture(scope="module")
+def nodup_dir(spark, tmp_path_factory):
+    """A documents fixture with zero near-duplicate pairs."""
+    d = tmp_path_factory.mktemp("nodup")
+    rows = [
+        (i, t, "en", "synthetic", len(t)) for i, t in enumerate(_UNIQUE_TEXTS)
+    ]
+    spark.createDataFrame(rows, DOCUMENTS).coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def test_recall_gates_null_on_duplicate_free_corpus(spark, nodup_dir):
+    for fn in (dedup_lsh_recall, dedup_lsh_recall_sampled):
+        row = fn(spark, nodup_dir).collect()[0]
+        assert row["n_exact"] == 0
+        assert row["hits"] == 0
+        assert row["recall"] is None, f"{fn.__name__} must NULL-guard 0/0"
+
+
+def test_recall_oracle_null_on_duplicate_free_corpus(nodup_dir):
+    """The DuckDB side of the differential must also yield NULL (it used
+    to raise division-by-zero, breaking the gate on exactly this input)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{nodup_dir}/documents.parquet/*.parquet')"
+    )
+    for name in ("dedup_lsh_recall", "dedup_lsh_recall_sampled"):
+        df = con.execute(ORACLE_SQL[name]).fetchdf()
+        assert df["n_exact"][0] == 0
+        assert df["recall"].isna()[0], f"{name} oracle must CASE-guard 0/0"
+
+
+def test_sampled_gate_is_the_anchor_stratum_of_the_full_gate(spark):
+    """n_exact of the sampled gate == full exact pairs whose d1 is an
+    anchor: the pre-join anchor filter changes cost, never semantics."""
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    full = _ngram_jaccard_pairs(docs).select("d1", "d2")
+    expected = full.filter(_is_anchor(F.col("d1"))).count()
+    row = dedup_lsh_recall_sampled(spark, SF_DIR).collect()[0]
+    assert row["n_exact"] == expected
+    assert row["n_exact"] <= full.count()
+
+
+def test_strip_order_by_top_level():
+    assert strip_order_by("SELECT a FROM t ORDER BY a").rstrip() == "SELECT a FROM t"
+    # untouched when there is no top-level sort
+    sql = "SELECT rank() OVER (ORDER BY a) AS r FROM t"
+    assert strip_order_by(sql) == sql
+
+
+def test_strip_order_by_ignores_window_sort_before_outer_sort():
+    sql = "SELECT rank() OVER (ORDER BY b) AS r FROM t ORDER BY r"
+    assert strip_order_by(sql).rstrip().endswith("FROM t")
+
+
+def test_strip_order_by_refuses_mid_query_cut():
+    with pytest.raises(ValueError):
+        strip_order_by("SELECT a FROM t ORDER BY a LIMIT 5")

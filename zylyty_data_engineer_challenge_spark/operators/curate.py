@@ -202,8 +202,8 @@ def pipeline_curate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_near_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip_order_by
     from .graph import ORACLE_SQL as _G
-    from .graph import _strip_order_by
 
     return f"""
         WITH cc AS (

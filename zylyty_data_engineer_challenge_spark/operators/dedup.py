@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..oracle_utils import strip_order_by as _strip_order_by
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows/band: P(candidate) = 1-(1-j^4)^4 — steep around j≈0.5
@@ -117,6 +118,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     session state, and the self-join needed the s-shuffle anyway.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _ngram_jaccard_pairs(docs)
+
+
+def _ngram_jaccard_pairs(docs: DataFrame, anchor=None) -> DataFrame:
+    """Exact Jaccard pair kernel over a documents DataFrame.
+
+    ``anchor`` (optional ``Column -> Column`` predicate on doc_id) filters
+    the LEFT side of the pair self-join BEFORE the join — the anchor-sample
+    formulation the sampled recall gate needs at scale: exact ground truth
+    for the sampled anchors only, against the FULL corpus (shingle
+    document frequencies and set sizes stay corpus-wide, so the Jaccard
+    universe is unchanged). The filter lands after the ``repartition("s")``
+    so both join sides still hang off the same reused exchange.
+    """
     sh = _shingles(docs).repartition("s")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     hot = (
@@ -131,8 +146,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_side = kept.filter(anchor(F.col("doc_id"))) if anchor is not None else kept
     common = (
-        kept.alias("a")
+        a_side.alias("a")
         .join(kept.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("common"))
@@ -605,21 +621,26 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.agg(
             F.count("*").alias("n_exact"),
-            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+            # outer coalesce: SUM over zero rows is NULL, but the oracle's
+            # COUNT(*) is 0 — an empty corpus must agree across engines
+            F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("hits"),
         )
         .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh"))))
         .select(
             "n_exact",
             "n_lsh",
             "hits",
-            (F.col("hits") * 1.0 / F.col("n_exact")).alias("recall"),
+            # NULL (not 0/0) on a duplicate-free corpus: Spark with ANSI
+            # off yields NULL for x/0 while DuckDB raises — the guard keeps
+            # both engines returning NULL so the differential gate holds
+            # exactly when a user most needs the number (r6 ADVICE item 2).
+            F.when(F.col("n_exact") > 0, F.col("hits") * 1.0 / F.col("n_exact")).alias(
+                "recall"
+            ),
         )
     )
-
-
-def _strip_order_by(sql: str) -> str:
-    idx = sql.rstrip().lower().rfind("order by")
-    return sql[:idx] if idx != -1 else sql
 
 
 ORACLE_SQL["dedup_lsh_recall"] = f"""
@@ -633,7 +654,92 @@ ORACLE_SQL["dedup_lsh_recall"] = f"""
            (SELECT COUNT(*) FROM lsh) AS n_lsh,
            CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
                  ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) AS hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+                           ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM exact)
+           END AS recall
+"""
+
+
+# Anchor-sample parameters for the scale-path recall gate: a doc is an
+# anchor iff Knuth-multiplicative-hash(doc_id) mod SAMPLE_MOD == 0. Pure
+# BIGINT arithmetic so Spark and DuckDB compute the identical stratum
+# (engine hash() builtins differ; this does not).
+SAMPLE_KNUTH = 2654435761
+SAMPLE_MOD = 4
+
+
+def _is_anchor(doc_id):
+    return (doc_id * SAMPLE_KNUTH) % (2**32) % SAMPLE_MOD == 0
+
+
+def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-ground-truth LSH recall gate — the formulation that survives
+    100 TB, where :func:`dedup_lsh_recall`'s exhaustive exact side is
+    impossible.
+
+    A deterministic ~1/SAMPLE_MOD hash-sample of doc_ids is the anchor
+    stratum; exact n-gram Jaccard ground truth is computed only for pairs
+    whose smaller id (d1) is an anchor, but against the FULL corpus — the
+    anchor filter lands on the left side of the pair self-join *before*
+    the join (see :func:`_ngram_jaccard_pairs`), so the exact side costs
+    O(sample x corpus) instead of O(corpus^2) while measuring the same
+    per-pair agreement. LSH pairs are filtered to the same stratum and
+    recall is |LSH ∩ exact| / |exact| over it — an unbiased estimate of
+    full recall because the anchor choice is independent of content.
+
+    Contrast with :func:`dedup_lsh_recall` (the exhaustive sf0.1
+    acceptance gate): same join + aggregate shape, quadratic exact side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _ngram_jaccard_pairs(docs, anchor=_is_anchor).select("d1", "d2")
+    lsh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(_is_anchor(F.col("d1")))
+        .select("d1", "d2", F.lit(1).alias("hit"))
+    )
+    joined = exact.join(lsh, ["d1", "d2"], "left")
+    return (
+        joined.agg(
+            F.count("*").alias("n_exact"),
+            # outer coalesce: SUM over zero rows is NULL, but the oracle's
+            # COUNT(*) is 0 — an empty corpus must agree across engines
+            F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("hits"),
+        )
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh_sampled"))))
+        .select(
+            "n_exact",
+            "n_lsh_sampled",
+            "hits",
+            F.when(F.col("n_exact") > 0, F.col("hits") * 1.0 / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+_ANCHOR_SQL = f"(d1 * {SAMPLE_KNUTH}) % {2**32} % {SAMPLE_MOD} = 0"
+
+ORACLE_SQL["dedup_lsh_recall_sampled"] = f"""
+    WITH exact AS (
+        SELECT d1, d2 FROM ({_strip_order_by(ORACLE_SQL["dedup_ngram_jaccard"])})
+        WHERE {_ANCHOR_SQL}
+    ),
+    lsh AS (
+        SELECT d1, d2, 1 AS hit
+        FROM ({_strip_order_by(ORACLE_SQL["dedup_minhash_lsh"])})
+        WHERE {_ANCHOR_SQL}
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh_sampled,
            CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
-                 ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) * 1.0
-               / (SELECT COUNT(*) FROM exact) AS recall
+                 ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) AS hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+                           ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM exact)
+           END AS recall
 """

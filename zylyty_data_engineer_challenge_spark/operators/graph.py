@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..oracle_utils import strip_order_by as _strip_order_by
 from .dedup import ORACLE_SQL as _DEDUP_ORACLE
 from .dedup import dedup_minhash_lsh
 
@@ -102,13 +103,6 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).cast("int").alias("is_representative"),
     ).orderBy("doc_id")
-
-
-def _strip_order_by(sql: str) -> str:
-    """Drop the trailing ORDER BY of an oracle query so it can nest as a
-    derived table (DuckDB allows full WITH..SELECT inside parentheses)."""
-    idx = sql.rstrip().rstrip("\n").lower().rfind("order by")
-    return sql[:idx] if idx != -1 else sql
 
 
 ORACLE_SQL = {

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..oracle_utils import strip_order_by as _strip_order_by
 
 QUANT = 1000
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -443,11 +444,6 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
-
-
-def _strip_order_by(sql: str) -> str:
-    idx = sql.rstrip().lower().rfind("order by")
-    return sql[:idx] if idx != -1 else sql
 
 
 ORACLE_SQL["sim_ann_recall"] = f"""
