@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_filter": relational.q_revenue_filter,
         "dedup_exact": dedup.dedup_exact,
         "mm_features": multimodal.mm_features,
+        "mm_decode_image": multimodal.mm_decode_image,
         "mm_frame_sample": multimodal.mm_frame_sample,
         "text_token_stats": text.text_token_stats,
         "text_quality": text.text_quality,

@@ -70,3 +70,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_stream_parquet_sink_configured_root_and_exactly_once(spark, sf_dir, tmp_path):
+    """r6 ADVICE item 4: the streaming bronze sink must honor a configured
+    shared root (cluster contract) and be idempotent across re-runs — the
+    second run reuses the commit log, processes zero micro-batches, and
+    the read-back aggregate is unchanged."""
+    import os
+
+    from zylyty_data_engineer_challenge_spark.streaming.views_stream import (
+        _stream_sink_dirs,
+        stream_parquet_sink,
+    )
+
+    root = str(tmp_path / "bronze")
+    spark.conf.set("spark.zylyty.streamSinkDir", root)
+    try:
+        first = stream_parquet_sink(spark, sf_dir).collect()
+        data_dir, chk_dir = _stream_sink_dirs(spark, sf_dir)
+        assert data_dir.startswith(root) and os.path.isdir(data_dir)
+        assert os.path.isdir(chk_dir)
+
+        def sink_files():
+            return sorted(
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(data_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        files_before = sink_files()
+        assert files_before, "first run must deliver parquet files"
+        second = stream_parquet_sink(spark, sf_dir).collect()
+        assert sink_files() == files_before, "re-run must not rewrite data"
+        assert first == second
+    finally:
+        spark.conf.unset("spark.zylyty.streamSinkDir")
