@@ -127,3 +127,57 @@ def test_events_ts_unit_sniff_fails_loud_on_ambiguous_int64(tmp_path):
     assert events_ts_is_nanos(micros_ts) is False
     with pytest.raises(ValueError, match="not epoch nanos"):
         events_ts_is_nanos(micros_raw)
+
+
+def test_events_ts_sniff_spark_probe_branch(spark, tmp_path, monkeypatch):
+    """r6 VERDICT item 8: force the no-pyarrow Spark-probe fallback and
+    assert it (a) answers correctly for MICROS and NANOS files even on a
+    warmed session where a prior events load set the legacy nanos conf,
+    (b) restores that conf after probing, (c) fails LOUD on a raw int64
+    ts it cannot unit-check without footer stats, and (d) caches per
+    source identity so a rewritten fixture re-sniffs."""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zylyty_data_engineer_challenge_spark.catalog import (
+        clear_ts_unit_cache,
+        events_ts_is_nanos,
+    )
+
+    def write(name, arr):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table({"ts": arr}), p)
+        return p
+
+    nanos_ts = write("n.parquet", pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")))
+    micros_ts = write("u.parquet", pa.array([1_700_000_000_000_000], pa.timestamp("us")))
+    raw_int = write("r.parquet", pa.array([1_700_000_000_000_000], pa.int64()))
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    clear_ts_unit_cache()
+    # make `import pyarrow.parquet` raise ImportError inside the sniff
+    monkeypatch.setitem(sys.modules, "pyarrow.parquet", None)
+    # simulate a warmed session: a prior nanos events load set the conf
+    spark.conf.set(conf_key, "true")
+    try:
+        assert events_ts_is_nanos(micros_ts, spark) is False
+        assert spark.conf.get(conf_key) == "true", "probe must restore conf"
+        assert events_ts_is_nanos(nanos_ts, spark) is True
+        assert spark.conf.get(conf_key) == "true"
+        with pytest.raises(ValueError, match="raw int64"):
+            events_ts_is_nanos(raw_int, spark)
+
+        # (d) cache keyed on (path, mtime, size): rewrite micros->nanos at
+        # the same path and the answer must flip, not replay stale cache
+        monkeypatch.delitem(sys.modules, "pyarrow.parquet")
+        pq.write_table(
+            pa.table({"ts": pa.array([1_700_000_000_000_000_000, 1], pa.timestamp("ns"))}),
+            micros_ts,
+        )
+        monkeypatch.setitem(sys.modules, "pyarrow.parquet", None)
+        assert events_ts_is_nanos(micros_ts, spark) is True
+    finally:
+        spark.conf.unset(conf_key)
+        clear_ts_unit_cache()

@@ -18,11 +18,29 @@ from .schemas import EVENTS, EVENTS_RAW, TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Sniff results per path: the remote-FS fallback probes Spark's schema
-# resolution, which must run WITHOUT the legacy nanosAsLong conf (a prior
-# events load sets it); caching makes the sniff one-shot per path so the
-# probe never races the conf state of an already-warmed session.
-_TS_UNIT_CACHE: dict[str, bool] = {}
+# Sniff results per source identity: the remote-FS fallback probes Spark's
+# schema resolution, which must run WITHOUT the legacy nanosAsLong conf (a
+# prior events load sets it); caching makes the sniff one-shot per source so
+# the probe never races the conf state of an already-warmed session. The key
+# includes (mtime, size) when the path is driver-statable, so a fixture
+# REWRITTEN at the same path with a different ts unit re-sniffs instead of
+# silently reusing the stale answer; remote paths fall back to path-only
+# keys (their fixtures don't churn under a live session).
+_TS_UNIT_CACHE: dict[tuple, bool] = {}
+
+
+def _ts_cache_key(events_path: str) -> tuple:
+    try:
+        st = os.stat(events_path)
+        return (events_path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (events_path,)
+
+
+def clear_ts_unit_cache() -> None:
+    """Drop all cached sniff results (test harnesses that rewrite fixtures
+    in-place within one process)."""
+    _TS_UNIT_CACHE.clear()
 
 
 def events_ts_is_nanos(events_path: str, spark: SparkSession | None = None) -> bool:
@@ -44,11 +62,12 @@ def events_ts_is_nanos(events_path: str, spark: SparkSession | None = None) -> b
     schema resolution, which raises a legacy-conf error iff the column is
     TIMESTAMP(NANOS) — filesystem-agnostic, same answer.
     """
-    cached = _TS_UNIT_CACHE.get(events_path)
+    key = _ts_cache_key(events_path)
+    cached = _TS_UNIT_CACHE.get(key)
     if cached is not None:
         return cached
     result = _sniff_events_ts(events_path, spark)
-    _TS_UNIT_CACHE[events_path] = result
+    _TS_UNIT_CACHE[key] = result
     return result
 
 
@@ -80,11 +99,20 @@ def _sniff_events_ts(events_path: str, spark: SparkSession | None) -> bool:
     except (OSError, ImportError):
         # non-local filesystem (or no pyarrow): let Spark resolve the
         # footer. A NANOS column makes schema resolution raise the
-        # nanosAsLong guidance error; any readable schema means a native
-        # timestamp unit. The probe is only meaningful with the legacy
-        # conf OFF — a prior events load may have set it, so unset for
-        # the probe and restore after (the sniff is cached, but restore
-        # anyway so the session conf is never left mutated by a probe).
+        # nanosAsLong guidance error; a schema whose ts resolves to a
+        # native TimestampType means a standard unit. A ts that resolves
+        # to LongType is a RAW int64 with no unit metadata — the pyarrow
+        # path decides that case from footer stats, which this probe
+        # cannot see, so it must fail loud here rather than let a later
+        # int64-to-timestamp read error mask the real problem. The probe
+        # is only meaningful with the legacy conf OFF — a prior events
+        # load may have set it, so unset for the probe and restore after
+        # (the sniff is cached, but restore anyway so the session conf is
+        # never left mutated by a probe). NOT thread-safe: the unset/
+        # probe/restore window assumes the single-threaded driver usage
+        # this repo has throughout — a concurrent thread planning a nanos
+        # events read during the window would fail; guard with a shared
+        # lock before adding driver-side threading.
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
             raise
@@ -92,10 +120,28 @@ def _sniff_events_ts(events_path: str, spark: SparkSession | None) -> bool:
         prior = spark.conf.get(conf_key, None)
         spark.conf.unset(conf_key)
         try:
-            spark.read.parquet(events_path).schema
+            resolved = spark.read.parquet(events_path).schema
+            from pyspark.sql import types as T
+
+            ts_type = resolved["ts"].dataType
+            if isinstance(ts_type, T.LongType):
+                raise ValueError(
+                    f"events ts at {events_path} is raw int64 and the "
+                    "parquet footer is not driver-readable — cannot infer "
+                    "the epoch unit; install pyarrow, make the path "
+                    "driver-visible, or declare the unit explicitly"
+                )
             return False
+        except ValueError:
+            raise
         except Exception as e:
-            if "nanosAsLong" in str(e):
+            # Spark <4 raises the nanosAsLong guidance; Spark 4 raises
+            # [PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64
+            # (TIMESTAMP(NANOS,false)) — both mean the same thing. (The
+            # r6 matcher only knew the former; this branch was first
+            # exercised by tests/test_fixture_contract.py this round.)
+            msg = str(e)
+            if "nanosAsLong" in msg or "TIMESTAMP(NANOS" in msg:
                 return True
             raise
         finally:

@@ -168,9 +168,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
     )
     # LEFT join + coalesce: a group whose every l_orderkey is NULL has
-    # COUNT(DISTINCT) = 0, not a dropped row.
+    # COUNT(DISTINCT) = 0, not a dropped row. eqNullSafe keys: a NULL
+    # group key must match ITS OWN distinct-count row (SQL GROUP BY
+    # treats NULL as one group), not fall through to coalesce's 0 —
+    # theoretical for TPC-H's non-null flags, exact for arbitrary input.
+    n_orders_r = n_orders.withColumnsRenamed(
+        {"l_returnflag": "_rf", "l_linestatus": "_ls"}
+    )
     return (
-        main.join(F.broadcast(n_orders), ["l_returnflag", "l_linestatus"], "left")
+        main.join(
+            F.broadcast(n_orders_r),
+            F.col("l_returnflag").eqNullSafe(F.col("_rf"))
+            & F.col("l_linestatus").eqNullSafe(F.col("_ls")),
+            "left",
+        )
+        .drop("_rf", "_ls")
         .withColumn("n_orders", F.coalesce(F.col("n_orders"), F.lit(0)))
         .orderBy("l_returnflag", "l_linestatus")
     )
