@@ -160,6 +160,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sketch_cms_topk": 2,  # 3-row hash-row table crossed twice (build+probe)
     "q_salted_join": 1,  # 8-row salt-shard table crossed into the dimension
     "dedup_lsh_recall": 5,  # ngram's 4 corpus-count crosses + 1-row lsh-count cross
+    "dedup_lsh_recall_sampled": 5,  # same shape, anchor-filtered exact side
 }
 
 
