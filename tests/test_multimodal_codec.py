@@ -64,3 +64,26 @@ def test_text_path_and_junk_rejection():
     with pytest.raises(ValueError):
         # PNG magic but first chunk is not IHDR
         decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x00FAKE", "image/png")
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from zylyty_data_engineer_challenge_spark.operators.multimodal import _build_wav
+
+    b = _build_wav(25, 16000, 2, b"pcm-seed")
+    feat = decode_media(b, "audio/wav")
+    assert feat["fmt"] == "wav"
+    assert feat["sample_rate"] == 16000
+    assert feat["channels"] == 2
+    assert feat["bits"] == 16
+    assert feat["n_samples"] == 25
+    # declared RIFF size matches the actual byte length
+    assert struct.unpack("<I", b[4:8])[0] == len(b) - 8
+    # chunk walker must survive a leading non-fmt chunk (odd size -> padded)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    reordered = b[:12] + extra + b[12:]
+    reordered = reordered[:4] + struct.unpack("<I", b[4:8])[0].to_bytes(4, "little") + reordered[8:]
+    feat2 = decode_media(reordered, "audio/wav")
+    assert feat2["n_samples"] == 25 and feat2["sample_rate"] == 16000
+    # truncated fmt/data must fail loud
+    with pytest.raises(ValueError):
+        decode_media(b[:20], "audio/wav")

@@ -120,6 +120,30 @@ def decode_media(payload: bytes, mime: str) -> dict:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", b[6:10])
         return {"fmt": "gif", "width": w, "height": h, "bpp": 8, "n_bytes": len(b)}
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        # walk the chunk list (fmt need not be first per the RIFF spec)
+        off, fmt_chunk, data_len = 12, None, None
+        while off + 8 <= len(b):
+            cid = b[off : off + 4]
+            size = struct.unpack("<I", b[off + 4 : off + 8])[0]
+            if cid == b"fmt ":
+                fmt_chunk = b[off + 8 : off + 8 + size]
+            elif cid == b"data":
+                data_len = size
+            off += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt_chunk is None or data_len is None:
+            raise ValueError("WAV: missing fmt or data chunk")
+        _, channels, sample_rate, _, block_align, bits = struct.unpack(
+            "<HHIIHH", fmt_chunk[:16]
+        )
+        return {
+            "fmt": "wav",
+            "channels": channels,
+            "sample_rate": sample_rate,
+            "bits": bits,
+            "n_samples": data_len // block_align,
+            "n_bytes": len(b),
+        }
     if mime == "text/plain":
         return {"fmt": "text", "width": None, "height": None, "bpp": None, "n_bytes": len(b)}
     raise ValueError(f"unrecognized media payload (mime={mime}, head={b[:8]!r})")
@@ -384,4 +408,93 @@ ORACLE_SQL["mm_decode_image"] = """
            n_chars % 11 + 3 AS height,
            CASE doc_id % 3 WHEN 2 THEN 8 ELSE 24 END AS bpp
     FROM documents ORDER BY doc_id
+"""
+
+
+def _build_wav(n_samples: int, sample_rate: int, channels: int, seed: bytes) -> bytes:
+    """Valid 16-bit PCM WAV: RIFF header + fmt chunk + data chunk, sample
+    bytes cycled from the seed text."""
+    bits = 16
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = (
+        bytes(seed[i % len(seed)] for i in range(n_samples * block_align))
+        if seed
+        else bytes(n_samples * block_align)
+    )
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, fmt string, sample_rate bigint, channels bigint, "
+    "bits bigint, n_samples bigint, duration_ms bigint"
+)
+
+
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analog of :func:`mm_decode_image`: build genuine 16-bit PCM
+    WAV binaries (sample count / rate / channels derived deterministically
+    from doc_id and n_chars, sample bytes from the text) and parse them
+    back through :func:`decode_media`'s RIFF chunk walker.
+
+    The oracle recomputes rate/channels/samples/duration from the same
+    generative formulas, so a wrong chunk offset, a missed word-alignment
+    pad, or a bad block_align division breaks the differential.
+
+    Scale: construct+parse inside one mapInPandas stage — map-only,
+    scan-partitioned, no shuffle; the shape of running soundfile/ffprobe
+    over a 100 TB audio corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "fmt": [],
+                "sample_rate": [],
+                "channels": [],
+                "bits": [],
+                "n_samples": [],
+                "duration_ms": [],
+            }
+            for did, n_chars, txt in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"]):
+                rate = 8000 if int(did) % 2 == 0 else 16000
+                channels = int(did) % 2 + 1
+                n_samples = int(n_chars) % 50 + 10
+                payload = _build_wav(n_samples, rate, channels, txt.encode("utf-8"))
+                feat = decode_media(payload, "audio/wav")
+                out["doc_id"].append(int(did))
+                out["fmt"].append(feat["fmt"])
+                out["sample_rate"].append(feat["sample_rate"])
+                out["channels"].append(feat["channels"])
+                out["bits"].append(feat["bits"])
+                out["n_samples"].append(feat["n_samples"])
+                out["duration_ms"].append(feat["n_samples"] * 1000 // feat["sample_rate"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=AUDIO_SCHEMA).orderBy("doc_id")
+
+
+ORACLE_SQL["mm_decode_audio"] = """
+    WITH g AS (
+        SELECT doc_id,
+               CASE doc_id % 2 WHEN 0 THEN 8000 ELSE 16000 END AS sample_rate,
+               doc_id % 2 + 1 AS channels,
+               n_chars % 50 + 10 AS n_samples
+        FROM documents
+    )
+    SELECT doc_id, 'wav' AS fmt, sample_rate, channels, 16 AS bits, n_samples,
+           n_samples * 1000 // sample_rate AS duration_ms
+    FROM g ORDER BY doc_id
 """

@@ -446,6 +446,60 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the IVF index, mirroring :func:`sim_ann_recall`
+    (the LSH gate): hits = |IVF top-k ∩ exact top-k| per query. A pipeline
+    choosing between the two indexes compares exactly these two tables.
+    IVF recall < 1.0 by construction (NPROBE lists, not all), so this is
+    also the regression pin that NPROBE/NLIST keep their promised floor.
+
+    Scale shape: output-sized join + 8-group aggregate on top of the two
+    composed operators — evaluation cost does not grow with the corpus.
+    """
+    exact = sim_topk_bruteforce(spark, sf_dir).filter(
+        F.col("rank") <= ANN_TOP_K
+    ).select("query_id", "vec_id")
+    ann = sim_ann_ivf(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+            F.count("*").alias("k"),
+        )
+        .select(
+            "query_id",
+            "hits",
+            "k",
+            (F.col("hits") * 1.0 / F.col("k")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_ann_ivf_recall"] = f"""
+    WITH exact AS (
+        SELECT query_id, vec_id
+        FROM ({_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"])})
+        WHERE rank <= {ANN_TOP_K}
+    ),
+    ann AS (
+        SELECT query_id, vec_id, 1 AS hit
+        FROM ({_strip_order_by(ORACLE_SQL["sim_ann_ivf"])})
+    )
+    SELECT e.query_id,
+           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
+           COUNT(*) AS k,
+           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1.0 / COUNT(*) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+"""
+
+
 ORACLE_SQL["sim_ann_recall"] = f"""
     WITH exact AS (
         SELECT query_id, vec_id
