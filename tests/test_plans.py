@@ -207,3 +207,27 @@ def test_minhash_signatures_hash_once_per_group(spark):
     )
     plan = sig._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5(") == dedup.MINHASH_GROUPS, plan
+
+
+def test_pagerank_rank_broadcast_is_a_conf_switch(spark):
+    """r6 VERDICT scale caveat: per-round F.broadcast(ranks) must be
+    droppable without a code edit. With the conf off (and auto-broadcast
+    disabled so Catalyst can't reinstate it), every rank join becomes a
+    shuffle join; with the default, the hint wins."""
+    from zylyty_data_engineer_challenge_spark.operators.graph import pagerank
+
+    default_plan = physical_plan(pagerank(spark, SF_DIR))
+    assert count_nodes(default_plan, "BroadcastHashJoin") >= 1
+
+    spark.conf.set("spark.zylyty.pagerank.broadcastRanks", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(pagerank(spark, SF_DIR))
+        assert count_nodes(plan, "BroadcastHashJoin") == 0, plan
+        assert (
+            count_nodes(plan, "SortMergeJoin") + count_nodes(plan, "ShuffledHashJoin")
+            >= 1
+        )
+    finally:
+        spark.conf.unset("spark.zylyty.pagerank.broadcastRanks")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
