@@ -446,6 +446,177 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # subspaces (64 dims -> 4 x 16)
+PQ_K = 16  # centroids per subspace codebook
+PQ_SUB = N_DIMS // PQ_M
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str = "q") -> DataFrame:
+    """Explode a quantized vector into its PQ_M subvectors: (id, m, sv)."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.expr(f"slice({vec_col}, {m * PQ_SUB + 1}, {PQ_SUB})").alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC)
+    — the memory-compression member of the index family (LSH buckets,
+    IVF lists, PQ codes): each corpus vector is stored as PQ_M codebook
+    ids (here 4 bytes replacing 64 floats), and query scoring is a pure
+    table lookup.
+
+    Structure (Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", the public PQ formulation):
+
+    * codebooks: per subspace m, PQ_K centroid subvectors — chosen
+      deterministically (subvectors of the first PQ_K corpus vectors),
+      like IVF's centroids, so the oracle reproduces them bit-for-bit;
+      production swaps in k-means codebooks without touching the plan;
+    * encode: argmin-L2 code per (vector, subspace), integer-exact,
+      ties to the lowest code id — ONE map-side-combinable min_by
+      aggregate over a broadcast codebook join, no window sort;
+    * ADC: the Q x PQ_M x PQ_K partial-dot lookup table is built once
+      (tiny) and broadcast; approximate dot(query, vec) is the sum of
+      PQ_M looked-up partials; the rank key divides by the reconstructed
+      norm so ranking mirrors the exact path's cosine surrogate.
+
+    Scale: the corpus is touched by narrow maps + one groupBy(vec_id, m)
+    encode and one groupBy(query_id, vec_id) score — both shuffle code
+    rows (PQ_M per vector), never raw vectors. The score fan-out is
+    |codes| x |queries|; at a large query count you batch queries per
+    pass, the standard ADC loop.
+    """
+    emb = _quantized(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    cb = (
+        _subvectors(
+            emb.filter(
+                (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+            ).select((F.col("vec_id") - N_QUERIES).alias("k"), "q"),
+            "k",
+        )
+        .withColumnsRenamed({"sv": "cv"})
+        .withColumn(
+            "cn", F.expr("aggregate(cv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+        )
+    )
+    dists = _subvectors(corpus, "vec_id").join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        "cn",
+        F.expr(
+            "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "k", "cn")).alias("best"))
+        .select("vec_id", "m", F.col("best.k").alias("k"), F.col("best.cn").alias("cn"))
+    )
+    qsubs = _subvectors(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "q"
+        ),
+        "query_id",
+    )
+    lut = qsubs.join(F.broadcast(cb.select("m", "k", "cv")), "m").select(
+        "query_id",
+        "m",
+        "k",
+        F.expr(
+            "aggregate(zip_with(sv, cv, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("pdot"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("dot"), F.sum("cn").alias("n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(_rank_key().desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_SQL["sim_ann_pq"] = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    subs AS (
+        SELECT vec_id, mm.m AS m,
+               v[mm.m * {PQ_SUB} + 1 : mm.m * {PQ_SUB} + {PQ_SUB}] AS sv
+        FROM q, (SELECT unnest(range(0, {PQ_M})) AS m) mm
+    ),
+    pos AS (
+        SELECT vec_id, m, unnest(sv) AS x, generate_subscripts(sv, 1) AS i
+        FROM subs
+    ),
+    cpos AS (
+        SELECT vec_id - {N_QUERIES} AS k, m, x AS y, i
+        FROM pos WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ),
+    cn AS (SELECT k, m, CAST(SUM(y * y) AS BIGINT) AS cn FROM cpos GROUP BY 1, 2),
+    dists AS (
+        SELECT p.vec_id, p.m, c.k,
+               CAST(SUM((p.x - c.y) * (p.x - c.y)) AS BIGINT) AS dist
+        FROM pos p JOIN cpos c ON p.m = c.m AND p.i = c.i
+        WHERE p.vec_id >= {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist ASC, k ASC) AS rk
+            FROM dists) WHERE rk = 1
+    ),
+    lut AS (
+        SELECT p.vec_id AS query_id, c.m, c.k, CAST(SUM(p.x * c.y) AS BIGINT) AS pdot
+        FROM pos p JOIN cpos c ON p.m = c.m AND p.i = c.i
+        WHERE p.vec_id < {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT l.query_id, cd.vec_id,
+               CAST(SUM(l.pdot) AS BIGINT) AS dot,
+               CAST(SUM(n.cn) AS BIGINT) AS n2
+        FROM codes cd
+        JOIN lut l ON l.m = cd.m AND l.k = cd.k
+        JOIN cn n ON n.m = cd.m AND n.k = cd.k
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, dot, n2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_RANK_KEY_SQL} DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, dot, n2
+    FROM ranked WHERE rank <= {ANN_TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
 def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k gate for the IVF index, mirroring :func:`sim_ann_recall`
     (the LSH gate): hits = |IVF top-k ∩ exact top-k| per query. A pipeline
