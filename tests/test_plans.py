@@ -158,6 +158,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sketch_bloom_join": 3,  # crossJoins of four 1-row summary aggregates
     "sim_ann_recall": 3,  # inherits bruteforce (1) + ann_lsh (2) constants
     "sim_ann_ivf_recall": 5,  # inherits bruteforce (1) + ann_ivf (4) constants
+    "sim_ann_pq_recall": 1,  # inherits bruteforce (1); PQ itself has none
     "sketch_cms_topk": 2,  # 3-row hash-row table crossed twice (build+probe)
     "q_salted_join": 1,  # 8-row salt-shard table crossed into the dimension
     "dedup_lsh_recall": 5,  # ngram's 4 corpus-count crosses + 1-row lsh-count cross

@@ -617,6 +617,61 @@ ORACLE_SQL["sim_ann_pq"] = f"""
 """
 
 
+def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the PQ index — the third member of the
+    one-gate-per-index pattern (see :func:`sim_ann_recall` /
+    :func:`sim_ann_ivf_recall`). PQ loses precision to quantization
+    rather than candidate pruning, so its recall floor tracks codebook
+    quality; this gate is what a pipeline watches when swapping the
+    deterministic codebooks for trained k-means ones.
+    """
+    exact = sim_topk_bruteforce(spark, sf_dir).filter(
+        F.col("rank") <= ANN_TOP_K
+    ).select("query_id", "vec_id")
+    ann = sim_ann_pq(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+            F.count("*").alias("k"),
+        )
+        .select(
+            "query_id",
+            "hits",
+            "k",
+            (F.col("hits") * 1.0 / F.col("k")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_ann_pq_recall"] = f"""
+    WITH exact AS (
+        SELECT query_id, vec_id
+        FROM ({{bruteforce}})
+        WHERE rank <= {ANN_TOP_K}
+    ),
+    ann AS (
+        SELECT query_id, vec_id, 1 AS hit
+        FROM ({{pq}})
+    )
+    SELECT e.query_id,
+           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
+           COUNT(*) AS k,
+           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1.0 / COUNT(*) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+""".format(
+    bruteforce=_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"]),
+    pq=_strip_order_by(ORACLE_SQL["sim_ann_pq"]),
+)
+
+
 def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k gate for the IVF index, mirroring :func:`sim_ann_recall`
     (the LSH gate): hits = |IVF top-k ∩ exact top-k| per query. A pipeline
