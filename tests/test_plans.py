@@ -153,6 +153,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "dedup_ngram_jaccard": 4,  # 1-row corpus count under 4 shingle consumers
     "sim_topk_bruteforce": 1,  # 8-row query set broadcast
     "sim_ann_lsh": 2,  # 16x64 hyperplane table
+    "dedup_embedding_lsh": 2,  # same 16x64 hyperplane table build
     "sim_ann_ivf": 4,  # 16-row centroid table
     "sketch_kmv_union": 1,  # 1-row merged-kth crossJoin
     "sketch_bloom_join": 3,  # crossJoins of four 1-row summary aggregates

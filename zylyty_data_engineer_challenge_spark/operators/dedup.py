@@ -446,6 +446,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-dup pairs — the 100 TB formulation of
+    :func:`dedup_embedding_cosine`, exactly as :func:`dedup_minhash_lsh`
+    is the scale path for :func:`dedup_ngram_jaccard`.
+
+    Candidates are pairs sharing at least one 8-bit hyperplane band
+    signature (the banding machinery is shared with
+    :mod:`.similarity`'s LSH ANN — same deterministic md5-derived
+    hyperplanes, so the oracle reproduces buckets bit-for-bit); the exact
+    integer cosine test (dot>0 ∧ 400·dot² >= 81·n1·n2) then runs ONLY on
+    candidates. Recall < 1.0 by construction — a near-dup pair whose
+    vectors disagree on both bands is missed, the standard LSH trade.
+
+    Scale: the band self-join is a bucketed equi-join (one shuffle on the
+    band key), never all-pairs; the quadratic risk concentrates in hot
+    buckets, bounded by band width — at 2^8 buckets per band this corpus
+    spreads thin, and a 100 TB corpus raises N_PLANES (wider signatures,
+    more bands) the same way the text path adds minhash bands. The
+    verify stage is candidate-bounded; when candidates are dense, route
+    them through the blocked numpy kernel of the exhaustive variant
+    instead of per-pair HOFs.
+    """
+    from .similarity import _band_rows, _planes, _quantized, _signatures
+
+    emb = _quantized(spark, sf_dir)
+    sig = _signatures(emb, _planes(spark))
+    bands = _band_rows(sig, "vec_id")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.bidx") == F.col("b.bidx"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    qn = emb.select("vec_id", "q", "n")
+    return (
+        cand.join(qn.withColumnsRenamed({"vec_id": "v1", "q": "q1", "n": "n1"}), "v1")
+        .join(qn.withColumnsRenamed({"vec_id": "v2", "q": "q2", "n": "n2"}), "v2")
+        .select(
+            "v1",
+            "v2",
+            F.expr(
+                "aggregate(zip_with(q1, q2, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "n1",
+            "n2",
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(COS_DEN) * F.col("dot") * F.col("dot")
+                >= F.lit(COS_NUM) * F.col("n1") * F.col("n2")
+            )
+        )
+        .orderBy("v1", "v2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL — same integer/md5 constructions, CTE form.
 # ---------------------------------------------------------------------------
@@ -743,3 +806,36 @@ ORACLE_SQL["dedup_lsh_recall_sampled"] = f"""
                      / (SELECT COUNT(*) FROM exact)
            END AS recall
 """
+
+
+def _embedding_lsh_oracle() -> str:
+    # late import so similarity's oracle constants are reused verbatim —
+    # identical hyperplane/signature CTEs guarantee identical buckets
+    from .similarity import SIG_CTES, _QUANT_CTE
+
+    return f"""
+        WITH {_QUANT_CTE},
+        {SIG_CTES},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+            FROM sig a JOIN sig b
+              ON (a.band0 = b.band0 OR a.band1 = b.band1)
+             AND a.vec_id < b.vec_id
+        ),
+        dots AS (
+            SELECT c.v1, c.v2, CAST(SUM(p1.qd * p2.qd) AS BIGINT) AS dot
+            FROM cand c
+            JOIN pos p1 ON p1.vec_id = c.v1
+            JOIN pos p2 ON p2.vec_id = c.v2 AND p2.d = p1.d
+            GROUP BY 1, 2
+        )
+        SELECT v1, v2, dot, n1.n AS n1, n2.n AS n2
+        FROM dots
+        JOIN norms n1 ON v1 = n1.vec_id
+        JOIN norms n2 ON v2 = n2.vec_id
+        WHERE dot > 0 AND {COS_DEN} * dot * dot >= {COS_NUM} * n1.n * n2.n
+        ORDER BY v1, v2
+    """
+
+
+ORACLE_SQL["dedup_embedding_lsh"] = _embedding_lsh_oracle()

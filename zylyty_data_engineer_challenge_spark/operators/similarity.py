@@ -295,6 +295,29 @@ _QUANT_CTE = f"""
 
 _RANK_KEY_SQL = "CASE WHEN dot >= 0 THEN (dot * dot) * 1.0 / n2 ELSE -((dot * dot) * 1.0) / n2 END"
 
+# hyperplane signature CTEs (planes/bits/sig) — shared with the dedup
+# module's LSH-pruned embedding dedup oracle
+SIG_CTES = f"""
+        planes AS (
+            SELECT p.p, d.d,
+                   ('0x' || substr(md5(p.p || ',' || d.d), 1, 15))::BIGINT % {PLANE_MOD} - {PLANE_MOD // 2} AS w
+            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p,
+                 (SELECT unnest(generate_series(0, {N_DIMS - 1})) AS d) d
+        ),
+        bits AS (
+            SELECT pos.vec_id, pl.p,
+                   CASE WHEN SUM(pl.w * pos.qd) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM pos JOIN planes pl ON pos.d = pl.d
+            GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN p < 8 THEN CAST(bit AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS band0,
+                   SUM(CASE WHEN p >= 8 THEN CAST(bit AS BIGINT) << (CAST(p AS INT) - 8) ELSE 0 END) AS band1
+            FROM bits GROUP BY 1
+        )
+"""
+
 ORACLE_SQL = {
     "sim_topk_bruteforce": f"""
         WITH {_QUANT_CTE},
@@ -370,24 +393,7 @@ ORACLE_SQL = {
     """,
     "sim_ann_lsh": f"""
         WITH {_QUANT_CTE},
-        planes AS (
-            SELECT p.p, d.d,
-                   ('0x' || substr(md5(p.p || ',' || d.d), 1, 15))::BIGINT % {PLANE_MOD} - {PLANE_MOD // 2} AS w
-            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p,
-                 (SELECT unnest(generate_series(0, {N_DIMS - 1})) AS d) d
-        ),
-        bits AS (
-            SELECT pos.vec_id, pl.p,
-                   CASE WHEN SUM(pl.w * pos.qd) >= 0 THEN 1 ELSE 0 END AS bit
-            FROM pos JOIN planes pl ON pos.d = pl.d
-            GROUP BY 1, 2
-        ),
-        sig AS (
-            SELECT vec_id,
-                   SUM(CASE WHEN p < 8 THEN CAST(bit AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS band0,
-                   SUM(CASE WHEN p >= 8 THEN CAST(bit AS BIGINT) << (CAST(p AS INT) - 8) ELSE 0 END) AS band1
-            FROM bits GROUP BY 1
-        ),
+        {SIG_CTES},
         dots AS (
             SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id, CAST(SUM(qp.qd * cp.qd) AS BIGINT) AS dot
             FROM sig qs
