@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_local_supplier_volume": relational.q_local_supplier_volume,
         # deferred trivial-seven (map-only, r4-green, simplest code) — r8
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "dedup_embedding_recall": dedup.dedup_embedding_recall,
         "sim_ann_pq_recall": similarity.sim_ann_pq_recall,
         "q_revenue_filter": relational.q_revenue_filter,
         "dedup_exact": dedup.dedup_exact,

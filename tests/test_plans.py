@@ -154,6 +154,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_topk_bruteforce": 1,  # 8-row query set broadcast
     "sim_ann_lsh": 2,  # 16x64 hyperplane table
     "dedup_embedding_lsh": 2,  # same 16x64 hyperplane table build
+    "dedup_embedding_recall": 5,  # hyperplane build (x2 static prints) + 1-row count cross
     "sim_ann_ivf": 4,  # 16-row centroid table
     "sketch_kmv_union": 1,  # 1-row merged-kth crossJoin
     "sketch_bloom_join": 3,  # crossJoins of four 1-row summary aggregates

@@ -104,3 +104,30 @@ def test_strip_order_by_ignores_window_sort_before_outer_sort():
 def test_strip_order_by_refuses_mid_query_cut():
     with pytest.raises(ValueError):
         strip_order_by("SELECT a FROM t ORDER BY a LIMIT 5")
+
+
+@pytest.fixture(scope="module")
+def nodup_emb_dir(spark, tmp_path_factory):
+    """An embeddings fixture with zero cosine-near-dup pairs: pairwise
+    one-hot vectors on distinct dimensions, all cross dots exactly 0."""
+    from zylyty_data_engineer_challenge_spark.schemas import EMBEDDINGS
+
+    d = tmp_path_factory.mktemp("nodup_emb")
+    rows = [
+        (i, [1.0 if j == i else 0.0 for j in range(64)], 0) for i in range(12)
+    ]
+    spark.createDataFrame(rows, EMBEDDINGS).coalesce(1).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+def test_embedding_recall_gate_null_on_duplicate_free_corpus(spark, nodup_emb_dir):
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        dedup_embedding_recall,
+    )
+
+    row = dedup_embedding_recall(spark, nodup_emb_dir).collect()[0]
+    assert row["n_exact"] == 0
+    assert row["hits"] == 0
+    assert row["recall"] is None

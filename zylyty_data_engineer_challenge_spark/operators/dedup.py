@@ -839,3 +839,64 @@ def _embedding_lsh_oracle() -> str:
 
 
 ORACLE_SQL["dedup_embedding_lsh"] = _embedding_lsh_oracle()
+
+
+def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for :func:`dedup_embedding_lsh` against the
+    exhaustive :func:`dedup_embedding_cosine` ground truth — the embedding
+    analog of :func:`dedup_lsh_recall`, closing the
+    detector-plus-recall-gate pattern across both dedup modalities
+    (text shingles and embeddings).
+
+    Both detectors share the verify predicate, so every LSH pair is by
+    construction an exact pair: the gate purely measures banding recall
+    (how many true pairs survive the 2x8-bit bucket pruning). NULL (not
+    0/0) recall on a duplicate-free corpus, same contract as the text
+    gates.
+
+    Scale: output-sized pair join + 1-row aggregate on top of the two
+    composed detectors; the exhaustive side is the cost and is the reason
+    this is an sf0.1-class gate — at 100 TB, anchor-sample it exactly as
+    :func:`dedup_lsh_recall_sampled` does for text.
+    """
+    exact = dedup_embedding_cosine(spark, sf_dir).select("v1", "v2")
+    lsh = dedup_embedding_lsh(spark, sf_dir).select(
+        "v1", "v2", F.lit(1).alias("hit")
+    )
+    joined = exact.join(lsh, ["v1", "v2"], "left")
+    return (
+        joined.agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("hits"),
+        )
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh"))))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "hits",
+            F.when(F.col("n_exact") > 0, F.col("hits") * 1.0 / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+ORACLE_SQL["dedup_embedding_recall"] = f"""
+    WITH exact AS (
+        SELECT v1, v2 FROM ({_strip_order_by(ORACLE_SQL["dedup_embedding_cosine"])})
+    ),
+    lsh AS (
+        SELECT v1, v2, 1 AS hit FROM ({_strip_order_by(ORACLE_SQL["dedup_embedding_lsh"])})
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh,
+           CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+                 ON e.v1 = l.v1 AND e.v2 = l.v2) AS BIGINT) AS hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+                           ON e.v1 = l.v1 AND e.v2 = l.v2) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM exact)
+           END AS recall
+"""
