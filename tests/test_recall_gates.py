@@ -131,3 +131,20 @@ def test_embedding_recall_gate_null_on_duplicate_free_corpus(spark, nodup_emb_di
     assert row["n_exact"] == 0
     assert row["hits"] == 0
     assert row["recall"] is None
+
+
+def test_numpy_signatures_match_declarative(spark):
+    """The numpy signature path used by dedup_embedding_lsh must be
+    bit-identical to the declarative posexplode/plane-join path used by
+    the ANN queries — same md5-derived hyperplanes, same band packing."""
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        _planes,
+        _quantized,
+        _signatures,
+        _signatures_np,
+    )
+
+    emb = _quantized(spark, SF_DIR)
+    a = {r["vec_id"]: (r["band0"], r["band1"]) for r in _signatures(emb, _planes(spark)).collect()}
+    b = {r["vec_id"]: (r["band0"], r["band1"]) for r in _signatures_np(emb).collect()}
+    assert a == b

@@ -56,6 +56,9 @@ HEAVY = [
     "pagerank",
     "sim_ann_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sim_ann_pq",
+    "dedup_lsh_recall_sampled",
     "text_redact",
     "sketch_kmv_distinct",
     "pipeline_curate_near",

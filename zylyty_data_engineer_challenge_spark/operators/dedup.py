@@ -468,10 +468,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     them through the blocked numpy kernel of the exhaustive variant
     instead of per-pair HOFs.
     """
-    from .similarity import _band_rows, _planes, _quantized, _signatures
+    from .similarity import _band_rows, _quantized, _signatures_np
 
     emb = _quantized(spark, sf_dir)
-    sig = _signatures(emb, _planes(spark))
+    sig = _signatures_np(emb)
     bands = _band_rows(sig, "vec_id")
     cand = (
         bands.alias("a")
@@ -485,28 +485,44 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     qn = emb.select("vec_id", "q", "n")
-    return (
-        cand.join(qn.withColumnsRenamed({"vec_id": "v1", "q": "q1", "n": "n1"}), "v1")
-        .join(qn.withColumnsRenamed({"vec_id": "v2", "q": "q2", "n": "n2"}), "v2")
-        .select(
-            "v1",
-            "v2",
-            F.expr(
-                "aggregate(zip_with(q1, q2, (x, y) -> x * y),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            ).alias("dot"),
-            "n1",
-            "n2",
-        )
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(COS_DEN) * F.col("dot") * F.col("dot")
-                >= F.lit(COS_NUM) * F.col("n1") * F.col("n2")
+    paired = cand.join(
+        qn.withColumnsRenamed({"vec_id": "v1", "q": "q1", "n": "n1"}), "v1"
+    ).join(qn.withColumnsRenamed({"vec_id": "v2", "q": "q2", "n": "n2"}), "v2")
+
+    # Arrow-batched numpy verify: on LSH corpora the candidate set is
+    # dense inside duplicate clusters, and Spark's interpreted zip_with/
+    # aggregate HOF per pair was 2x SLOWER than the exhaustive blocked
+    # kernel at the 10x smoke (24.7 s vs 11.7 s, tools/scale_smoke.py r7).
+    # One vectorized (a*b).sum(axis=1) per Arrow batch matches the blocked
+    # kernel's compute shape on exactly the pairs LSH kept.
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["v1", "v2", "dot", "n1", "n2"]
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=cols).astype("int64")
+                continue
+            a = np.stack(pdf["q1"].to_numpy()).astype(np.int64)
+            b = np.stack(pdf["q2"].to_numpy()).astype(np.int64)
+            dots = (a * b).sum(axis=1)
+            n1 = pdf["n1"].to_numpy()
+            n2 = pdf["n2"].to_numpy()
+            keep = (dots > 0) & (COS_DEN * dots * dots >= COS_NUM * n1 * n2)
+            yield pd.DataFrame(
+                {
+                    "v1": pdf["v1"].to_numpy()[keep],
+                    "v2": pdf["v2"].to_numpy()[keep],
+                    "dot": dots[keep],
+                    "n1": n1[keep],
+                    "n2": n2[keep],
+                }
             )
-        )
-        .orderBy("v1", "v2")
-    )
+
+    return paired.mapInPandas(
+        verify, schema="v1 bigint, v2 bigint, dot bigint, n1 bigint, n2 bigint"
+    ).orderBy("v1", "v2")
 
 
 # ---------------------------------------------------------------------------
@@ -660,6 +676,35 @@ ORACLE_SQL = {
 }
 
 
+def _pair_recall_gate(exact, lsh, n_lsh_alias: str):
+    """Shared 1-row gate combinator for the dedup recall gates: pair-keyed
+    left join + global aggregate. Two empty-input contracts, mirrored in
+    every gate's oracle: hits coalesces to 0 (SUM over zero rows is NULL
+    in Spark but the oracle counts 0), and recall is NULL — not 0/0 —
+    on a duplicate-free corpus (Spark with ANSI off yields NULL for x/0
+    while DuckDB raises, so the guard keeps the differential gate alive
+    exactly when a user most needs the number)."""
+    pair_cols = [c for c in lsh.columns if c != "hit"]
+    joined = exact.join(lsh, pair_cols, "left")
+    return (
+        joined.agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("hits"),
+        )
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias(n_lsh_alias))))
+        .select(
+            "n_exact",
+            n_lsh_alias,
+            "hits",
+            F.when(F.col("n_exact") > 0, F.col("hits") * 1.0 / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acceptance evaluation of the MinHash-LSH detector against the exact
     n-gram Jaccard ground truth: one row with the exact pair count, the
@@ -680,30 +725,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup_minhash_lsh(spark, sf_dir).select(
         "d1", "d2", F.lit(1).alias("hit")
     )
-    joined = exact.join(lsh, ["d1", "d2"], "left")
-    return (
-        joined.agg(
-            F.count("*").alias("n_exact"),
-            # outer coalesce: SUM over zero rows is NULL, but the oracle's
-            # COUNT(*) is 0 — an empty corpus must agree across engines
-            F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
-            .cast("long")
-            .alias("hits"),
-        )
-        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh"))))
-        .select(
-            "n_exact",
-            "n_lsh",
-            "hits",
-            # NULL (not 0/0) on a duplicate-free corpus: Spark with ANSI
-            # off yields NULL for x/0 while DuckDB raises — the guard keeps
-            # both engines returning NULL so the differential gate holds
-            # exactly when a user most needs the number (r6 ADVICE item 2).
-            F.when(F.col("n_exact") > 0, F.col("hits") * 1.0 / F.col("n_exact")).alias(
-                "recall"
-            ),
-        )
-    )
+    return _pair_recall_gate(exact, lsh, "n_lsh")
 
 
 ORACLE_SQL["dedup_lsh_recall"] = f"""
@@ -762,26 +784,7 @@ def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_is_anchor(F.col("d1")))
         .select("d1", "d2", F.lit(1).alias("hit"))
     )
-    joined = exact.join(lsh, ["d1", "d2"], "left")
-    return (
-        joined.agg(
-            F.count("*").alias("n_exact"),
-            # outer coalesce: SUM over zero rows is NULL, but the oracle's
-            # COUNT(*) is 0 — an empty corpus must agree across engines
-            F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
-            .cast("long")
-            .alias("hits"),
-        )
-        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh_sampled"))))
-        .select(
-            "n_exact",
-            "n_lsh_sampled",
-            "hits",
-            F.when(F.col("n_exact") > 0, F.col("hits") * 1.0 / F.col("n_exact")).alias(
-                "recall"
-            ),
-        )
-    )
+    return _pair_recall_gate(exact, lsh, "n_lsh_sampled")
 
 
 _ANCHOR_SQL = f"(d1 * {SAMPLE_KNUTH}) % {2**32} % {SAMPLE_MOD} = 0"
@@ -863,24 +866,7 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup_embedding_lsh(spark, sf_dir).select(
         "v1", "v2", F.lit(1).alias("hit")
     )
-    joined = exact.join(lsh, ["v1", "v2"], "left")
-    return (
-        joined.agg(
-            F.count("*").alias("n_exact"),
-            F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
-            .cast("long")
-            .alias("hits"),
-        )
-        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh"))))
-        .select(
-            "n_exact",
-            "n_lsh",
-            "hits",
-            F.when(F.col("n_exact") > 0, F.col("hits") * 1.0 / F.col("n_exact")).alias(
-                "recall"
-            ),
-        )
-    )
+    return _pair_recall_gate(exact, lsh, "n_lsh")
 
 
 ORACLE_SQL["dedup_embedding_recall"] = f"""

@@ -136,6 +136,54 @@ def _signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
     )
 
 
+def _signatures_np(emb: DataFrame) -> DataFrame:
+    """Numpy twin of :func:`_signatures`: one BLAS matmul per Arrow batch
+    instead of the posexplode -> plane-join -> two-aggregate pipeline
+    (whose (vectors x dims x planes) intermediate measured 6.5 s vs <1 s
+    at the 10x smoke). The hyperplane weights are the SAME md5 derivation
+    (hashlib.md5 == Spark md5 == DuckDB md5 on identical strings), so
+    band signatures are bit-identical — pinned by
+    tests/test_recall_gates.py. Used by the corpus-sized dedup path;
+    the ANN queries keep the declarative form (their vector count is
+    query-bounded and the two paths cross-validate)."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+
+    w = np.array(
+        [
+            [
+                int(_hl.md5(f"{p},{d}".encode()).hexdigest()[:15], 16) % PLANE_MOD
+                - PLANE_MOD // 2
+                for d in range(N_DIMS)
+            ]
+            for p in range(N_PLANES)
+        ],
+        dtype=np.int64,
+    )
+
+    def sigs(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=["vec_id", "band0", "band1"]).astype("int64")
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            bits = (q @ w.T >= 0).astype(np.int64)
+            pw = np.left_shift(np.int64(1), np.arange(8, dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "band0": (bits[:, :8] * pw).sum(axis=1),
+                    "band1": (bits[:, 8:] * pw).sum(axis=1),
+                }
+            )
+
+    return emb.select("vec_id", "q").mapInPandas(
+        sigs, schema="vec_id bigint, band0 bigint, band1 bigint"
+    )
+
+
 def _band_rows(sig: DataFrame, id_alias: str) -> DataFrame:
     """Explode (band0, band1) into (id, bidx, bsig) rows — the equi-join
     key shape. An OR of band equalities is NOT an equi-join (Spark plans a
@@ -417,22 +465,20 @@ ORACLE_SQL = {
 }
 
 
-def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k evaluation of the LSH ANN index against exact brute force —
-    the acceptance gate a production pipeline runs before trusting an
-    approximate index. For each query: hits = |LSH top-k ∩ exact top-k|,
-    recall = hits/k (k = ANN_TOP_K).
+def _recall_at_k(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
+    """Shared recall@k combinator for every ANN index gate: per query,
+    hits = |index top-k ∩ exact top-k|, recall = hits/k (k = ANN_TOP_K).
 
-    Scale shape: composes the two existing operators (each already
-    bucketed/broadcast as documented on them) and adds only a k-row-per-
-    query equi-join plus an 8-group aggregate — evaluation cost is
-    output-sized, not corpus-sized. Deterministic by construction, so the
-    oracle reproduces it exactly from the same two nested definitions.
+    Scale shape: composes the two operators (each already bucketed /
+    broadcast as documented on them) and adds only a k-row-per-query
+    equi-join plus an 8-group aggregate — evaluation cost is output-sized,
+    not corpus-sized. Deterministic by construction, so each gate's oracle
+    reproduces it exactly from the same two nested definitions.
     """
     exact = sim_topk_bruteforce(spark, sf_dir).filter(
         F.col("rank") <= ANN_TOP_K
     ).select("query_id", "vec_id")
-    ann = sim_ann_lsh(spark, sf_dir).select(
+    ann = ann_fn(spark, sf_dir).select(
         "query_id", "vec_id", F.lit(1).alias("hit")
     )
     return (
@@ -450,6 +496,36 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _recall_oracle(ann_sql: str) -> str:
+    """DuckDB twin of :func:`_recall_at_k`, nesting the given index oracle."""
+    return f"""
+    WITH exact AS (
+        SELECT query_id, vec_id
+        FROM ({_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"])})
+        WHERE rank <= {ANN_TOP_K}
+    ),
+    ann AS (
+        SELECT query_id, vec_id, 1 AS hit
+        FROM ({_strip_order_by(ann_sql)})
+    )
+    SELECT e.query_id,
+           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
+           COUNT(*) AS k,
+           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1.0 / COUNT(*) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+"""
+
+
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the LSH ANN index against exact brute force —
+    the acceptance gate a production pipeline runs before trusting an
+    approximate index (see :func:`_recall_at_k` for the shape)."""
+    return _recall_at_k(spark, sf_dir, sim_ann_lsh)
 
 
 PQ_M = 4  # subspaces (64 dims -> 4 x 16)
@@ -624,130 +700,25 @@ ORACLE_SQL["sim_ann_pq"] = f"""
 
 
 def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k gate for the PQ index — the third member of the
-    one-gate-per-index pattern (see :func:`sim_ann_recall` /
-    :func:`sim_ann_ivf_recall`). PQ loses precision to quantization
-    rather than candidate pruning, so its recall floor tracks codebook
-    quality; this gate is what a pipeline watches when swapping the
-    deterministic codebooks for trained k-means ones.
-    """
-    exact = sim_topk_bruteforce(spark, sf_dir).filter(
-        F.col("rank") <= ANN_TOP_K
-    ).select("query_id", "vec_id")
-    ann = sim_ann_pq(spark, sf_dir).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(ann, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
-            F.count("*").alias("k"),
-        )
-        .select(
-            "query_id",
-            "hits",
-            "k",
-            (F.col("hits") * 1.0 / F.col("k")).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+    """Recall@k gate for the PQ index — one member of the
+    one-gate-per-index pattern (see :func:`_recall_at_k`). PQ loses
+    precision to quantization rather than candidate pruning, so its
+    recall floor tracks codebook quality; this gate is what a pipeline
+    watches when swapping the deterministic codebooks for trained
+    k-means ones."""
+    return _recall_at_k(spark, sf_dir, sim_ann_pq)
 
 
-ORACLE_SQL["sim_ann_pq_recall"] = f"""
-    WITH exact AS (
-        SELECT query_id, vec_id
-        FROM ({{bruteforce}})
-        WHERE rank <= {ANN_TOP_K}
-    ),
-    ann AS (
-        SELECT query_id, vec_id, 1 AS hit
-        FROM ({{pq}})
-    )
-    SELECT e.query_id,
-           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
-           COUNT(*) AS k,
-           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1.0 / COUNT(*) AS recall
-    FROM exact e
-    LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-    GROUP BY e.query_id
-    ORDER BY e.query_id
-""".format(
-    bruteforce=_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"]),
-    pq=_strip_order_by(ORACLE_SQL["sim_ann_pq"]),
-)
+ORACLE_SQL["sim_ann_pq_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_pq"])
 
 
 def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k gate for the IVF index, mirroring :func:`sim_ann_recall`
-    (the LSH gate): hits = |IVF top-k ∩ exact top-k| per query. A pipeline
-    choosing between the two indexes compares exactly these two tables.
+    """Recall@k gate for the IVF index (see :func:`_recall_at_k`): a
+    pipeline choosing between indexes compares exactly these gate tables.
     IVF recall < 1.0 by construction (NPROBE lists, not all), so this is
-    also the regression pin that NPROBE/NLIST keep their promised floor.
-
-    Scale shape: output-sized join + 8-group aggregate on top of the two
-    composed operators — evaluation cost does not grow with the corpus.
-    """
-    exact = sim_topk_bruteforce(spark, sf_dir).filter(
-        F.col("rank") <= ANN_TOP_K
-    ).select("query_id", "vec_id")
-    ann = sim_ann_ivf(spark, sf_dir).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(ann, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
-            F.count("*").alias("k"),
-        )
-        .select(
-            "query_id",
-            "hits",
-            "k",
-            (F.col("hits") * 1.0 / F.col("k")).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+    also the regression pin that NPROBE/NLIST keep their promised floor."""
+    return _recall_at_k(spark, sf_dir, sim_ann_ivf)
 
 
-ORACLE_SQL["sim_ann_ivf_recall"] = f"""
-    WITH exact AS (
-        SELECT query_id, vec_id
-        FROM ({_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"])})
-        WHERE rank <= {ANN_TOP_K}
-    ),
-    ann AS (
-        SELECT query_id, vec_id, 1 AS hit
-        FROM ({_strip_order_by(ORACLE_SQL["sim_ann_ivf"])})
-    )
-    SELECT e.query_id,
-           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
-           COUNT(*) AS k,
-           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1.0 / COUNT(*) AS recall
-    FROM exact e
-    LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-    GROUP BY e.query_id
-    ORDER BY e.query_id
-"""
-
-
-ORACLE_SQL["sim_ann_recall"] = f"""
-    WITH exact AS (
-        SELECT query_id, vec_id
-        FROM ({_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"])})
-        WHERE rank <= {ANN_TOP_K}
-    ),
-    ann AS (
-        SELECT query_id, vec_id, 1 AS hit
-        FROM ({_strip_order_by(ORACLE_SQL["sim_ann_lsh"])})
-    )
-    SELECT e.query_id,
-           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
-           COUNT(*) AS k,
-           CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1.0 / COUNT(*) AS recall
-    FROM exact e
-    LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-    GROUP BY e.query_id
-    ORDER BY e.query_id
-"""
+ORACLE_SQL["sim_ann_ivf_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_ivf"])
+ORACLE_SQL["sim_ann_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_lsh"])
