@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": views_stream.stream_static_join,
         "q_sessionize": advanced.q_sessionize,
         "q_time_rollup": analytics.q_time_rollup,
+        "q_sliding_window": analytics.q_sliding_window,
         "q_recursive_cte": warehouse.q_recursive_cte,
         "sketch_kmv_union": sketches.sketch_kmv_union,
         "dedup_cc": graph.dedup_cc,
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_extras": warehouse.q_window_extras,
         "q_lateral_topn": warehouse.q_lateral_topn,
         "q_bucketed_join": warehouse.q_bucketed_join,
+        "q_incremental_agg": warehouse.q_incremental_agg,
         "q_udtf_surface": analytics.q_udtf_surface,
         "q_asof_join": advanced.q_asof_join,
         "q_range_join": analytics.q_range_join,

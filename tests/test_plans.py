@@ -234,3 +234,15 @@ def test_pagerank_rank_broadcast_is_a_conf_switch(spark):
     finally:
         spark.conf.unset("spark.zylyty.pagerank.broadcastRanks")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_incremental_agg_partition_predicates_reach_scan(spark):
+    """q_incremental_agg's whole premise is that base/delta partials come
+    from partition-pruned scans — both cutoff predicates must land in
+    PushedFilters, not post-scan Filters."""
+    from zylyty_data_engineer_challenge_spark.queries import warehouse as wh
+
+    plan = formatted_plan(wh.q_incremental_agg(spark, SF_DIR))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_shipdate" in p and "GreaterThanOrEqual" in p for p in pushed), plan
+    assert any("l_shipdate" in p and "LessThan" in p for p in pushed), plan

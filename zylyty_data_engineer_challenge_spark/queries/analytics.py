@@ -738,3 +738,48 @@ ORACLE_SQL["q_forward_fill"] = f"""
     FROM g
     ORDER BY user_id, event_id
 """
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding event-time windows: F.window(2h, slide 1h) — every
+    event lands in exactly two hour-aligned windows, the batch twin of a
+    streaming sliding aggregate (the tumbling twin is
+    streaming.views_stream.stream_event_summary). Spark's window()
+    generator is epoch-aligned, so the oracle reproduces membership as
+    the two hour-truncations {trunc(ts), trunc(ts) - 1h}.
+
+    Scale: explode-by-2 then one hash aggregate on (window, type) —
+    fan-out is the window/slide ratio, a constant chosen by the query,
+    never data-dependent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+ORACLE_SQL["q_sliding_window"] = """
+    WITH x AS (
+        SELECT event_id, event_type, value,
+               date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS win_start
+        FROM events, (SELECT unnest(range(0, 2)) AS o) o
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(event_id) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM x
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+"""

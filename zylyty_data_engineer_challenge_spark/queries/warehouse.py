@@ -390,3 +390,71 @@ ORACLE_SQL["q_zorder_layout"] = f"""
     GROUP BY 1
     ORDER BY zval
 """
+
+
+INCR_CUTOFF = "1997-06-01"  # base partition < cutoff, delta >= cutoff
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge the PARTIAL aggregates of
+    an already-materialized base partition with a new delta batch instead
+    of recomputing over all history — the core pattern of incremental ETL
+    (and the algebra Spark's own map-side partial aggregation relies on).
+
+    Every aggregate here is algebraically mergeable: SUM/COUNT re-sum,
+    MIN/MAX re-min/max, AVG is derived from merged (sum, count) at the
+    end — never averaged-of-averages. Decimal sums keep merge order
+    irrelevant (exact), so the merged result is bit-equal to the oracle's
+    full recompute, which is precisely the property that lets a 100 TB
+    pipeline process only the delta partition each run.
+
+    Scale: the base side would be a stored partial-agg table (4 rows per
+    group key) — here both partials derive from partition-pruned scans of
+    the same fixture (the cutoff predicate reaches the parquet reader),
+    and the merge is a 2N-row aggregate, independent of history size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,2)"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_quantity").cast(dec)).alias("s_qty"),
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < INCR_CUTOFF))
+    delta = partial(li.filter(F.col("l_shipdate") >= INCR_CUTOFF))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("s_qty").alias("s_qty"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_ship").alias("min_ship"),
+            F.max("max_ship").alias("max_ship"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        F.col("s_qty").cast("double").alias("sum_qty"),
+        "n_rows",
+        (F.col("s_qty").cast("double") / F.col("n_rows")).alias("avg_qty"),
+        "min_ship",
+        "max_ship",
+    ).orderBy("l_returnflag")
+
+
+ORACLE_SQL["q_incremental_agg"] = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
