@@ -132,9 +132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": join_stream.stream_stream_join,
         "stream_session_window": views_stream.stream_session_window,
         "stream_static_join": views_stream.stream_static_join,
+        "stream_sliding_window": views_stream.stream_sliding_window,
         "q_sessionize": advanced.q_sessionize,
         "q_time_rollup": analytics.q_time_rollup,
         "q_sliding_window": analytics.q_sliding_window,
+        "q_funnel": analytics.q_funnel,
+        "q_retention_cohorts": analytics.q_retention_cohorts,
         "q_recursive_cte": warehouse.q_recursive_cte,
         "sketch_kmv_union": sketches.sketch_kmv_union,
         "dedup_cc": graph.dedup_cc,

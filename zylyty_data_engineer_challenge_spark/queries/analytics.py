@@ -783,3 +783,119 @@ ORACLE_SQL["q_sliding_window"] = """
     GROUP BY 1, 2
     ORDER BY win_start, event_type
 """
+
+
+FUNNEL_STEPS = (("signup", "1_signup"), ("view", "2_view"),
+                ("click", "3_click"), ("purchase", "4_purchase"))
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel over the events stream: a user reaches
+    step k only with an event of step k's type strictly AFTER their
+    step-(k-1) time; each step records the user's earliest qualifying
+    time, which gates the next. The canonical product-analytics operator
+    (signup -> view -> click -> purchase).
+
+    Scale: one filtered aggregate per step, each joined to the previous
+    step's (user, time) table — step tables only shrink, so every join
+    after the first is a broadcast of survivors against a type-pruned
+    scan; no windows, no per-user sorting.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    prev = None
+    counts = []
+    for etype, label in FUNNEL_STEPS:
+        step = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        cur = step.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        counts.append(
+            cur.agg(F.count("*").alias("n_users")).select(
+                F.lit(label).alias("step"), "n_users"
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("step")
+
+
+ORACLE_SQL["q_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+    )
+    SELECT step, n_users FROM (
+        SELECT '1_signup' AS step, COUNT(*) AS n_users FROM s1
+        UNION ALL SELECT '2_view', COUNT(*) FROM s2
+        UNION ALL SELECT '3_click', COUNT(*) FROM s3
+        UNION ALL SELECT '4_purchase', COUNT(*) FROM s4
+    ) ORDER BY step
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity date,
+    counted once per (cohort, 7-day offset bucket) they were active in.
+    Week offsets are integer day arithmetic ((activity - cohort) div 7),
+    not calendar week truncation — identical across engines and
+    independent of week-start conventions.
+
+    Scale: two hash aggregates (first-activity, then the matrix) plus a
+    broadcast of the per-user cohort table; the distinct-day projection
+    bounds the join input at users x active-days.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.distinct()
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort_day",
+            F.expr("CAST(datediff(d, cohort_day) div 7 AS BIGINT)").alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            # string-rendered date: Spark DateType and DuckDB DATE reach
+            # pandas as different dtypes, which the driver's hash rejects
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+ORACLE_SQL["q_retention_cohorts"] = """
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    firsts AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY 1),
+    marks AS (
+        SELECT DISTINCT f.cohort_day,
+               date_diff('day', f.cohort_day, a.d) // 7 AS week_offset,
+               a.user_id
+        FROM act a JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           week_offset, COUNT(*) AS n_users
+    FROM marks
+    GROUP BY 1, 2
+    ORDER BY cohort_day, week_offset
+"""

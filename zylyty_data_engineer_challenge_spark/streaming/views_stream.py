@@ -378,3 +378,58 @@ ORACLE_SQL["stream_parquet_sink"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate (2h windows, 1h slide): every
+    event feeds two overlapping windows' state — the streaming twin of
+    the batch queries.analytics.q_sliding_window, sharing its oracle, so
+    the differential cross-validates batch window(), streaming window
+    state, and the oracle's hour-trunc reconstruction against each other.
+
+    Scale: state rows = windows x types; the watermark evicts windows
+    older than (watermark - window), so overlap multiplies live state by
+    the window/slide ratio (2x here), never unboundedly.
+    """
+    sink = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("win_start", "event_type")
+
+
+ORACLE_SQL["stream_sliding_window"] = """
+    WITH x AS (
+        SELECT event_id, event_type, value,
+               date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS win_start
+        FROM events, (SELECT unnest(range(0, 2)) AS o) o
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(event_id) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM x
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+"""
