@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention_cohorts": analytics.q_retention_cohorts,
         "q_recursive_cte": warehouse.q_recursive_cte,
         "sketch_kmv_union": sketches.sketch_kmv_union,
+        "sketch_hll_union": sketches.sketch_hll_union,
         "dedup_cc": graph.dedup_cc,
         "q_interval_overlap": advanced.q_interval_overlap,
         "q_reservoir_sample": relational.q_reservoir_sample,

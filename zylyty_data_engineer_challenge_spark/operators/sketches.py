@@ -480,3 +480,38 @@ ORACLE_SQL["sketch_cms_topk"] = f"""
     GROUP BY 1, 2
     ORDER BY exact_n DESC, token ASC
 """
+
+
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch union: merge the per-group register tables of
+    :func:`sketch_hll_registers` into ONE global sketch by elementwise
+    MAX — while the oracle computes the global sketch directly from the
+    raw rows. Equality proves the union law (sketch(A) ∪ sketch(B) =
+    sketch(A ∪ B)) that makes HLL composable at 100 TB: per-partition /
+    per-day / per-tenant sketches roll up to any coarser grain without
+    touching raw data again.
+
+    Scale: input is groups x 64 register rows — the merge aggregates
+    sketch-sized data, never corpus-sized data.
+    """
+    regs = sketch_hll_registers(spark, sf_dir)
+    return (
+        regs.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_SQL["sketch_hll_union"] = f"""
+    WITH hashed AS (
+        SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM lineitem
+    ),
+    split AS (SELECT h % {HLL_BUCKETS} AS bucket, h // {HLL_BUCKETS} AS w FROM hashed)
+    SELECT bucket,
+           MAX(CASE WHEN w = 0 THEN {HLL_MAX_RHO}
+                    ELSE bit_count((w & (-w)) - 1) + 1 END) AS register
+    FROM split
+    GROUP BY 1
+    ORDER BY bucket
+"""
