@@ -102,6 +102,10 @@ def headline_queries() -> dict:
         "q_salted_join",
         "q_shipping_priority",
         "q_local_supplier_volume",
+        "q_incremental_agg",
+        "q_sliding_window",
+        "q_funnel",
+        "q_retention_cohorts",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")
