@@ -148,3 +148,36 @@ def test_numpy_signatures_match_declarative(spark):
     a = {r["vec_id"]: (r["band0"], r["band1"]) for r in _signatures(emb, _planes(spark)).collect()}
     b = {r["vec_id"]: (r["band0"], r["band1"]) for r in _signatures_np(emb).collect()}
     assert a == b
+
+
+def test_funnel_requires_strict_event_order(spark, tmp_path):
+    """q_funnel is a STRICT sequential funnel: a purchase BEFORE the
+    user's click must not count, and each step gates on the previous
+    step's earliest qualifying time (not any event of that type)."""
+    from datetime import datetime
+
+    from zylyty_data_engineer_challenge_spark.queries.analytics import q_funnel
+    from zylyty_data_engineer_challenge_spark.schemas import EVENTS
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), 1, "signup", 1.0, "{}"),
+        (2, t(1), 1, "view", 1.0, "{}"),
+        (3, t(2), 1, "click", 1.0, "{}"),
+        (4, t(3), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE click -> stops at click
+        (5, t(0), 2, "signup", 1.0, "{}"),
+        (6, t(1), 2, "view", 1.0, "{}"),
+        (7, t(2), 2, "purchase", 1.0, "{}"),
+        (8, t(3), 2, "click", 1.0, "{}"),
+        # user 3: no signup -> not in the funnel at all
+        (9, t(0), 3, "view", 1.0, "{}"),
+        (10, t(1), 3, "click", 1.0, "{}"),
+    ]
+    d = tmp_path / "funnel"
+    spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {r["step"]: r["n_users"] for r in q_funnel(spark, str(d)).collect()}
+    assert got == {"1_signup": 2, "2_view": 2, "3_click": 2, "4_purchase": 1}
