@@ -106,6 +106,9 @@ def headline_queries() -> dict:
         "q_sliding_window",
         "q_funnel",
         "q_retention_cohorts",
+        "kmeans_lloyd",
+        "kmeans_inertia",
+        "graph_triangles",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")

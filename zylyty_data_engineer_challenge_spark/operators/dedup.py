@@ -886,3 +886,70 @@ ORACLE_SQL["dedup_embedding_recall"] = f"""
                      / (SELECT COUNT(*) FROM exact)
            END AS recall
 """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup join
+# ---------------------------------------------------------------------------
+
+LEV_THRESHOLD = 3
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over the part-name dictionary: every pair
+    of DISTINCT p_name values within edit distance <= LEV_THRESHOLD, with
+    the part counts each name carries (the merge impact of collapsing the
+    pair). Unlike :func:`...queries.analytics.dedup_fuzzy_names` (exact
+    Hamming<=1 via wildcard patterns, equal lengths only), this is true
+    Levenshtein — insertions and deletions across unequal lengths.
+
+    Plan: dictionary-first (project to distinct names + counts BEFORE any
+    pairing, so pair volume is vocabulary-sized, not row-sized), then a
+    first-token block equi-join with the built-in JVM ``levenshtein``
+    verify inside codegen. Pairs are emitted once (n1 < n2).
+
+    Scale notes (100 TB): the dictionary aggregate is the only full-data
+    shuffle; the self-join runs inside first-token blocks, which for
+    entity-name corpora are vocabulary-bounded. A block that does go hot
+    (one shared leading token) is capped the same way the hot-shingle cap
+    works in :func:`dedup_ngram_jaccard` — add a length-bucket to the
+    block key, or switch the verify to a banded q-gram prefilter; the
+    dictionary-first shape is unchanged.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    a = names.select(
+        F.col("p_name").alias("n1"), F.col("n_parts").alias("n1_parts"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("n2"), F.col("n_parts").alias("n2_parts"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("n1") < F.col("n2"))
+        .withColumn("dist", F.levenshtein("n1", "n2"))
+        .filter(F.col("dist") <= LEV_THRESHOLD)
+        .select("n1", "n2", "dist", "n1_parts", "n2_parts")
+        .orderBy("n1", "n2")
+    )
+
+
+ORACLE_SQL["dedup_edit_distance"] = f"""
+    WITH names AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               split_part(p_name, ' ', 1) AS blk
+        FROM part
+        GROUP BY p_name
+    )
+    SELECT a.p_name AS n1, b.p_name AS n2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+           a.n_parts AS n1_parts, b.n_parts AS n2_parts
+    FROM names a
+    JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {LEV_THRESHOLD}
+    ORDER BY n1, n2
+"""

@@ -276,3 +276,80 @@ def _pr_oracle() -> str:
 
 
 ORACLE_SQL["pagerank"] = _pr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation counts over the MinHash-LSH
+    near-dup graph — the standard cluster-density diagnostic: a near-dup
+    component that is also triangle-rich is a true duplicate clique worth
+    collapsing; a triangle-free chain is more likely LSH noise.
+
+    Algorithm: node-iterator join on the id-oriented edge list. Pairs from
+    :func:`..operators.dedup.dedup_minhash_lsh` already satisfy d1 < d2, so
+    every triangle a<b<c is counted exactly once as wedge (a,b)+(b,c)
+    closed by (a,c) — no division by 3 or 6, no symmetrization.
+
+    Scale notes (100 TB): cost is the wedge count = sum of per-node
+    C(deg,2); on a near-dup graph degree is bounded by true duplicate
+    cluster size, so the join is skew-safe. On a general graph, orient
+    edges low-degree -> high-degree instead of low-id -> high-id (one
+    degree join before orienting) — the classic bound that caps wedge
+    fan-out at O(sqrt(|E|)) per node; the join shape below is unchanged.
+    The edge list is checkpointed once and reused by all three join roles.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    return triangle_counts(pairs).withColumnRenamed("node", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """(d1, d2) id-oriented edge list (d1 < d2, each undirected edge once)
+    -> (node, n_triangles) for every node in at least one triangle."""
+    e = pairs.localCheckpoint(eager=False)  # three consumers below
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.d2") == F.col("e2.d1"))
+        .select(
+            F.col("e1.d1").alias("a"),
+            F.col("e1.d2").alias("b"),
+            F.col("e2.d2").alias("c"),
+        )
+    )
+    closer = e.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tri = wedges.join(closer, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+ORACLE_SQL["graph_triangles"] = f"""
+    WITH pairs AS (
+        SELECT d1, d2 FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_minhash_lsh"])})
+    ),
+    tri AS (
+        SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.d2 = e2.d1
+        JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    ),
+    tri_nodes AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM tri_nodes
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

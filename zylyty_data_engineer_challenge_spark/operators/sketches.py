@@ -515,3 +515,114 @@ ORACLE_SQL["sketch_hll_union"] = f"""
     GROUP BY 1
     ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set intersection
+# ---------------------------------------------------------------------------
+
+THETA_FLAGS = ("A", "N")
+
+
+def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection estimate of |A ∩ B| for two key sets (the
+    l_orderkey sets of returnflag 'A' vs 'N'), with the exact intersection
+    as the visible yardstick — the sketch family's answer to "how many
+    records do these two corpora share?" without materializing either set.
+
+    Mechanics: both sets hash through the same md5-derived 60-bit space as
+    the KMV sketches; each keeps its K smallest distinct hashes; theta =
+    min of the two k-th minima (HASH_SPACE when a side is exact-mode);
+    the estimate is |{h in sampleA ∩ sampleB : h < theta}| / theta *
+    HASH_SPACE, computed with exact integral arithmetic (DECIMAL
+    multiply + integral div) so both engines agree bit-for-bit.
+
+    Scale notes (100 TB): each side's sample is a bounded top-K selection
+    (per-partition partial k-min then a K-sized global merge — the same
+    shape as sketch_kmv_distinct); only O(K) hashes ever cross the
+    network, and sketches for different corpora merge without touching
+    raw data. The exact-intersect companion is the one full-shuffle
+    aggregate, present by design as the yardstick.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = (
+        li.filter(F.col("l_returnflag").isin(*THETA_FLAGS))
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+    )
+    hashed = sets.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    samples = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K)
+    theta = samples.filter(F.col("rn") == K).agg(
+        F.coalesce(F.min("h"), F.lit(HASH_SPACE)).cast("long").alias("theta")
+    )
+    a = samples.filter(F.col("l_returnflag") == THETA_FLAGS[0]).select("h")
+    b = samples.filter(F.col("l_returnflag") == THETA_FLAGS[1]).select("h")
+    common = (
+        a.join(b, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    exact = (
+        sets.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_flags"))
+        .filter(F.col("n_flags") == len(THETA_FLAGS))
+        .agg(F.count("*").cast("bigint").alias("exact_intersect"))
+    )
+    return exact.crossJoin(theta).crossJoin(common).select(
+        "exact_intersect",
+        "theta",
+        "common",
+        F.expr(
+            f"CAST((CAST(common AS DECIMAL(38,0)) * {HASH_SPACE}) div theta AS BIGINT)"
+        ).alias("theta_estimate"),
+    )
+
+
+ORACLE_SQL["sketch_theta_intersect"] = f"""
+    WITH sets AS (
+        SELECT DISTINCT l_returnflag, l_orderkey
+        FROM lineitem
+        WHERE l_returnflag IN ('{THETA_FLAGS[0]}', '{THETA_FLAGS[1]}')
+    ),
+    hashed AS (
+        SELECT DISTINCT l_returnflag,
+               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM sets
+    ),
+    samples AS (
+        SELECT l_returnflag, h FROM hashed
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h) <= {K}
+    ),
+    kth AS (
+        SELECT l_returnflag, h FROM hashed
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h) = {K}
+    ),
+    theta AS (
+        SELECT CAST(COALESCE(MIN(h), {HASH_SPACE}) AS BIGINT) AS theta FROM kth
+    ),
+    common AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS common
+        FROM (SELECT a.h FROM samples a JOIN samples b
+              ON a.h = b.h
+              AND a.l_returnflag = '{THETA_FLAGS[0]}'
+              AND b.l_returnflag = '{THETA_FLAGS[1]}') m, theta t
+        WHERE m.h < t.theta
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect
+        FROM (SELECT l_orderkey FROM sets
+              GROUP BY l_orderkey HAVING COUNT(*) = {len(THETA_FLAGS)})
+    )
+    SELECT e.exact_intersect, t.theta, c.common,
+           -- HUGEINT floor division: see sketch_kmv_union
+           CAST(CAST(c.common AS HUGEINT) * {HASH_SPACE} // t.theta AS BIGINT)
+               AS theta_estimate
+    FROM exact e, theta t, common c
+"""

@@ -501,3 +501,81 @@ ORACLE_SQL["text_contamination_check"] = f"""
     FROM sizes z LEFT JOIN overlap o ON z.doc_id = o.doc_id
     ORDER BY z.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP keyword terms per document with their tf / df counts
+    and a rational tf-idf score — the per-doc keyword profile used for
+    topic routing and quality triage in corpus curation.
+
+    Weighting is the log-free rational variant ``tf * N / df`` (monotone
+    in N/df exactly as idf is): the classic ``ln(N/df)`` would put a libm
+    transcendental in the sort key, whose last-ulp rounding differs across
+    engines and breaks the hash gate; one IEEE double division is exact-
+    rounded everywhere. Stopwords need no list — df ~ N drives their
+    score to ~tf, below any distinctive term's.
+
+    Plan: explode tokens -> (doc, term) tf aggregate -> df via a
+    term-partitioned window over the tf table (df = number of (doc, term)
+    rows per term, no second scan) -> per-doc top-k window. Three shuffles
+    total ((doc,term), term, doc), each on a different well-spread key;
+    corpus size N arrives via a broadcast 1-row aggregate, never a
+    driver collect. Ties break lexicographically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count("*").over(df_w).cast("bigint"))
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * F.col("n_docs") * F.lit(1.0)) / F.col("df"))
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_SQL["text_tfidf"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> ''
+        GROUP BY doc_id, term
+    ),
+    scored AS (
+        SELECT doc_id, term, tf,
+               CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+               tf * (SELECT COUNT(*) FROM documents) * 1.0
+                   / COUNT(*) OVER (PARTITION BY term) AS score
+        FROM tf
+    )
+    SELECT doc_id, rank, term, tf, df, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TFIDF_TOP}
+    ORDER BY doc_id, rank
+"""
