@@ -23,6 +23,15 @@ from zylyty_data_engineer_challenge_spark.operators.text import text_tfidf
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def test_cluster_quant_matches_similarity():
+    # cluster.QUANT is a deliberate local copy (circular-import break);
+    # the two fixed-point scales must never drift apart
+    from zylyty_data_engineer_challenge_spark.operators import cluster, similarity
+
+    assert cluster.QUANT == similarity.QUANT
+    assert cluster.K_CLUSTERS == similarity.NLIST
+
+
 # ---------------------------------------------------------------------------
 # triangle counting
 # ---------------------------------------------------------------------------
@@ -118,6 +127,64 @@ def test_tfidf_rare_term_outranks_common(spark):
     n_docs = pdf["df"].max()
     assert (pdf["df"] >= 1).all() and (pdf["tf"] >= 1).all()
     assert n_docs <= pdf["doc_id"].nunique() * 100  # sanity bound only
+
+
+# ---------------------------------------------------------------------------
+# k-means-trained IVF
+# ---------------------------------------------------------------------------
+
+
+def test_trained_ivf_recall_beats_untrained(spark):
+    # the point of training the coarse quantizer: at identical list count
+    # and NPROBE, k-means lists must not lose to the first-NLIST pick
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        sim_ann_ivf_kmeans_recall,
+        sim_ann_ivf_recall,
+    )
+
+    untrained = (
+        sim_ann_ivf_recall(spark, SF_DIR).agg(F.avg("recall")).collect()[0][0]
+    )
+    trained = (
+        sim_ann_ivf_kmeans_recall(spark, SF_DIR).agg(F.avg("recall")).collect()[0][0]
+    )
+    assert trained >= untrained
+    assert trained > 0
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_ranks_dense_and_distinct(spark):
+    from zylyty_data_engineer_challenge_spark.operators.sketches import (
+        WS_K,
+        sketch_weighted_sample,
+    )
+
+    rows = sketch_weighted_sample(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= WS_K
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    assert all(r["w"] > 0 for r in rows)
+
+
+def test_weighted_sample_est_row(spark):
+    from zylyty_data_engineer_challenge_spark.operators.sketches import (
+        WS_K,
+        sketch_weighted_sample_est,
+    )
+
+    row = sketch_weighted_sample_est(spark, SF_DIR).collect()[0]
+    assert row["n_sample"] == WS_K  # fixture corpus > WS_K docs
+    assert row["exact_total_weight"] > 0
+    # unbiased estimator, single deterministic draw: sanity-bound only
+    # (simulated stdev ~18% at k=32; allow 4 sigma)
+    rel = abs(row["est_total_weight"] - row["exact_total_weight"]) / row[
+        "exact_total_weight"
+    ]
+    assert rel < 0.75, row
 
 
 # ---------------------------------------------------------------------------

@@ -722,3 +722,155 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SQL["sim_ann_ivf_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_ivf"])
 ORACLE_SQL["sim_ann_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_lsh"])
+
+
+# ---------------------------------------------------------------------------
+# IVF with k-means-trained centroids
+# ---------------------------------------------------------------------------
+
+
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose inverted lists come from the TRAINED k-means codebook
+    (:func:`..operators.cluster.lloyd_centroids`) instead of
+    :func:`sim_ann_ivf`'s untrained first-NLIST pick — the composition a
+    production index build actually runs: train the coarse quantizer, then
+    assign/probe against it. The coarse quantizer uses squared-L2 (the
+    metric Lloyd optimized); final candidate ranking uses the same exact
+    cosine key as every other index, so the shared recall@k gate compares
+    all indexes on one scale.
+
+    Scale notes (100 TB): identical plan shape to sim_ann_ivf — the
+    codebook (K x 64 ints) is broadcast, corpus assignment is one narrow
+    map + per-vector top-1, probing joins on list id only. The k-means
+    training cost is the cluster module's documented loop (broadcast
+    centroids, one K*D-group aggregate per round), amortized across every
+    query served by the index.
+    """
+    from .cluster import lloyd_centroids
+
+    emb = _quantized(spark, sf_dir)
+    cents = lloyd_centroids(spark, sf_dir)
+
+    def l2_lists(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "cid",
+            F.expr(
+                "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("cdist"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cdist").asc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= keep)
+            .select(id_col, "cid")
+        )
+
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    assign = l2_lists(corpus.select("vec_id", "q"), "vec_id", 1)
+    probes = l2_lists(
+        queries.select("query_id", F.col("qv").alias("q")), "query_id", NPROBE
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .select("query_id", "vec_id")
+        .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "n2",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_kmeans_oracle() -> str:
+    """DuckDB twin: chain the k-means training CTEs (identical rounds) and
+    probe the trained codebook; cN is the per-dim (cid, d, cx) form the
+    dims-join assignment consumes directly."""
+    from .cluster import N_RECOMPUTE, _oracle_rounds
+
+    cn = f"c{N_RECOMPUTE}"
+    return f"""
+    WITH {_oracle_rounds()},
+    corpus_assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT dims.vec_id, {cn}.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dims.vec_id
+                       ORDER BY SUM((dims.x - {cn}.cx) * (dims.x - {cn}.cx)),
+                                {cn}.cid) AS crk
+            FROM dims JOIN {cn} USING (d)
+            WHERE dims.vec_id >= {N_QUERIES}
+            GROUP BY dims.vec_id, {cn}.cid
+        ) WHERE crk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT dims.vec_id, {cn}.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dims.vec_id
+                       ORDER BY SUM((dims.x - {cn}.cx) * (dims.x - {cn}.cx)),
+                                {cn}.cid) AS crk
+            FROM dims JOIN {cn} USING (d)
+            WHERE dims.vec_id < {N_QUERIES}
+            GROUP BY dims.vec_id, {cn}.cid
+        ) WHERE crk <= {NPROBE}
+    ),
+    norms AS (
+        SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n FROM dims GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id,
+               CAST(SUM(qd.x * cd.x) AS BIGINT) AS dot,
+               MIN(nm.n) AS n2
+        FROM probes p
+        JOIN corpus_assign a USING (cid)
+        JOIN dims qd ON qd.vec_id = p.query_id
+        JOIN dims cd ON cd.vec_id = a.vec_id AND cd.d = qd.d
+        JOIN norms nm ON nm.vec_id = a.vec_id
+        GROUP BY p.query_id, a.vec_id
+    )
+    SELECT query_id, rank, vec_id, dot, n2 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CASE WHEN dot >= 0 THEN (dot * dot) * 1.0 / n2
+                                 ELSE -((dot * dot) * 1.0) / n2 END DESC,
+                   vec_id ASC) AS rank
+        FROM cand
+    ) WHERE rank <= {ANN_TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+ORACLE_SQL["sim_ann_ivf_kmeans"] = _ivf_kmeans_oracle()
+ORACLE_SQL["sim_ann_ivf_kmeans_recall"] = _recall_oracle(
+    ORACLE_SQL["sim_ann_ivf_kmeans"]
+)
+
+
+def sim_ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the k-means-trained IVF index — directly
+    comparable with sim_ann_ivf_recall: the pair quantifies what training
+    the coarse quantizer buys at identical list count (K_CLUSTERS ==
+    NLIST) and identical NPROBE."""
+    return _recall_at_k(spark, sf_dir, sim_ann_ivf_kmeans)

@@ -626,3 +626,128 @@ ORACLE_SQL["sketch_theta_intersect"] = f"""
                AS theta_estimate
     FROM exact e, theta t, common c
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted bottom-k (priority) sampling
+# ---------------------------------------------------------------------------
+
+WS_K = 32  # sample size
+
+
+def _ws_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, w (= n_chars), skey = h/w with h the repo-standard 60-bit
+    md5 integer: ascending skey order == descending priority w/u order."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").cast("long").alias("w"))
+        .withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ),
+        )
+        .withColumn("skey", F.expr("h * 1.0 / w"))
+    )
+
+
+def sketch_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sample (weighted bottom-k, Duffield/Lund/Thorup): WS_K
+    documents drawn with probability ~ n_chars — the curation primitive
+    for size-weighted corpus subsampling (a 100-token doc should be 100x
+    likelier in a token-budgeted sample than a 1-token doc).
+
+    Each doc gets priority q = w/u with u = md5-uniform in (0,1); the top
+    WS_K priorities are the sample. Implemented as ascending bottom-k on
+    skey = h/w (one exact-rounded IEEE division — monotone inverse of q,
+    identical in both engines; md5 replaces the RNG so the "random" draw
+    is reproducible anywhere).
+
+    Scale notes (100 TB): ``orderBy(skey).limit(k)`` compiles to
+    TakeOrdered — per-partition partial top-k then a k-sized merge on one
+    reducer; nothing but k rows ever leaves a partition, and partial
+    samples are mergeable (min-merge of bottom-k sets), so this also runs
+    as a streaming/mergeable sketch.
+    """
+    top = _ws_keyed(spark, sf_dir).orderBy("skey", "doc_id").limit(WS_K)
+    w = Window.orderBy("skey", "doc_id")  # k rows: single-partition OK
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "w")
+        .orderBy("rank")
+    )
+
+
+def sketch_weighted_sample_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate: the priority-sampling total-weight estimator
+    (sum of max(w_i, tau) over the sample, tau = the (k+1)-th priority)
+    next to the exact total — the Horvitz-Thompson-style unbiasedness
+    check a pipeline runs before trusting weighted subsamples. Each
+    term is floored to an integer before summing so the cross-engine
+    hash never depends on float summation order (documented <= k
+    absolute error, irrelevant at any realistic total).
+    """
+    keyed = _ws_keyed(spark, sf_dir)
+    topk1 = keyed.orderBy("skey", "doc_id").limit(WS_K + 1)
+    w = Window.orderBy("skey", "doc_id")
+    ranked = topk1.withColumn("rn", F.row_number().over(w))
+    # tau_key: the (k+1)-th smallest skey; NULL when the corpus has <= k
+    # docs (then every doc is sampled and the estimate is exact)
+    tau = ranked.filter(F.col("rn") == WS_K + 1).agg(
+        F.max("skey").alias("tau_key")
+    )
+    contrib = (
+        ranked.filter(F.col("rn") <= WS_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.expr(
+                f"CAST(floor(greatest(CAST(w AS DOUBLE), "
+                f"coalesce({HASH_SPACE} * 1.0 / tau_key, 0.0))) AS BIGINT)"
+            ).alias("c")
+        )
+    )
+    est = contrib.agg(
+        F.sum("c").alias("est_total_weight"),
+        F.count("*").cast("bigint").alias("n_sample"),
+    )
+    exact = keyed.agg(F.sum("w").alias("exact_total_weight"))
+    return exact.crossJoin(est).select(
+        "exact_total_weight", "est_total_weight", "n_sample"
+    )
+
+
+_WS_KEYED_SQL = """
+    keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents
+    ),
+    sk AS (SELECT doc_id, w, h * 1.0 / w AS skey FROM keyed),
+    ranked AS (
+        SELECT doc_id, w, skey,
+               ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn
+        FROM sk
+    )
+"""
+
+ORACLE_SQL["sketch_weighted_sample"] = f"""
+    WITH {_WS_KEYED_SQL}
+    SELECT CAST(rn AS INT) AS rank, doc_id, w
+    FROM ranked WHERE rn <= {WS_K}
+    ORDER BY rank
+"""
+
+ORACLE_SQL["sketch_weighted_sample_est"] = f"""
+    WITH {_WS_KEYED_SQL},
+    tau AS (SELECT MAX(skey) AS tau_key FROM ranked WHERE rn = {WS_K + 1}),
+    est AS (
+        SELECT CAST(SUM(CAST(floor(greatest(CAST(w AS DOUBLE),
+                   coalesce({HASH_SPACE} * 1.0 / t.tau_key, 0.0))) AS BIGINT))
+               AS BIGINT) AS est_total_weight,
+               CAST(COUNT(*) AS BIGINT) AS n_sample
+        FROM ranked, tau t WHERE rn <= {WS_K}
+    )
+    SELECT (SELECT CAST(SUM(w) AS BIGINT) FROM keyed) AS exact_total_weight,
+           e.est_total_weight, e.n_sample
+    FROM est e
+"""
