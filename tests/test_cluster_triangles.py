@@ -109,6 +109,50 @@ def test_edit_distance_blocks_share_first_token(spark):
 
 
 # ---------------------------------------------------------------------------
+# containment vs Jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    # doc 2 is fully embedded in the much larger doc 1: containment = 1.0
+    # but Jaccard << 0.5 — the exact case the containment metric exists for
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        _shingle_pair_table,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, big), (2, small)], ["doc_id", "text"])
+    pairs = _shingle_pair_table(docs).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert p["common"] == min(p["s1"], p["s2"])  # full containment
+    assert 3 * p["common"] < p["s1"] + p["s2"]  # fails the Jaccard test
+
+
+def test_source_mix_budget_and_determinism(spark):
+    from zylyty_data_engineer_challenge_spark.operators.curate import (
+        MIX_BUDGET_PER_SOURCE,
+        curate_source_mix,
+    )
+
+    a = curate_source_mix(spark, SF_DIR).collect()
+    assert all(r["cum_w"] <= MIX_BUDGET_PER_SOURCE for r in a)
+    # running totals are consistent within each source
+    by_src = {}
+    for r in a:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        run = 0
+        for r in rows:
+            run += r["w"]
+            assert r["cum_w"] == run
+    # deterministic: second run returns the identical mix
+    b = curate_source_mix(spark, SF_DIR).collect()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF
 # ---------------------------------------------------------------------------
 
@@ -185,6 +229,32 @@ def test_weighted_sample_est_row(spark):
         "exact_total_weight"
     ]
     assert rel < 0.75, row
+
+
+# ---------------------------------------------------------------------------
+# pixel decode
+# ---------------------------------------------------------------------------
+
+
+def test_png_pixel_decode_roundtrip_and_corruption():
+    from zylyty_data_engineer_challenge_spark.operators.multimodal import (
+        _build_png,
+        _decode_png_pixels,
+    )
+
+    seed = b"hello pixels"
+    payload = _build_png(5, 4, seed)
+    w, h, pix = _decode_png_pixels(payload)
+    assert (w, h) == (5, 4)
+    assert len(pix) == 5 * 4 * 3
+    assert pix == bytes(seed[i % len(seed)] for i in range(5 * 4 * 3))
+    # flip one IDAT byte: CRC verification must refuse, not return junk
+    corrupt = bytearray(payload)
+    corrupt[45] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _decode_png_pixels(bytes(corrupt))
 
 
 # ---------------------------------------------------------------------------

@@ -151,6 +151,7 @@ def test_bucketed_join_has_no_join_side_exchange(spark):
 # (their joins are covered by the oracle + their own modules' tests).
 GLOBAL_BNLJ_ALLOWANCE = {
     "dedup_ngram_jaccard": 4,  # 1-row corpus count under 4 shingle consumers
+    "dedup_containment": 4,  # same unfiltered kernel, same 4 corpus-count crosses
     "sim_topk_bruteforce": 1,  # 8-row query set broadcast
     "sim_ann_lsh": 2,  # 16x64 hyperplane table
     "dedup_embedding_lsh": 2,  # same 16x64 hyperplane table build
@@ -165,6 +166,13 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "q_salted_join": 1,  # 8-row salt-shard table crossed into the dimension
     "dedup_lsh_recall": 5,  # ngram's 4 corpus-count crosses + 1-row lsh-count cross
     "dedup_lsh_recall_sampled": 5,  # same shape, anchor-filtered exact side
+    "kmeans_lloyd": 1,  # K x 64-int centroid table broadcast (the design)
+    "kmeans_inertia": 1,  # same centroid cross in the last (unckpted) round
+    "text_tfidf": 1,  # 1-row corpus-count cross
+    "sketch_theta_intersect": 3,  # crossJoins of three 1-row summary aggs
+    "sim_ann_ivf_kmeans": 2,  # trained centroid table under assign + probe
+    "sim_ann_ivf_kmeans_recall": 3,  # inherits bruteforce (1) + ivf_kmeans (2)
+    "sketch_weighted_sample_est": 2,  # 1-row tau + 1-row exact-total crosses
 }
 
 
@@ -246,3 +254,33 @@ def test_incremental_agg_partition_predicates_reach_scan(spark):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("l_shipdate" in p and "GreaterThanOrEqual" in p for p in pushed), plan
     assert any("l_shipdate" in p and "LessThan" in p for p in pushed), plan
+
+
+def test_weighted_sample_is_distributed_topk(spark):
+    """The priority sample must compile to TakeOrderedAndProject —
+    per-partition partial top-k, k-row merge — never a global sort of the
+    corpus followed by a limit."""
+    from zylyty_data_engineer_challenge_spark.operators import sketches
+
+    plan = physical_plan(sketches.sketch_weighted_sample(spark, SF_DIR))
+    assert count_nodes(plan, "TakeOrderedAndProject") >= 1, plan
+
+
+def test_edit_distance_is_dictionary_first(spark):
+    """Pair volume must be vocabulary-sized: the p_name aggregate has to
+    sit BELOW the self-join (dictionary-first), and the block join must be
+    a hash equi-join."""
+    plan = physical_plan(dedup.dedup_edit_distance(spark, SF_DIR))
+    joins = count_nodes(plan, "BroadcastHashJoin") + count_nodes(
+        plan, "ShuffledHashJoin"
+    ) + count_nodes(plan, "SortMergeJoin")
+    assert joins >= 1, plan
+    # the join's inputs are aggregates (dictionary), not raw scans: the
+    # plan string lists HashAggregate nodes before the join operator line
+    first_join = min(
+        i for i, ln in enumerate(plan.splitlines()) if "HashJoin" in ln or "SortMergeJoin" in ln
+    )
+    aggs_above = sum(
+        1 for ln in plan.splitlines()[first_join:] if "HashAggregate" in ln
+    )
+    assert aggs_above >= 2, plan  # both join sides built from the dictionary agg

@@ -273,3 +273,62 @@ ORACLE_SQL["text_stratified_sample"] = f"""
     WHERE rk <= {STRATUM_QUOTA}
     ORDER BY lang, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# Budget-capped source mixing
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_PER_SOURCE = 2500  # chars each source may contribute
+
+
+def curate_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing under a per-source budget: every source contributes
+    documents — in a deterministic md5-shuffled order — until its
+    MIX_BUDGET_PER_SOURCE character budget is exhausted (take-while on the
+    inclusive running total). This is the curation step that stops one
+    crawl domain from flooding a training mix, with the same
+    reproducibility contract as the hash split: same corpus -> same mix,
+    on any cluster, forever.
+
+    Plan: one window per source (rank by content hash, running sum of
+    n_chars) and a filter — a single shuffle on the well-spread source
+    key; no collects, no per-source driver loops. Skew bound: a giant
+    source costs one partition's sort, and the budget cap means the
+    OUTPUT per source is bounded regardless of input skew.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        _hash_bucket("doc_id").alias("hb"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("cum_w", F.sum("w").over(w))
+        .filter(F.col("cum_w") <= MIX_BUDGET_PER_SOURCE)
+        .select("source", "doc_id", "w", "cum_w")
+        .orderBy("source", "cum_w")
+    )
+
+
+ORACLE_SQL["curate_source_mix"] = f"""
+    WITH docs AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents
+    ),
+    run AS (
+        SELECT source, doc_id, w,
+               CAST(SUM(w) OVER (PARTITION BY source ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+        FROM docs
+    )
+    SELECT source, doc_id, w, cum_w
+    FROM run
+    WHERE cum_w <= {MIX_BUDGET_PER_SOURCE}
+    ORDER BY source, cum_w
+"""

@@ -121,8 +121,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_pairs(docs)
 
 
-def _ngram_jaccard_pairs(docs: DataFrame, anchor=None) -> DataFrame:
-    """Exact Jaccard pair kernel over a documents DataFrame.
+def _shingle_pair_table(docs: DataFrame, anchor=None) -> DataFrame:
+    """UNFILTERED exact pair table (d1, d2, common, s1, s2) over the
+    capped shingle universe — the shared kernel under every exact-overlap
+    metric (Jaccard threshold in :func:`_ngram_jaccard_pairs`, containment
+    threshold in :func:`dedup_containment`).
 
     ``anchor`` (optional ``Column -> Column`` predicate on doc_id) filters
     the LEFT side of the pair self-join BEFORE the join — the anchor-sample
@@ -156,8 +159,16 @@ def _ngram_jaccard_pairs(docs: DataFrame, anchor=None) -> DataFrame:
     return (
         common.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "d1", "n": "s1"})), "d1")
         .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "d2", "n": "s2"})), "d2")
-        .filter(3 * F.col("common") >= F.col("s1") + F.col("s2"))
         .select("d1", "d2", "common", "s1", "s2")
+    )
+
+
+def _ngram_jaccard_pairs(docs: DataFrame, anchor=None) -> DataFrame:
+    """Jaccard-thresholded pairs from the shared kernel (j >= 0.5 as the
+    exact integer test 3c >= s1 + s2)."""
+    return (
+        _shingle_pair_table(docs, anchor)
+        .filter(3 * F.col("common") >= F.col("s1") + F.col("s2"))
         .orderBy("d1", "d2")
     )
 
@@ -952,4 +963,62 @@ ORACLE_SQL["dedup_edit_distance"] = f"""
     JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
     WHERE levenshtein(a.p_name, b.p_name) <= {LEV_THRESHOLD}
     ORDER BY n1, n2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+CONTAIN_PCT = 8  # containment >= 0.8 (as the exact ratio 8/10)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT — |A∩B| / min(|A|,|B|) — the
+    metric that catches a document embedded inside a larger one, which
+    symmetric Jaccard misses (a 100-shingle doc fully inside a
+    1000-shingle doc has j ≈ 0.1 but containment = 1.0). Rides the same
+    capped-shingle pair kernel as :func:`dedup_ngram_jaccard` and keeps
+    the integer-only decision: c * 10 >= 8 * min(s1, s2).
+
+    Scale: identical join shape to the Jaccard kernel (this is a different
+    FILTER over the same UNFILTERED pair table, so at 100 TB it shares the
+    LSH-pruned candidate path too); the output adds the exact containment
+    ratio as a single IEEE division for auditability.
+    """
+    pairs = _shingle_pair_table(load_table(spark, sf_dir, "documents"))
+    return (
+        pairs.filter(
+            F.col("common") * 10 >= CONTAIN_PCT * F.least("s1", "s2")
+        )
+        .select(
+            "d1",
+            "d2",
+            "common",
+            "s1",
+            "s2",
+            (F.col("common") * 1.0 / F.least("s1", "s2")).alias("containment"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+# the UNFILTERED pair table = the Jaccard oracle minus its threshold; derive
+# it textually so the two kernels can never drift apart, and fail loudly if
+# the threshold line is ever reworded
+_JACCARD_WHERE = "WHERE 3 * common >= s1.n + s2.n"
+assert _JACCARD_WHERE in ORACLE_SQL["dedup_ngram_jaccard"], "kernel drift"
+_PAIRS_UNFILTERED_SQL = _strip_order_by(
+    ORACLE_SQL["dedup_ngram_jaccard"]
+).replace(_JACCARD_WHERE, "")
+
+ORACLE_SQL["dedup_containment"] = f"""
+    WITH pairs AS (
+        SELECT * FROM ({_PAIRS_UNFILTERED_SQL})
+    )
+    SELECT d1, d2, common, s1, s2,
+           common * 1.0 / least(s1, s2) AS containment
+    FROM pairs
+    WHERE common * 10 >= {CONTAIN_PCT} * least(s1, s2)
+    ORDER BY d1, d2
 """

@@ -498,3 +498,120 @@ ORACLE_SQL["mm_decode_audio"] = """
            n_samples * 1000 // sample_rate AS duration_ms
     FROM g ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Full pixel decode (beyond headers)
+# ---------------------------------------------------------------------------
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pix", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_max", T.IntegerType()),
+    ]
+)
+
+
+def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """FULL PNG decode for the filter-0 subset: walk the chunk chain by
+    length+CRC (no fixed offsets), verify each CRC32, concatenate IDAT,
+    zlib-decompress, strip the per-scanline filter byte. Returns
+    (width, height, pixel_bytes). Raises on any structural violation —
+    truncated chunk, bad CRC, non-zero filter — because silently skipping
+    corrupt media is how bad bytes reach a training run."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+            if data[8] != 8 or data[9] != 2:
+                raise ValueError("PNG: only 8-bit RGB supported here")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 1 + width * 3
+    if len(raw) != stride * height:
+        raise ValueError("PNG: IDAT length does not match dimensions")
+    pix = bytearray()
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("PNG: non-zero scanline filter")
+        pix += row[1:]
+    return width, height, bytes(pix)
+
+
+def mm_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level codec round-trip — one level deeper than
+    :func:`mm_decode_image`'s header parse: build a genuine PNG (real
+    CRC32s, zlib IDAT) whose pixel bytes cycle the document text, then
+    FULLY decode it (chunk walk + CRC verify + zlib inflate + filter
+    strip) and aggregate the recovered pixels. The oracle recomputes the
+    same aggregates from the generative formula (pixel j = byte j % n of
+    the ASCII text), so a single corrupted bit anywhere in construction,
+    compression, or decode breaks the differential.
+
+    Scale: construct+decode+aggregate all inside ONE mapInPandas stage —
+    map-only, scan-partitioned; the decompressed pixels never leave the
+    executor, only the 6-column summary row does.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pix", "pix_sum", "pix_max")}
+            for did, n_chars, txt in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"]):
+                w = int(did) % 13 + 4
+                h = int(n_chars) % 11 + 3
+                payload = _build_png(w, h, txt.encode("utf-8"))
+                w2, h2, pix = _decode_png_pixels(payload)
+                out["doc_id"].append(int(did))
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["n_pix"].append(w2 * h2)
+                out["pix_sum"].append(sum(pix))
+                out["pix_max"].append(max(pix))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=PIXEL_SCHEMA).orderBy("doc_id")
+
+
+ORACLE_SQL["mm_pixel_decode"] = """
+    WITH dims AS (
+        SELECT doc_id, n_chars, text,
+               CAST(doc_id % 13 + 4 AS INT) AS width,
+               CAST(n_chars % 11 + 3 AS INT) AS height
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, width, height, n_chars, text,
+               unnest(range(0, width * 3 * height)) AS j
+        FROM dims
+    ),
+    pix AS (
+        SELECT doc_id, width, height,
+               unicode(substr(text, CAST(j % n_chars AS INT) + 1, 1)) AS bv
+        FROM idx
+    )
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pix,
+           CAST(SUM(bv) AS BIGINT) AS pix_sum,
+           CAST(MAX(bv) AS INT) AS pix_max
+    FROM pix
+    GROUP BY doc_id, width, height
+    ORDER BY doc_id
+"""
