@@ -63,9 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     brand-new operators (k-means + inertia gate, triangle counts,
     Levenshtein dedup, TF-IDF, theta intersection, k-means-trained IVF +
     recall gate, weighted priority sampling + estimator gate, budgeted
-    source mixing, shingle containment, full PNG pixel decode) straight
-    into the graded window, displacing thirteen simple r4-green queries
-    (sketch_bloom_join .. q_null_semantics) to r8. Ten trivially-simple
+    source mixing, shingle containment, full PNG pixel decode, IVF-PQ
+    composite + recall gate) straight into the graded window, displacing
+    fifteen r4-green unchanged queries (sim_topk_bruteforce ..
+    q_null_semantics) to r8. Ten trivially-simple
     r4-green ops (q_revenue_filter, dedup_exact, text_train_split,
     text_pack_sequences, text_stratified_sample, text_token_stats …
     text_top_ngrams) wait at the tail for r8. Every registered query is
@@ -106,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_source_mix": curate.curate_source_mix,
         "dedup_containment": dedup.dedup_containment,
         "mm_pixel_decode": multimodal.mm_pixel_decode,
+        "sim_ann_ivfpq": similarity.sim_ann_ivfpq,
+        "sim_ann_ivfpq_recall": similarity.sim_ann_ivfpq_recall,
         # stale driver proof: last row r1-era (q_udf_surface tail)
         "q_udf_surface": analytics.q_udf_surface,
         "q_histogram": analytics.q_histogram,
@@ -121,8 +124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": analytics.q_grouping_sets,
         # stale driver proof: last row r4-era
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-        "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
-        "sim_ann_lsh": similarity.sim_ann_lsh,
         "pagerank": graph.pagerank,
         "sketch_hll_registers": sketches.sketch_hll_registers,
         "pipeline_curate": curate.pipeline_curate,
@@ -133,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced from the graded window by the twelve brand-new r7b ops
         # above: all are simple r4-green, code-unchanged queries — regrade
         # in r8
+        "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
+        "sim_ann_lsh": similarity.sim_ann_lsh,
         "sketch_bloom_join": sketches.sketch_bloom_join,
         "q_top_customers": relational.q_top_customers,
         "q_rollup_sales": relational.q_rollup_sales,

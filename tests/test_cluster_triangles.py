@@ -178,6 +178,33 @@ def test_tfidf_rare_term_outranks_common(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_ivfpq_rank_shape_and_layer_ordering(spark):
+    # IVF-PQ output: dense ranks <= ANN_TOP_K per query; and the recall
+    # gates order as the architecture predicts on this fixture — exact
+    # in-list ranking (ivf_kmeans) >= code-based in-list ranking (ivfpq)
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        ANN_TOP_K,
+        sim_ann_ivf_kmeans_recall,
+        sim_ann_ivfpq,
+        sim_ann_ivfpq_recall,
+    )
+
+    rows = sim_ann_ivfpq(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= ANN_TOP_K
+    exact_ranked = (
+        sim_ann_ivf_kmeans_recall(spark, SF_DIR).agg(F.avg("recall")).collect()[0][0]
+    )
+    adc_ranked = (
+        sim_ann_ivfpq_recall(spark, SF_DIR).agg(F.avg("recall")).collect()[0][0]
+    )
+    assert exact_ranked >= adc_ranked
+
+
 def test_trained_ivf_recall_beats_untrained(spark):
     # the point of training the coarse quantizer: at identical list count
     # and NPROBE, k-means lists must not lose to the first-NLIST pick

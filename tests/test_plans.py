@@ -173,6 +173,8 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_ann_ivf_kmeans": 2,  # trained centroid table under assign + probe
     "sim_ann_ivf_kmeans_recall": 3,  # inherits bruteforce (1) + ivf_kmeans (2)
     "sketch_weighted_sample_est": 2,  # 1-row tau + 1-row exact-total crosses
+    "sim_ann_ivfpq": 2,  # trained centroid table under assign + probe
+    "sim_ann_ivfpq_recall": 3,  # inherits bruteforce (1) + ivfpq (2)
 }
 
 

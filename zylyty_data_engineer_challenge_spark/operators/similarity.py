@@ -580,6 +580,25 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, the standard ADC loop.
     """
     emb = _quantized(spark, sf_dir)
+    codes, lut = _pq_parts(emb)
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("dot"), F.sum("cn").alias("n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(_rank_key().desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """PQ building blocks shared by :func:`sim_ann_pq` and
+    :func:`sim_ann_ivfpq`: (codes (vec_id, m, k, cn), lut (query_id, m,
+    k, pdot)) from the deterministic first-PQ_K codebook."""
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     cb = (
         _subvectors(
@@ -623,18 +642,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("pdot"),
     )
-    scored = (
-        codes.join(F.broadcast(lut), ["m", "k"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("pdot").alias("dot"), F.sum("cn").alias("n2"))
-    )
-    w = Window.partitionBy("query_id").orderBy(_rank_key().desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_TOP_K)
-        .select("query_id", "rank", "vec_id", "dot", "n2")
-        .orderBy("query_id", "rank")
-    )
+    return codes, lut
 
 
 ORACLE_SQL["sim_ann_pq"] = f"""
@@ -729,6 +737,39 @@ ORACLE_SQL["sim_ann_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_lsh"])
 # ---------------------------------------------------------------------------
 
 
+def _l2_nearest_lists(
+    cents: DataFrame, side: DataFrame, id_col: str, keep: int
+) -> DataFrame:
+    """(id, q) -> (id, cid): each row's `keep` nearest centroids by exact
+    squared L2, ties to the lower cid. Broadcast codebook, narrow map."""
+    scored = side.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cid",
+        F.expr(
+            "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("cdist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cdist").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= keep)
+        .select(id_col, "cid")
+    )
+
+
+def _ivf_kmeans_candidates(
+    cents: DataFrame, corpus: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """(query_id, vec_id) candidate pairs: corpus vectors living in the
+    query's NPROBE nearest trained lists."""
+    assign = _l2_nearest_lists(cents, corpus.select("vec_id", "q"), "vec_id", 1)
+    probes = _l2_nearest_lists(
+        cents, queries.select("query_id", F.col("qv").alias("q")), "query_id", NPROBE
+    )
+    return probes.join(assign, "cid").select("query_id", "vec_id")
+
+
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN whose inverted lists come from the TRAINED k-means codebook
     (:func:`..operators.cluster.lloyd_centroids`) instead of
@@ -750,36 +791,13 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _quantized(spark, sf_dir)
     cents = lloyd_centroids(spark, sf_dir)
-
-    def l2_lists(side: DataFrame, id_col: str, keep: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "cid",
-            F.expr(
-                "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), "
-                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            ).alias("cdist"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cdist").asc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= keep)
-            .select(id_col, "cid")
-        )
-
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    assign = l2_lists(corpus.select("vec_id", "q"), "vec_id", 1)
-    probes = l2_lists(
-        queries.select("query_id", F.col("qv").alias("q")), "query_id", NPROBE
-    )
+    cand = _ivf_kmeans_candidates(cents, corpus, queries)
     cand = (
-        probes.join(assign, "cid")
-        .select("query_id", "vec_id")
+        cand
         .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select(
@@ -874,3 +892,156 @@ def sim_ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coarse quantizer buys at identical list count (K_CLUSTERS ==
     NLIST) and identical NPROBE."""
     return _recall_at_k(spark, sf_dir, sim_ann_ivf_kmeans)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (IVFADC)
+# ---------------------------------------------------------------------------
+
+
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC — Jegou et al.'s full architecture, and what a
+    production vector index actually deploys): the k-means-trained coarse
+    quantizer prunes the corpus to the query's NPROBE inverted lists, and
+    scoring inside those lists is PQ asymmetric-distance lookup over the
+    4-byte codes — neither the full corpus nor any raw vector is touched
+    at query time.
+
+    Compared to its two parents: :func:`sim_ann_ivf_kmeans` ranks
+    candidates with exact dot products (reads raw vectors);
+    :func:`sim_ann_pq` scores ALL corpus codes. This composite does
+    neither — candidate set from the lists, score from the codes, which
+    is the memory-bandwidth shape that survives 100 TB.
+
+    Scale notes: list assignment and probing are broadcast-codebook
+    narrow maps; the candidate join is an equi-join on list id; ADC is a
+    broadcast-LUT join on (query, subspace, code) over PQ_M rows per
+    candidate. No stage reads a raw corpus vector after index build.
+    """
+    from .cluster import lloyd_centroids
+
+    emb = _quantized(spark, sf_dir)
+    cents = lloyd_centroids(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    cand = _ivf_kmeans_candidates(cents, corpus, queries)
+    codes, lut = _pq_parts(emb)
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("dot"), F.sum("cn").alias("n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin: k-means training + list probing CTEs (identical to
+    sim_ann_ivf_kmeans) plus the PQ chain re-derived from the same `dims`
+    table (m = d // PQ_SUB, i = d % PQ_SUB), restricted to list
+    candidates before scoring."""
+    from .cluster import N_RECOMPUTE, _oracle_rounds
+
+    cn = f"c{N_RECOMPUTE}"
+    return f"""
+    WITH {_oracle_rounds()},
+    corpus_assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT dims.vec_id, {cn}.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dims.vec_id
+                       ORDER BY SUM((dims.x - {cn}.cx) * (dims.x - {cn}.cx)),
+                                {cn}.cid) AS crk
+            FROM dims JOIN {cn} USING (d)
+            WHERE dims.vec_id >= {N_QUERIES}
+            GROUP BY dims.vec_id, {cn}.cid
+        ) WHERE crk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT dims.vec_id, {cn}.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dims.vec_id
+                       ORDER BY SUM((dims.x - {cn}.cx) * (dims.x - {cn}.cx)),
+                                {cn}.cid) AS crk
+            FROM dims JOIN {cn} USING (d)
+            WHERE dims.vec_id < {N_QUERIES}
+            GROUP BY dims.vec_id, {cn}.cid
+        ) WHERE crk <= {NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN corpus_assign a USING (cid)
+    ),
+    pos AS (
+        SELECT vec_id, CAST(d // {PQ_SUB} AS INT) AS m,
+               CAST(d % {PQ_SUB} AS INT) AS i, x
+        FROM dims
+    ),
+    cpos AS (
+        SELECT vec_id - {N_QUERIES} AS k, m, x AS y, i
+        FROM pos WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ),
+    cbn AS (SELECT k, m, CAST(SUM(y * y) AS BIGINT) AS cn FROM cpos GROUP BY 1, 2),
+    pqd AS (
+        SELECT p.vec_id, p.m, c.k,
+               CAST(SUM((p.x - c.y) * (p.x - c.y)) AS BIGINT) AS dist
+        FROM pos p JOIN cpos c ON p.m = c.m AND p.i = c.i
+        WHERE p.vec_id >= {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist ASC, k ASC) AS rk
+            FROM pqd) WHERE rk = 1
+    ),
+    lut AS (
+        SELECT p.vec_id AS query_id, c.m, c.k, CAST(SUM(p.x * c.y) AS BIGINT) AS pdot
+        FROM pos p JOIN cpos c ON p.m = c.m AND p.i = c.i
+        WHERE p.vec_id < {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT l.query_id, cd.vec_id,
+               CAST(SUM(l.pdot) AS BIGINT) AS dot,
+               CAST(SUM(n.cn) AS BIGINT) AS n2
+        FROM cand ca
+        JOIN codes cd ON cd.vec_id = ca.vec_id
+        JOIN lut l ON l.query_id = ca.query_id AND l.m = cd.m AND l.k = cd.k
+        JOIN cbn n ON n.m = cd.m AND n.k = cd.k
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, dot, n2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_RANK_KEY_SQL} DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, dot, n2
+    FROM ranked WHERE rank <= {ANN_TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+ORACLE_SQL["sim_ann_ivfpq"] = _ivfpq_oracle()
+ORACLE_SQL["sim_ann_ivfpq_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_ivfpq"])
+
+
+def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the IVF-PQ composite — read next to
+    sim_ann_ivf_kmeans_recall (exact in-list ranking) and
+    sim_ann_pq_recall (all-corpus ADC) to see what each approximation
+    layer costs."""
+    return _recall_at_k(spark, sf_dir, sim_ann_ivfpq)
