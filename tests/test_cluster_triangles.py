@@ -337,3 +337,21 @@ def test_stream_hll_equals_batch_sketch(spark):
         .collect()
     )
     assert streamed == {r["bucket"]: r["register"] for r in batch}
+
+
+# ---------------------------------------------------------------------------
+# entity-resolution name clusters
+# ---------------------------------------------------------------------------
+
+
+def test_cc_names_cluster_consistency(spark):
+    # every cluster has exactly one representative; cluster ids are the
+    # min partkey of their members' names (consistent labeling)
+    from zylyty_data_engineer_challenge_spark.operators.graph import dedup_cc_names
+
+    rows = dedup_cc_names(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        assert sum(m["is_representative"] for m in members) == 1

@@ -353,3 +353,74 @@ ORACLE_SQL["graph_triangles"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution clusters over the name graph
+# ---------------------------------------------------------------------------
+
+
+def dedup_cc_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clusters: connected components over the
+    Levenshtein near-dup NAME graph (:func:`..operators.dedup.
+    dedup_edit_distance`) — the step that turns pairwise name matches
+    into merge groups ("these 4 spellings are one entity"). Names are
+    keyed by their minimum p_partkey (the dictionary-first projection
+    already computed), so the generic integer min-label propagation of
+    :func:`connected_components` applies unchanged; the cluster id is
+    the minimum partkey reachable through near-dup name edges.
+
+    Scale: inherits the dictionary-first pair detector (vocabulary-sized
+    graph) + the documented one-shuffle-per-round CC loop; the name
+    dictionary join at the end is broadcast-sized by construction.
+    """
+    from .dedup import dedup_edit_distance
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("node"))
+    pairs = dedup_edit_distance(spark, sf_dir).select("n1", "n2")
+    edges = (
+        pairs.join(names.withColumnsRenamed({"p_name": "n1", "node": "src"}), "n1")
+        .join(names.withColumnsRenamed({"p_name": "n2", "node": "dst"}), "n2")
+        .select("src", "dst")
+    )
+    cc = connected_components(names.select("node"), edges)
+    return (
+        names.join(cc, "node")
+        .select(
+            "p_name",
+            F.col("component").alias("cluster"),
+            (F.col("node") == F.col("component")).cast("int").alias("is_representative"),
+        )
+        .orderBy("p_name")
+    )
+
+
+ORACLE_SQL["dedup_cc_names"] = f"""
+    WITH RECURSIVE names AS (
+        SELECT p_name, MIN(p_partkey) AS node FROM part GROUP BY p_name
+    ),
+    npairs AS (
+        SELECT a.node AS src, b.node AS dst
+        FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_edit_distance"])}) p
+        JOIN names a ON a.p_name = p.n1
+        JOIN names b ON b.p_name = p.n2
+    ),
+    edges AS (
+        SELECT src, dst FROM npairs
+        UNION ALL
+        SELECT dst, src FROM npairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT n.p_name,
+           LEAST(n.node, COALESCE(MIN(r.dst), n.node)) AS cluster,
+           CAST(n.node = LEAST(n.node, COALESCE(MIN(r.dst), n.node)) AS INT)
+               AS is_representative
+    FROM names n LEFT JOIN reach r ON n.node = r.src
+    GROUP BY n.p_name, n.node
+    ORDER BY n.p_name
+"""
