@@ -355,3 +355,43 @@ def test_cc_names_cluster_consistency(spark):
         by_cluster.setdefault(r["cluster"], []).append(r)
     for members in by_cluster.values():
         assert sum(m["is_representative"] for m in members) == 1
+
+
+# ---------------------------------------------------------------------------
+# lexical + hybrid retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_dense_scores_positive(spark):
+    from zylyty_data_engineer_challenge_spark.operators.text import (
+        BM25_TOP,
+        text_bm25,
+    )
+
+    rows = text_bm25(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= BM25_TOP
+    scores = [r["score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    # the fused top-RRF_TOP must draw from BOTH rankings (pure RRF
+    # interleaves rank-1s from each list at the top) and each reciprocal
+    # must match its rank arithmetic exactly
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        RRF_K,
+        sim_hybrid_rrf,
+    )
+
+    rows = sim_hybrid_rrf(spark, SF_DIR).collect()
+    assert any(r["dense_rank"] is not None for r in rows)
+    assert any(r["lex_rank"] is not None for r in rows)
+    for r in rows:
+        expect = 0.0
+        if r["dense_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["dense_rank"])
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["lex_rank"])
+        assert r["rrf"] == expect

@@ -175,6 +175,8 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sketch_weighted_sample_est": 2,  # 1-row tau + 1-row exact-total crosses
     "sim_ann_ivfpq": 2,  # trained centroid table under assign + probe
     "sim_ann_ivfpq_recall": 3,  # inherits bruteforce (1) + ivfpq (2)
+    "text_bm25": 1,  # 1-row (n_docs, total_tokens) stats cross
+    "sim_hybrid_rrf": 2,  # inherits bruteforce (1) + bm25 stats (1)
 }
 
 

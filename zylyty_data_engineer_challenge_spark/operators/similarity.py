@@ -1045,3 +1045,97 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_pq_recall (all-corpus ADC) to see what each approximation
     layer costs."""
     return _recall_at_k(spark, sf_dir, sim_ann_ivfpq)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant
+RRF_QUERY = 3  # dense-side query vector
+RRF_TOP = 10
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a dense ranking (exact
+    cosine top-k for query vector RRF_QUERY) with a lexical ranking
+    (:func:`..operators.text.text_bm25`) over the shared id space
+    (embeddings.vec_id aligns 1:1 with documents.doc_id in the fixture,
+    the usual "one embedding per document" layout). RRF is the standard
+    score-free fusion: rrf(d) = sum over lists of 1/(RRF_K + rank_d) —
+    rank-only, so incomparable score scales (cosine vs BM25) never touch.
+
+    Determinism: ranks are small exact integers; each reciprocal is one
+    IEEE division and the fusion is a single two-term add — bit-identical
+    cross-engine, no float aggregates.
+
+    Scale: both input rankings are top-k tables (k rows per query), so
+    fusion is a k-row full outer join + map — evaluation cost is
+    output-sized regardless of corpus size.
+    """
+    from .text import text_bm25
+
+    dense = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("query_id") == RRF_QUERY)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    lexical = text_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    fused = dense.join(lexical, "doc_id", "full_outer").select(
+        "doc_id",
+        "dense_rank",
+        "lex_rank",
+        F.expr(
+            f"coalesce(1.0 / CAST({RRF_K} + dense_rank AS DOUBLE), CAST(0 AS DOUBLE))"
+            f" + coalesce(1.0 / CAST({RRF_K} + lex_rank AS DOUBLE), CAST(0 AS DOUBLE))"
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "dense_rank", "lex_rank", "rrf")
+    )
+
+
+ORACLE_SQL["sim_hybrid_rrf"] = f"""
+    WITH dense AS (
+        SELECT vec_id AS doc_id, rank AS dense_rank
+        FROM ({_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"])})
+        WHERE query_id = {RRF_QUERY}
+    ),
+    lexical AS (
+        SELECT doc_id, rank AS lex_rank FROM (%%BM25%%)
+    ),
+    fused AS (
+        SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id, d.dense_rank, l.lex_rank,
+               coalesce(1.0 / CAST({RRF_K} + d.dense_rank AS DOUBLE), CAST(0 AS DOUBLE))
+               + coalesce(1.0 / CAST({RRF_K} + l.lex_rank AS DOUBLE), CAST(0 AS DOUBLE))
+                   AS rrf
+        FROM dense d FULL OUTER JOIN lexical l ON d.doc_id = l.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank,
+           doc_id, dense_rank, lex_rank, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {RRF_TOP}
+"""
+
+
+def _inject_bm25_oracle() -> None:
+    """The BM25 oracle ends in ORDER BY .. LIMIT (semantic, cannot be
+    stripped); DuckDB accepts it verbatim as a derived table, so splice
+    it in whole. Deferred to a function so this module never imports
+    text at module load (text has no dependency on similarity, but
+    keeping the splice lazy mirrors the cluster-module convention)."""
+    from .text import ORACLE_SQL as _TEXT_ORACLE
+
+    ORACLE_SQL["sim_hybrid_rrf"] = ORACLE_SQL["sim_hybrid_rrf"].replace(
+        "%%BM25%%", _TEXT_ORACLE["text_bm25"]
+    )
+
+
+_inject_bm25_oracle()

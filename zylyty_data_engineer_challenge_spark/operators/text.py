@@ -579,3 +579,138 @@ ORACLE_SQL["text_tfidf"] = f"""
     WHERE rank <= {TFIDF_TOP}
     ORDER BY doc_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25-shaped lexical retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("join", "filter", "window")  # the fixed benchmark query
+BM25_K1 = (12, 10)  # k1 = 1.2 as an exact ratio
+BM25_B = (3, 4)  # b = 0.75 as an exact ratio
+BM25_TOP = 10
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: top-BM25_TOP documents for the fixed query
+    ``BM25_TERMS``, scored with a BM25-shaped rational weighting — the
+    Okapi tf saturation and length normalization verbatim, with the
+    logarithmic idf replaced by its rational argument
+    ``(N - df + 1) / (df + 1)`` (monotone in the classic
+    ``ln((N-df+.5)/(df+.5))``; a libm ``ln`` in the score would break the
+    cross-engine hash gate at the last ulp, exactly like
+    :func:`text_tfidf`'s weighting).
+
+    Determinism: every arithmetic step is either exact integer algebra or
+    an IEEE double operation written with identical association in both
+    engines; the final score is the explicit left-associated sum of the
+    per-term scores (never a float SUM aggregate, whose accumulation
+    order is engine-dependent).
+
+    Scale: tf extraction is a map-side aggregate per (doc, term) over the
+    3 pinned terms (filter BEFORE the aggregate, so the shuffle carries
+    at most |terms| rows per doc); df and avgdl are 1-row/3-row broadcast
+    aggregates; scoring is a narrow map; top-k is a distributed
+    TakeOrdered. This is the inverted-index-free form; at 100 TB the same
+    expression scores postings fetched from a term-partitioned index.
+    """
+    k1n, k1d = BM25_K1
+    bn, bd = BM25_B
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    dls = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dls.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # per-term score, association pinned by explicit parentheses:
+    # idf_r * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl)), with k1, b as
+    # exact ratios so the only doubles are the divisions themselves
+    score_expr = (
+        f"(CAST(n_docs - df + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))"
+        f" * (CAST(tf * ({k1n} + {k1d}) AS DOUBLE)"
+        f" / (CAST(tf * {k1d} AS DOUBLE) + CAST({k1n} AS DOUBLE)"
+        f" * (CAST({bd} - {bn} AS DOUBLE) / {bd}"
+        f" + (CAST({bn} AS DOUBLE) / {bd})"
+        f" * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE)))))"
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(score_expr).alias("s"))
+    )
+    # explicit left-associated per-term sum: (t0 + t1) + t2
+    per_doc = scored.groupBy("doc_id").pivot("term", list(BM25_TERMS)).sum("s")
+    total = "(" * (len(BM25_TERMS) - 1) + " + ".join(
+        f"coalesce(`{t}`, CAST(0 AS DOUBLE)))" if i else f"coalesce(`{t}`, CAST(0 AS DOUBLE))"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    ranked = per_doc.select(
+        "doc_id", F.expr(total).alias("score")
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOP)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+ORACLE_SQL["text_bm25"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+        FROM documents
+    ),
+    clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM clean GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_tokens
+        FROM dls
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM clean
+        WHERE term IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               (CAST(s.n_docs - d.df + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))
+               * (CAST(tf.tf * ({BM25_K1[0]} + {BM25_K1[1]}) AS DOUBLE)
+                  / (CAST(tf.tf * {BM25_K1[1]} AS DOUBLE) + CAST({BM25_K1[0]} AS DOUBLE)
+                     * (CAST({BM25_B[1]} - {BM25_B[0]} AS DOUBLE) / {BM25_B[1]}
+                        + (CAST({BM25_B[0]} AS DOUBLE) / {BM25_B[1]})
+                        * (CAST(l.dl * s.n_docs AS DOUBLE)
+                           / CAST(s.total_tokens AS DOUBLE))))) AS sc
+        FROM tf JOIN dfreq d USING (term) JOIN dls l USING (doc_id), stats s
+    ),
+    wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN term = '{BM25_TERMS[0]}' THEN sc END) AS s0,
+               MAX(CASE WHEN term = '{BM25_TERMS[1]}' THEN sc END) AS s1,
+               MAX(CASE WHEN term = '{BM25_TERMS[2]}' THEN sc END) AS s2
+        FROM scored GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id,
+               ((coalesce(s0, CAST(0 AS DOUBLE)) + coalesce(s1, CAST(0 AS DOUBLE)))
+                + coalesce(s2, CAST(0 AS DOUBLE))) AS score
+        FROM wide
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+           doc_id, score
+    FROM totals
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {BM25_TOP}
+"""
