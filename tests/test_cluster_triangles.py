@@ -395,3 +395,41 @@ def test_hybrid_rrf_fuses_both_lists(spark):
         if r["lex_rank"] is not None:
             expect += 1.0 / (RRF_K + r["lex_rank"])
         assert r["rrf"] == expect
+
+
+# ---------------------------------------------------------------------------
+# language-temperature rebalancing
+# ---------------------------------------------------------------------------
+
+
+def test_lang_temperature_boosts_low_resource(spark):
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators.curate import (
+        TEMP_LANGS,
+        curate_lang_temperature,
+    )
+
+    raw = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("lang").isin(*TEMP_LANGS))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out = curate_lang_temperature(spark, SF_DIR).toPandas()
+    quotas = out.groupby("lang")["quota"].first().to_dict()
+    # every language's sampled share exceeds the boost floor: with
+    # alpha=1/2, the dominant language's quota share must be strictly
+    # below its raw share, and each minority's strictly above
+    total_raw = sum(raw.values())
+    total_q = sum(quotas.values())
+    dom = max(raw, key=raw.get)
+    assert quotas[dom] / total_q < raw[dom] / total_raw
+    for lang in TEMP_LANGS:
+        if lang != dom:
+            assert quotas[lang] / total_q > raw[lang] / total_raw * 0.999
+    # quota never exceeds availability, and selection respects it
+    for lang, g in out.groupby("lang"):
+        assert len(g) == min(quotas[lang], raw[lang])
+        assert list(g["rk"]) == list(range(1, len(g) + 1))

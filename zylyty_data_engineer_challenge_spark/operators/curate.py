@@ -332,3 +332,105 @@ ORACLE_SQL["curate_source_mix"] = f"""
     WHERE cum_w <= {MIX_BUDGET_PER_SOURCE}
     ORDER BY source, cum_w
 """
+
+
+# ---------------------------------------------------------------------------
+# Language-temperature rebalancing
+# ---------------------------------------------------------------------------
+
+TEMP_LANGS = ("de", "en", "es", "fr", "zh")  # pinned order = summation order
+TEMP_TOTAL = 200  # target sample size
+
+
+def curate_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced multilingual sampling at T = 2 (alpha = 1/2):
+    language quotas proportional to sqrt(n_lang) instead of n_lang — the
+    standard low-resource boost multilingual training mixes apply (a
+    language with 1/9 the documents gets 1/3, not 1/9, of the sample).
+
+    alpha = 1/2 is chosen deliberately: ``sqrt`` is correctly rounded by
+    IEEE-754 (unlike ln/exp/pow), so the quota arithmetic is bit-identical
+    cross-engine — the same reason the TF-IDF/BM25 weightings here are
+    rational. The denominator is the explicit left-associated sum of the
+    TEMP_LANGS square roots (never a float SUM aggregate), and each
+    quota is ``floor((TOTAL * sqrt(n_l)) / denom)``.
+
+    Selection within a language is the deterministic md5 shuffle (same
+    contract as curate_source_mix). Scale: one count aggregate, a 1-row
+    broadcast quota table, one language-partitioned rank window.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*TEMP_LANGS)
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    wide = counts.groupBy().pivot("lang", list(TEMP_LANGS)).sum("n")
+    denom = "(" * (len(TEMP_LANGS) - 1) + " + ".join(
+        f"sqrt(CAST(coalesce(`{lang}`, 0) AS DOUBLE)))" if i
+        else f"sqrt(CAST(coalesce(`{lang}`, 0) AS DOUBLE))"
+        for i, lang in enumerate(TEMP_LANGS)
+    )
+    quota_structs = ", ".join(
+        f"struct('{lang}' AS lang, CAST(floor(({TEMP_TOTAL} * "
+        f"sqrt(CAST(coalesce(`{lang}`, 0) AS DOUBLE))) / _denom) AS INT) AS quota)"
+        for lang in TEMP_LANGS
+    )
+    quotas = wide.withColumn("_denom", F.expr(denom)).select(
+        F.explode(F.expr(f"array({quota_structs})")).alias("q")
+    ).select(F.col("q.lang").alias("lang"), F.col("q.quota").alias("quota"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("lang", "doc_id", "rk", "quota")
+        .orderBy("lang", "rk")
+    )
+
+
+_TL = TEMP_LANGS
+_SQ = [f"sqrt(CAST(coalesce(n{lang}, 0) AS DOUBLE))" for lang in _TL]
+_DENOM_SQL = "(" * (len(_TL) - 1) + " + ".join(
+    s + ")" if i else s for i, s in enumerate(_SQ)
+)
+
+ORACLE_SQL["curate_lang_temperature"] = f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents
+        WHERE lang IN ({", ".join(f"'{lang}'" for lang in _TL)})
+        GROUP BY lang
+    ),
+    wide AS (
+        SELECT {", ".join(
+            f"MAX(CASE WHEN lang = '{lang}' THEN n END) AS n{lang}" for lang in _TL
+        )}
+        FROM counts
+    ),
+    dn AS (SELECT *, {_DENOM_SQL} AS _denom FROM wide),
+    quotas AS (
+        {" UNION ALL ".join(
+            f"SELECT '{lang}' AS lang, CAST(floor(({TEMP_TOTAL} * "
+            f"sqrt(CAST(coalesce(n{lang}, 0) AS DOUBLE))) / _denom) AS INT) AS quota "
+            f"FROM dn"
+            for lang in _TL
+        )}
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                   doc_id) AS rk
+        FROM documents
+        WHERE lang IN ({", ".join(f"'{lang}'" for lang in _TL)})
+    )
+    SELECT r.lang, r.doc_id, CAST(r.rk AS INT) AS rk, q.quota
+    FROM ranked r JOIN quotas q ON r.lang = q.lang
+    WHERE r.rk <= q.quota
+    ORDER BY r.lang, r.rk
+"""
