@@ -109,10 +109,9 @@ def headline_queries() -> dict:
         "kmeans_lloyd",
         "kmeans_inertia",
         "graph_triangles",
-        "curate_source_mix",
     ]
     # extended ops register themselves under these prefixes as they land
-    extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_")
+    extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_", "curate_")
     names += [n for n in all_q if n.startswith(extended_prefixes)]
     return {n: all_q[n] for n in names if n in all_q}
 

@@ -433,3 +433,27 @@ def test_lang_temperature_boosts_low_resource(spark):
     for lang, g in out.groupby("lang"):
         assert len(g) == min(quotas[lang], raw[lang])
         assert list(g["rk"]) == list(range(1, len(g) + 1))
+
+
+# ---------------------------------------------------------------------------
+# table profiler
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_shape_and_sanity(spark):
+    from zylyty_data_engineer_challenge_spark.queries.warehouse import (
+        _PROFILE_COLS,
+        q_table_profile,
+    )
+
+    rows = {r["col"]: r for r in q_table_profile(spark, SF_DIR).collect()}
+    assert set(rows) == {c for c, _, _ in _PROFILE_COLS}
+    n_rows = {r["n_rows"] for r in rows.values()}
+    assert len(n_rows) == 1 and n_rows.pop() > 0
+    for r in rows.values():
+        assert 0 <= r["n_nulls"] <= r["n_rows"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+        assert r["min_repr"] <= r["max_repr"]
+    # the key column is unique
+    k = rows["o_orderkey"]
+    assert k["n_distinct"] == k["n_rows"] - k["n_nulls"]

@@ -458,3 +458,83 @@ ORACLE_SQL["q_incremental_agg"] = """
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Single-pass table profiler
+# ---------------------------------------------------------------------------
+
+# (column, Spark min/max canonicalizer, DuckDB min/max canonicalizer):
+# numerics via typed MIN/MAX then string render, money via DECIMAL(18,2) so
+# the float never prints, timestamps via an explicit format string — each
+# pair chosen to render byte-identically in both engines
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({m}(o_orderkey) AS STRING)", "CAST({m}(o_orderkey) AS VARCHAR)"),
+    ("o_custkey", "CAST({m}(o_custkey) AS STRING)", "CAST({m}(o_custkey) AS VARCHAR)"),
+    ("o_orderstatus", "{m}(o_orderstatus)", "{m}(o_orderstatus)"),
+    (
+        "o_totalprice",
+        "CAST(CAST({m}(o_totalprice) AS DECIMAL(18,2)) AS STRING)",
+        "CAST(CAST({m}(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+    ),
+    (
+        "o_orderdate",
+        "date_format({m}(o_orderdate), 'yyyy-MM-dd HH:mm:ss')",
+        "strftime({m}(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+    ),
+    ("o_orderpriority", "{m}(o_orderpriority)", "{m}(o_orderpriority)"),
+)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling primitive: one row per column of ``orders`` with
+    row/null/distinct counts and canonicalized min/max — the summary every
+    warehouse quality gate and catalog page computes before trusting a
+    table.
+
+    Plan shape: ONE aggregate job over one scan (the multi-column
+    COUNT(DISTINCT)s share the scan through Spark's Expand rewrite;
+    distinct state is per-column hash sets in the aggregate, the standard
+    trade), then a constant-width explode of the single summary row into
+    per-column rows — no per-column scans, no driver loop over columns.
+    At 100 TB the same job profiles any table; swap exact distinct counts
+    for HLL registers (operators/sketches.py) when approximate is enough.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c, srepr, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("long").alias(f"cnt_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            F.expr(srepr.format(m="MIN")).alias(f"mn_{c}"),
+            F.expr(srepr.format(m="MAX")).alias(f"mx_{c}"),
+        ]
+    row = orders.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{c}' AS col, n_rows, n_rows - cnt_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_repr, mx_{c} AS max_repr)"
+        for c, _, _ in _PROFILE_COLS
+    )
+    return (
+        row.select(F.explode(F.expr(f"array({structs})")).alias("p"))
+        .select("p.*")
+        .orderBy("col")
+    )
+
+
+ORACLE_SQL["q_table_profile"] = (
+    "WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    + ", ".join(
+        f"CAST(COUNT({c}) AS BIGINT) AS cnt_{c}, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
+        f"{drepr.format(m='MIN')} AS mn_{c}, {drepr.format(m='MAX')} AS mx_{c}"
+        for c, _, drepr in _PROFILE_COLS
+    )
+    + " FROM orders) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col, n_rows, n_rows - cnt_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_repr, mx_{c} AS max_repr FROM s"
+        for c, _, _ in _PROFILE_COLS
+    )
+    + " ORDER BY col"
+)
