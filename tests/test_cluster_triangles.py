@@ -457,3 +457,24 @@ def test_table_profile_shape_and_sanity(spark):
     # the key column is unique
     k = rows["o_orderkey"]
     assert k["n_distinct"] == k["n_rows"] - k["n_nulls"]
+
+
+# ---------------------------------------------------------------------------
+# watermark canary
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_canary_rerun_is_identical(spark):
+    # the two-file construction is cached behind a marker; a re-run must
+    # replay the identical batches and produce the identical table
+    from zylyty_data_engineer_challenge_spark.streaming.late_stream import (
+        stream_watermark_canary,
+    )
+
+    a = stream_watermark_canary(spark, SF_DIR).collect()
+    b = stream_watermark_canary(spark, SF_DIR).collect()
+    assert a == b
+    assert len(a) > 0
+    # append mode: every window appears exactly once
+    starts = [r["window_start"] for r in a]
+    assert len(starts) == len(set(starts))
