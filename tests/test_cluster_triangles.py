@@ -1,7 +1,10 @@
-"""Unit tests for the round-7 additions: k-means (Lloyd), triangle
-counting, Levenshtein dedup, TF-IDF keywords, and the theta-sketch
-intersection — semantics pinned on tiny hand-built frames or micro
-invariants, independent of the oracle gate."""
+"""Unit tests for the session-7b additions — k-means (Lloyd), triangle
+counting, Levenshtein dedup + name clusters, TF-IDF, BM25, hybrid RRF,
+theta intersection, trained IVF / IVF-PQ, weighted sampling, source and
+language-temperature mixing, shingle containment, PNG pixel decode,
+table profiler, streaming HLL, watermark canary — semantics pinned on
+tiny hand-built frames or micro invariants, independent of the oracle
+gate."""
 
 from __future__ import annotations
 
