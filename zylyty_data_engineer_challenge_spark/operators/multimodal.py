@@ -615,3 +615,120 @@ ORACLE_SQL["mm_pixel_decode"] = """
     GROUP BY doc_id, width, height
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Framewise audio energy (PCM decode beyond headers)
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 16  # samples per analysis frame (flat, channel-interleaved)
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def _decode_wav_samples(b: bytes) -> list[int]:
+    """FULL 16-bit PCM WAV decode: walk the RIFF chunk chain by declared
+    sizes (word-aligned), take fmt's block layout from the chunk itself,
+    and unpack the data chunk as little-endian int16 samples. Raises on a
+    malformed container — truncated chunk, missing fmt/data, non-16-bit —
+    because silently feeding garbage samples to a feature extractor is
+    how bad audio reaches a training run."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    if riff_size != len(b) - 8:
+        raise ValueError("RIFF size does not match payload")
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            bits = struct.unpack("<HHIIHH", body[:16])[5]
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if bits != 16 or data is None:
+        raise ValueError("expected 16-bit PCM with fmt and data chunks")
+    if len(data) % 2:
+        raise ValueError("odd data-chunk length for 16-bit samples")
+    return list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise audio energy — the VAD/segmentation primitive — computed
+    from a REAL decode: build the 16-bit PCM WAV (same generative formulas
+    as :func:`mm_decode_audio`), walk the RIFF chunks, unpack int16
+    samples, and emit sum-of-squares energy per AUDIO_FRAME-sample frame
+    (flat over the channel-interleaved stream; the trailing partial frame
+    is dropped). The oracle recomputes every sample from the text bytes
+    (sample j = byte(2j) + 256*byte(2j+1), two's-complement), so any
+    error in chunk walking, alignment, or endianness breaks the
+    differential — the audio twin of :func:`mm_pixel_decode`.
+
+    Scale: construct+decode+frame-aggregate inside ONE mapInPandas stage;
+    only (doc, frame, energy) rows leave the executor.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame": [], "energy": []}
+            for did, n_chars, txt in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"]):
+                rate = 8000 if int(did) % 2 == 0 else 16000
+                channels = int(did) % 2 + 1
+                n_samples = int(n_chars) % 50 + 10
+                payload = _build_wav(n_samples, rate, channels, txt.encode("utf-8"))
+                samples = _decode_wav_samples(payload)
+                for f in range(len(samples) // AUDIO_FRAME):
+                    chunk = samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                    out["doc_id"].append(int(did))
+                    out["frame"].append(f)
+                    out["energy"].append(sum(s * s for s in chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame": pd.Series(out["frame"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(roundtrip, schema=ENERGY_SCHEMA).orderBy("doc_id", "frame")
+
+
+ORACLE_SQL["mm_audio_energy"] = f"""
+    WITH g AS (
+        SELECT doc_id, n_chars, text,
+               (doc_id % 2 + 1) * (n_chars % 50 + 10) AS total
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, n_chars, text,
+               unnest(range(0, (total // {AUDIO_FRAME}) * {AUDIO_FRAME})) AS j
+        FROM g
+    ),
+    smp AS (
+        SELECT doc_id, CAST(j // {AUDIO_FRAME} AS INT) AS frame,
+               unicode(substr(text, CAST((2 * j) % n_chars AS INT) + 1, 1))
+               + 256 * unicode(substr(text, CAST((2 * j + 1) % n_chars AS INT) + 1, 1))
+                   AS raw
+        FROM idx
+    ),
+    s16 AS (
+        SELECT doc_id, frame,
+               CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM smp
+    )
+    SELECT doc_id, frame, CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM s16
+    GROUP BY doc_id, frame
+    ORDER BY doc_id, frame
+"""
