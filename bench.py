@@ -109,6 +109,7 @@ def headline_queries() -> dict:
         "kmeans_lloyd",
         "kmeans_inertia",
         "graph_triangles",
+        "q_table_profile",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_", "curate_")
