@@ -301,7 +301,6 @@ def curate_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         F.col("n_chars").cast("long").alias("w"),
-        _hash_bucket("doc_id").alias("hb"),
         F.expr(
             "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),

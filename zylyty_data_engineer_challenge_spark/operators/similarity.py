@@ -821,16 +821,16 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle() -> str:
-    """DuckDB twin: chain the k-means training CTEs (identical rounds) and
-    probe the trained codebook; cN is the per-dim (cid, d, cx) form the
-    dims-join assignment consumes directly."""
-    from .cluster import N_RECOMPUTE, _oracle_rounds
+def _ivf_probe_ctes() -> str:
+    """The trained-codebook list CTEs shared by the sim_ann_ivf_kmeans and
+    sim_ann_ivfpq oracles — corpus_assign (each corpus vector's nearest
+    trained list) and probes (each query's NPROBE nearest lists). One
+    definition, so a tie-break or NPROBE edit can never desynchronize
+    the two indexes' documented like-for-like comparability."""
+    from .cluster import N_RECOMPUTE
 
     cn = f"c{N_RECOMPUTE}"
-    return f"""
-    WITH {_oracle_rounds()},
-    corpus_assign AS (
+    return f"""corpus_assign AS (
         SELECT vec_id, cid FROM (
             SELECT dims.vec_id, {cn}.cid,
                    ROW_NUMBER() OVER (
@@ -853,7 +853,18 @@ def _ivf_kmeans_oracle() -> str:
             WHERE dims.vec_id < {N_QUERIES}
             GROUP BY dims.vec_id, {cn}.cid
         ) WHERE crk <= {NPROBE}
-    ),
+    )"""
+
+
+def _ivf_kmeans_oracle() -> str:
+    """DuckDB twin: chain the k-means training CTEs (identical rounds) and
+    probe the trained codebook; cN is the per-dim (cid, d, cx) form the
+    dims-join assignment consumes directly."""
+    from .cluster import _oracle_rounds
+
+    return f"""
+    WITH {_oracle_rounds()},
+    {_ivf_probe_ctes()},
     norms AS (
         SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n FROM dims GROUP BY vec_id
     ),
@@ -946,39 +957,16 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle() -> str:
-    """DuckDB twin: k-means training + list probing CTEs (identical to
-    sim_ann_ivf_kmeans) plus the PQ chain re-derived from the same `dims`
+    """DuckDB twin: k-means training + the SHARED list-probing CTEs
+    (:func:`_ivf_probe_ctes`, identical to sim_ann_ivf_kmeans by
+    construction) plus the PQ chain re-derived from the same `dims`
     table (m = d // PQ_SUB, i = d % PQ_SUB), restricted to list
     candidates before scoring."""
-    from .cluster import N_RECOMPUTE, _oracle_rounds
+    from .cluster import _oracle_rounds
 
-    cn = f"c{N_RECOMPUTE}"
     return f"""
     WITH {_oracle_rounds()},
-    corpus_assign AS (
-        SELECT vec_id, cid FROM (
-            SELECT dims.vec_id, {cn}.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY dims.vec_id
-                       ORDER BY SUM((dims.x - {cn}.cx) * (dims.x - {cn}.cx)),
-                                {cn}.cid) AS crk
-            FROM dims JOIN {cn} USING (d)
-            WHERE dims.vec_id >= {N_QUERIES}
-            GROUP BY dims.vec_id, {cn}.cid
-        ) WHERE crk = 1
-    ),
-    probes AS (
-        SELECT vec_id AS query_id, cid FROM (
-            SELECT dims.vec_id, {cn}.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY dims.vec_id
-                       ORDER BY SUM((dims.x - {cn}.cx) * (dims.x - {cn}.cx)),
-                                {cn}.cid) AS crk
-            FROM dims JOIN {cn} USING (d)
-            WHERE dims.vec_id < {N_QUERIES}
-            GROUP BY dims.vec_id, {cn}.cid
-        ) WHERE crk <= {NPROBE}
-    ),
+    {_ivf_probe_ctes()},
     cand AS (
         SELECT p.query_id, a.vec_id
         FROM probes p JOIN corpus_assign a USING (cid)
@@ -1128,9 +1116,10 @@ ORACLE_SQL["sim_hybrid_rrf"] = f"""
 def _inject_bm25_oracle() -> None:
     """The BM25 oracle ends in ORDER BY .. LIMIT (semantic, cannot be
     stripped); DuckDB accepts it verbatim as a derived table, so splice
-    it in whole. Deferred to a function so this module never imports
-    text at module load (text has no dependency on similarity, but
-    keeping the splice lazy mirrors the cluster-module convention)."""
+    it in whole. This runs at module load, so similarity DOES import
+    text at import time — safe because text imports nothing from
+    similarity (no cycle); the function exists only to scope the splice,
+    not to defer it."""
     from .text import ORACLE_SQL as _TEXT_ORACLE
 
     ORACLE_SQL["sim_hybrid_rrf"] = ORACLE_SQL["sim_hybrid_rrf"].replace(
