@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_inertia": cluster.kmeans_inertia,
         "graph_triangles": graph.graph_triangles,
         "dedup_edit_distance": dedup.dedup_edit_distance,
+        "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
         "text_tfidf": text.text_tfidf,
         "sketch_theta_intersect": sketches.sketch_theta_intersect,
         "sim_ann_ivf_kmeans": similarity.sim_ann_ivf_kmeans,

@@ -107,3 +107,51 @@ def test_stream_parquet_sink_configured_root_and_exactly_once(spark, sf_dir, tmp
         assert first == second
     finally:
         spark.conf.unset("spark.zylyty.streamSinkDir")
+
+
+def test_stream_sink_identity_remote_path(spark, sf_dir, tmp_path, monkeypatch):
+    """r7 VERDICT item 2: when the source path is NOT driver-statable
+    (hdfs://, s3a://), sink identity must resolve through the Hadoop FS
+    API — so a REGENERATED remote source at the same path still gets a
+    fresh sink+checkpoint instead of name-only identity silently reusing
+    a stale commit log. Simulated by copying the fixture and making
+    os.stat raise for it (the Hadoop local FS stands in for the remote
+    one, exactly the API a cluster would hit)."""
+    import os
+    import shutil
+
+    from zylyty_data_engineer_challenge_spark.streaming.views_stream import (
+        _source_identity,
+        _stream_sink_dirs,
+    )
+
+    src_dir = tmp_path / "remote_sf"
+    src_dir.mkdir()
+    src = str(src_dir / "events.parquet")
+    shutil.copyfile(f"{sf_dir}/events.parquet", src)
+
+    real_stat = os.stat
+
+    def deny_events(path, *a, **k):
+        if "events.parquet" in str(path):
+            raise OSError(f"simulated remote path: {path}")
+        return real_stat(path, *a, **k)
+
+    monkeypatch.setattr(os, "stat", deny_events)
+
+    ident1 = _source_identity(spark, src)
+    assert ident1 == _source_identity(spark, src), "identity must be stable"
+    dirs1 = _stream_sink_dirs(spark, str(src_dir))
+
+    # regenerate: same path, different content + mtime (Hadoop local FS
+    # reports mtime in ms, so jump a full second)
+    with open(src, "ab") as f:
+        f.write(b"x")
+    st = real_stat(src)
+    os.utime(src, (st.st_atime + 5, st.st_mtime + 5))
+
+    ident2 = _source_identity(spark, src)
+    assert ident2 != ident1, "regenerated remote source must change identity"
+    assert _stream_sink_dirs(spark, str(src_dir)) != dirs1, (
+        "regenerated remote source must get a fresh sink+checkpoint"
+    )

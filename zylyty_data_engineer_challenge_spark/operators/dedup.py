@@ -907,11 +907,16 @@ LEV_THRESHOLD = 3
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Levenshtein near-dup pairs over the part-name dictionary: every pair
-    of DISTINCT p_name values within edit distance <= LEV_THRESHOLD, with
-    the part counts each name carries (the merge impact of collapsing the
-    pair). Unlike :func:`...queries.analytics.dedup_fuzzy_names` (exact
-    Hamming<=1 via wildcard patterns, equal lengths only), this is true
+    """Levenshtein near-dup pairs over the part-name dictionary: pairs of
+    DISTINCT p_name values SHARING A FIRST-TOKEN BLOCK whose edit distance
+    is <= LEV_THRESHOLD, with the part counts each name carries (the merge
+    impact of collapsing the pair). The blocking is the recall trade: a
+    pair whose edit falls inside the first token lands in different blocks
+    and is missed by design — :func:`dedup_edit_recall_sampled` is the
+    acceptance gate that quantifies exactly that loss against the
+    unblocked ground truth. Unlike
+    :func:`...queries.analytics.dedup_fuzzy_names` (exact Hamming<=1 via
+    wildcard patterns, equal lengths only), the verify predicate is true
     Levenshtein — insertions and deletions across unequal lengths.
 
     Plan: dictionary-first (project to distinct names + counts BEFORE any
@@ -963,6 +968,104 @@ ORACLE_SQL["dedup_edit_distance"] = f"""
     JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
     WHERE levenshtein(a.p_name, b.p_name) <= {LEV_THRESHOLD}
     ORDER BY n1, n2
+"""
+
+
+# Anchor sampling for the edit-distance recall gate: a name is an anchor
+# iff its md5 hash lands in stratum 0 of EDIT_SAMPLE_MOD. Content-hash
+# anchoring is independent of the first-token blocking key, so recall over
+# the anchored stratum is an unbiased estimate of overall blocking recall.
+EDIT_SAMPLE_MOD = 16
+
+
+def dedup_edit_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for :func:`dedup_edit_distance`'s first-token
+    blocking: recall of the blocked detector against the UNBLOCKED
+    Levenshtein ground truth, over a deterministic ~1/EDIT_SAMPLE_MOD
+    hash-sample of anchor names — the gate that makes the blocking loss
+    (pairs whose edit falls inside the first token) a measured number
+    instead of a docstring caveat.
+
+    Ground truth for a pair (n1 < n2, n1 an anchor) is computed against
+    the FULL dictionary with no token blocking; the only pruning is the
+    exact length-window bound (|len(n1) - len(n2)| <= d is a Levenshtein
+    lower bound, so it loses nothing). The Spark side turns that window
+    into an equi-join — each anchor explodes to its 2d+1 admissible
+    partner lengths, joined on exact length — so the verify runs inside
+    hash-join buckets instead of a nested-loop cross product; the oracle
+    states the same set as a plain length-filtered theta join (identical
+    semantics, engine-appropriate plan). Cost: O(sample x dictionary /
+    length-spread), the same anchor pattern as
+    :func:`dedup_lsh_recall_sampled`.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn(
+            "is_anchor",
+            F.expr(
+                "CAST(conv(substr(md5(p_name), 1, 15), 16, 10) AS BIGINT)"
+                f" % {EDIT_SAMPLE_MOD} = 0"
+            ),
+        )
+        .withColumn("len", F.length("p_name"))
+    )
+    anchors = names.filter("is_anchor").select(
+        F.col("p_name").alias("n1"),
+        F.explode(
+            F.sequence(
+                F.col("len") - LEV_THRESHOLD, F.col("len") + LEV_THRESHOLD
+            )
+        ).alias("len"),
+    )
+    exact = (
+        anchors.join(names.select(F.col("p_name").alias("n2"), "len"), "len")
+        .filter(F.col("n1") < F.col("n2"))
+        .filter(F.levenshtein("n1", "n2") <= LEV_THRESHOLD)
+        .select("n1", "n2")
+    )
+    blocked = (
+        dedup_edit_distance(spark, sf_dir)
+        .filter(
+            F.expr(
+                "CAST(conv(substr(md5(n1), 1, 15), 16, 10) AS BIGINT)"
+                f" % {EDIT_SAMPLE_MOD} = 0"
+            )
+        )
+        .select("n1", "n2", F.lit(1).alias("hit"))
+    )
+    return _pair_recall_gate(exact, blocked, "n_blocked_sampled")
+
+
+_EDIT_ANCHOR_SQL = (
+    f"('0x' || substr(md5({{n}}), 1, 15))::BIGINT % {EDIT_SAMPLE_MOD} = 0"
+)
+
+ORACLE_SQL["dedup_edit_recall_sampled"] = f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    exact AS (
+        SELECT a.p_name AS n1, b.p_name AS n2
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND abs(len(a.p_name) - len(b.p_name)) <= {LEV_THRESHOLD}
+         AND levenshtein(a.p_name, b.p_name) <= {LEV_THRESHOLD}
+        WHERE {_EDIT_ANCHOR_SQL.format(n="a.p_name")}
+    ),
+    blocked AS (
+        SELECT n1, n2, 1 AS hit
+        FROM ({_strip_order_by(ORACLE_SQL["dedup_edit_distance"])})
+        WHERE {_EDIT_ANCHOR_SQL.format(n="n1")}
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM blocked) AS n_blocked_sampled,
+           CAST((SELECT COUNT(*) FROM exact e JOIN blocked l
+                 ON e.n1 = l.n1 AND e.n2 = l.n2) AS BIGINT) AS hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM exact e JOIN blocked l
+                           ON e.n1 = l.n1 AND e.n2 = l.n2) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM exact)
+           END AS recall
 """
 
 

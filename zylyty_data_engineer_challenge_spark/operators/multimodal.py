@@ -602,9 +602,15 @@ ORACLE_SQL["mm_pixel_decode"] = """
                unnest(range(0, width * 3 * height)) AS j
         FROM dims
     ),
+    -- empty-text guard mirrors _build_png (an empty seed yields all-zero
+    -- pixels, never a modulo-by-zero); the byte-for-char substr() identity
+    -- additionally relies on the fixture's ASCII text (n_chars == UTF-8
+    -- byte length), the same invariant the builders assume
     pix AS (
         SELECT doc_id, width, height,
-               unicode(substr(text, CAST(j % n_chars AS INT) + 1, 1)) AS bv
+               CASE WHEN n_chars = 0 THEN 0
+                    ELSE unicode(substr(text, CAST(j % n_chars AS INT) + 1, 1))
+               END AS bv
         FROM idx
     )
     SELECT doc_id, width, height,
@@ -715,11 +721,16 @@ ORACLE_SQL["mm_audio_energy"] = f"""
                unnest(range(0, (total // {AUDIO_FRAME}) * {AUDIO_FRAME})) AS j
         FROM g
     ),
+    -- empty-text guard mirrors _build_wav (an empty seed yields all-zero
+    -- sample bytes, never a modulo-by-zero); the byte-for-char substr()
+    -- identity additionally relies on the fixture's ASCII text (n_chars ==
+    -- UTF-8 byte length), the same invariant the builders assume
     smp AS (
         SELECT doc_id, CAST(j // {AUDIO_FRAME} AS INT) AS frame,
-               unicode(substr(text, CAST((2 * j) % n_chars AS INT) + 1, 1))
-               + 256 * unicode(substr(text, CAST((2 * j + 1) % n_chars AS INT) + 1, 1))
-                   AS raw
+               CASE WHEN n_chars = 0 THEN 0 ELSE
+                   unicode(substr(text, CAST((2 * j) % n_chars AS INT) + 1, 1))
+                   + 256 * unicode(substr(text, CAST((2 * j + 1) % n_chars AS INT) + 1, 1))
+               END AS raw
         FROM idx
     ),
     s16 AS (

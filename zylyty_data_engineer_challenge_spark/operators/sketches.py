@@ -637,10 +637,17 @@ WS_K = 32  # sample size
 
 def _ws_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id, w (= n_chars), skey = h/w with h the repo-standard 60-bit
-    md5 integer: ascending skey order == descending priority w/u order."""
+    md5 integer: ascending skey order == descending priority w/u order.
+
+    Zero-weight docs are filtered out BEFORE the key division: priority
+    q = w/u is 0 for w = 0, so such a doc can never be sampled — and the
+    explicit filter keeps the cross-engine differential alive on corpora
+    that contain one (Spark's non-ANSI x/0 yields NULL while DuckDB
+    errors; the fixture's n_chars >= 44 never exercises either)."""
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.col("n_chars").cast("long").alias("w"))
+        .filter(F.col("w") > 0)
         .withColumn(
             "h",
             F.expr(
@@ -718,9 +725,12 @@ def sketch_weighted_sample_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WS_KEYED_SQL = """
     keyed AS (
+        -- w > 0 mirrors _ws_keyed: zero-weight docs have zero inclusion
+        -- probability and must never reach the h/w key division
         SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         FROM documents
+        WHERE n_chars > 0
     ),
     sk AS (SELECT doc_id, w, h * 1.0 / w AS skey FROM keyed),
     ranked AS (

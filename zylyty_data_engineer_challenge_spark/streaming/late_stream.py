@@ -46,22 +46,20 @@ HOUR_US = 3_600_000_000
 
 def _late_input_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stable two-file stream-input dir keyed by source identity (same
-    contract as views_stream._stream_sink_dirs): re-runs against unchanged
-    data reuse the layout; a regenerated fixture gets a fresh one."""
+    contract and identity resolver as views_stream._stream_sink_dirs):
+    re-runs against unchanged data reuse the layout; a regenerated fixture
+    — local or remote — gets a fresh one."""
     import hashlib
     import tempfile
+
+    from .views_stream import _source_identity
 
     root = spark.conf.get("spark.zylyty.streamLateDir", None)
     if not root:
         root = os.environ.get("SPARK_GRAFT_STREAM_SINK_DIR") or os.path.join(
             tempfile.gettempdir(), "zylyty_stream_late"
         )
-    src = f"{sf_dir}/events.parquet"
-    try:
-        st = os.stat(src)
-        ident = f"{src}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        ident = src
+    ident = _source_identity(spark, f"{sf_dir}/events.parquet")
     key = hashlib.sha1(ident.encode()).hexdigest()[:16]
     return f"{root}/{key}"
 
@@ -133,7 +131,52 @@ def stream_watermark_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    _assert_two_batch_replay(q)
     return spark.table(sink).orderBy("window_start")
+
+
+def _assert_two_batch_replay(q) -> None:
+    """Fail loudly if the replay degenerated to in-order / single-batch.
+
+    The canary's expected output is identical to what an in-order or
+    single-batch replay would produce, so the mtime-ordering +
+    maxFilesPerTrigger=1 scheduling trick is itself an invariant to pin:
+    exactly two micro-batches must consume input, and the append output
+    must be split across them with the first (later-half) batch emitting
+    NOTHING (its watermark is still the epoch when it runs). If Spark
+    ever stops honoring either knob, this raises instead of leaving a
+    green gate that no longer exercises late arrivals at all.
+    """
+    import json
+
+    progress = [
+        p if isinstance(p, dict) else json.loads(p.json)
+        for p in q.recentProgress
+    ]
+    data_batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    if len(data_batches) != 2:
+        raise RuntimeError(
+            "watermark canary replay degenerated: expected exactly 2 "
+            f"input micro-batches, saw {len(data_batches)} "
+            f"(of {len(progress)} progress events)"
+        )
+    first_out = data_batches[0].get("sink", {}).get("numOutputRows", 0)
+    if first_out > 0:
+        raise RuntimeError(
+            "watermark canary replay degenerated: batch 1 emitted "
+            f"{first_out} rows but must emit nothing (watermark not yet "
+            "advanced) — the out-of-order schedule is no longer in effect"
+        )
+    after_first = progress.index(data_batches[0]) + 1
+    later_out = sum(
+        p.get("sink", {}).get("numOutputRows", 0)
+        for p in progress[after_first:]
+    )
+    if later_out <= 0:
+        raise RuntimeError(
+            "watermark canary replay degenerated: no append output after "
+            "batch 1 — late-arrival emission never happened"
+        )
 
 
 ORACLE_SQL = {

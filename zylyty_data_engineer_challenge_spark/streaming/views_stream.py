@@ -288,6 +288,43 @@ ORACLE_SQL["stream_session_window"] = """
 """
 
 
+def _source_identity(spark: SparkSession, src: str) -> str:
+    """Content identity of a stream source path: ``path:mtime:size``.
+
+    Local paths resolve through ``os.stat``; anything that is not
+    driver-statable (hdfs://, s3a://, or any scheme the local OS can't
+    see) resolves through the Hadoop FileSystem API instead — content
+    summary length + max file modification time — so a REGENERATED remote
+    source at the same path still changes identity and gets a fresh
+    sink+checkpoint. Before r8 the remote branch fell back to name-only
+    identity, which would silently reuse a stale commit log and skip the
+    new data — exactly the failure mode the identity keying exists to
+    prevent.
+    """
+    import os
+
+    try:
+        st = os.stat(src)
+        return f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        pass
+    # remote path: ask the filesystem that will actually serve the stream
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    status = fs.getFileStatus(hpath)
+    if status.isDirectory():
+        size = fs.getContentSummary(hpath).getLength()
+        mtime = max(
+            (s.getModificationTime() for s in fs.listStatus(hpath)),
+            default=status.getModificationTime(),
+        )
+    else:
+        size = status.getLen()
+        mtime = status.getModificationTime()
+    return f"{src}:{mtime}:{size}"
+
+
 def _stream_sink_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Resolve the bronze sink's (data, checkpoint) locations.
 
@@ -295,10 +332,11 @@ def _stream_sink_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ``SPARK_GRAFT_STREAM_SINK_DIR`` (env) — on a cluster this is a shared
     filesystem (hdfs://, s3a://) every executor can write; the local-mode
     default is a stable dir under the system tempdir. Under the root, runs
-    are keyed by the source's identity — path + (mtime, size) when the
-    source is driver-statable — so a regenerated fixture at the same path
-    gets a fresh sink+checkpoint instead of a stale commit log silently
-    skipping the new data, while re-runs against unchanged data reuse the
+    are keyed by the source's identity (:func:`_source_identity` — path +
+    mtime + size, resolved through the Hadoop FS API when the path is not
+    driver-statable) — so a regenerated fixture at the same path gets a
+    fresh sink+checkpoint instead of a stale commit log silently skipping
+    the new data, while re-runs against unchanged data reuse the
     checkpoint and demonstrate exactly-once across restarts.
     """
     import hashlib
@@ -310,12 +348,7 @@ def _stream_sink_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         root = os.environ.get("SPARK_GRAFT_STREAM_SINK_DIR") or os.path.join(
             tempfile.gettempdir(), "zylyty_stream_sink"
         )
-    src = f"{sf_dir}/events.parquet"
-    try:
-        st = os.stat(src)
-        ident = f"{src}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:  # remote source path: key by name only
-        ident = src
+    ident = _source_identity(spark, f"{sf_dir}/events.parquet")
     key = hashlib.sha1(ident.encode()).hexdigest()[:16]
     return f"{root}/{key}/data", f"{root}/{key}/chk"
 
