@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hybrid_rrf": similarity.sim_hybrid_rrf,
         "curate_lang_temperature": curate.curate_lang_temperature,
         "q_table_profile": warehouse.q_table_profile,
+        "q_table_profile_approx": warehouse.q_table_profile_approx,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "mm_audio_energy": multimodal.mm_audio_energy,
         # stale driver proof: last row r1-era (q_udf_surface tail)

@@ -114,6 +114,37 @@ def test_hll_estimate_within_sketch_error(spark):
         assert abs(est - exact[flag]) / exact[flag] < 3 * 1.04 / HLL_BUCKETS**0.5
 
 
+def test_table_profile_approx_tracks_exact_distincts(spark):
+    """Read-time contract of q_table_profile_approx: the raw integer
+    estimate is within HLL error for saturated (high-cardinality) columns,
+    and linear counting over the register table recovers low-cardinality
+    columns — the float correction deliberately left out of the
+    cross-engine oracle."""
+    import math
+
+    from zylyty_data_engineer_challenge_spark.operators.sketches import HLL_BUCKETS
+    from zylyty_data_engineer_challenge_spark.queries.warehouse import (
+        q_table_profile,
+        q_table_profile_approx,
+    )
+
+    exact = {r["col"]: r["n_distinct"] for r in q_table_profile(spark, SF_DIR).collect()}
+    approx = {r["col"]: r for r in q_table_profile_approx(spark, SF_DIR).collect()}
+    assert set(exact) == set(approx)
+    m = HLL_BUCKETS
+    for col, nd in exact.items():
+        row = approx[col]
+        empty = m - row["n_filled_buckets"]
+        if row["nd_estimate"] <= 5 * m // 2 and empty > 0:
+            # small-range regime: linear counting m*ln(m/V)
+            est = m * math.log(m / empty)
+        else:
+            est = row["nd_estimate"]
+        assert abs(est - nd) <= max(3 * 1.04 / m**0.5 * nd, 2), (
+            f"{col}: est {est} vs exact {nd}"
+        )
+
+
 def test_cdc_apply_actions_partition_keyspace(spark):
     from zylyty_data_engineer_challenge_spark.queries.warehouse import q_cdc_apply
 

@@ -497,8 +497,11 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct state is per-column hash sets in the aggregate, the standard
     trade), then a constant-width explode of the single summary row into
     per-column rows — no per-column scans, no driver loop over columns.
-    At 100 TB the same job profiles any table; swap exact distinct counts
-    for HLL registers (operators/sketches.py) when approximate is enough.
+    At 100 TB the Expand rewrite is the documented trade: per-column
+    distinct hash sets are a very large aggregate state, so this exact
+    form is the small-scale yardstick — :func:`q_table_profile_approx` is
+    the registered sketch-backed twin (64 HLL registers per column,
+    constant state) a 100 TB profile actually runs.
     """
     orders = load_table(spark, sf_dir, "orders")
     aggs = [F.count("*").cast("long").alias("n_rows")]
@@ -522,6 +525,185 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# alpha_64 = 0.709 (Flajolet et al.'s HLL bias constant for m = 64), kept
+# rational so the estimate is pure integer arithmetic in both engines
+_ALPHA64_NUM = 709
+_ALPHA64_DEN = 1000
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_table_profile` with the exact ``COUNT(DISTINCT)``s swapped
+    for HyperLogLog register estimates — the form a 100 TB profile
+    actually runs. The exact profiler's Expand rewrite keeps a per-column
+    HASH SET of every distinct value in aggregate state; this twin keeps
+    64 registers per column (mergeable by MAX), so executor state is
+    constant no matter how many distincts the table holds — the whole
+    reason sketches exist at scale. Same single-scan shape: one explode
+    to (col, canonical repr) rows, one register aggregate, joined to the
+    base counts/min/max pass.
+
+    The sketch machinery is :func:`...operators.sketches.
+    sketch_hll_registers` verbatim (same 60-bit md5 hash, bucket/rho
+    split, trailing-zero rho) applied per column; values are hashed
+    through the SAME canonicalizers the exact profiler renders min/max
+    with, which are injective on the table's actual domain (money is
+    exact cents, timestamps are date-grained). The estimate column is the
+    RAW integer-exact HLL estimator (alpha64 * m^2 * 2^55 as one decimal
+    numerator, floor-divided by the integer register sum) — bias-correct
+    for high-cardinality columns; low-cardinality columns (see
+    n_filled_buckets) are where a reader applies linear counting, which
+    needs ln() and therefore stays a read-time float (checked in a unit
+    test, not the oracle — same contract as ``hll_estimate``).
+    """
+    from ..operators.sketches import HLL_BUCKETS, HLL_MAX_RHO
+
+    est_num = _ALPHA64_NUM * HLL_BUCKETS * HLL_BUCKETS * (2**HLL_MAX_RHO)
+    orders = load_table(spark, sf_dir, "orders")
+
+    # base pass: counts + canonical min/max (the exact profiler minus its
+    # countDistinct state)
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c, srepr, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("long").alias(f"cnt_{c}"),
+            F.expr(srepr.format(m="MIN")).alias(f"mn_{c}"),
+            F.expr(srepr.format(m="MAX")).alias(f"mx_{c}"),
+        ]
+    structs = ", ".join(
+        f"struct('{c}' AS col, n_rows, n_rows - cnt_{c} AS n_nulls, "
+        f"mn_{c} AS min_repr, mx_{c} AS max_repr)"
+        for c, _, _ in _PROFILE_COLS
+    )
+    base = (
+        orders.agg(*aggs)
+        .select(F.explode(F.expr(f"array({structs})")).alias("p"))
+        .select("p.*")
+    )
+
+    # sketch pass: one scan exploded to (col, canonical repr), hashed into
+    # per-column registers; 6 x 64 rows of aggregate state, map-side
+    # combinable
+    reprs = ", ".join(
+        f"struct('{c}' AS col, {srepr.format(m='')} AS repr)"
+        for c, srepr, _ in _PROFILE_COLS
+    )
+    regs = (
+        orders.select(F.explode(F.expr(f"array({reprs})")).alias("e"))
+        .select("e.col", "e.repr")
+        .filter(F.col("repr").isNotNull())
+        .select(
+            "col",
+            F.expr(
+                "CAST(conv(substr(md5(repr), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .select(
+            "col",
+            F.expr(f"h % {HLL_BUCKETS}").alias("bucket"),
+            F.expr(f"h div {HLL_BUCKETS}").alias("w"),
+        )
+        .select(
+            "col",
+            "bucket",
+            F.expr(
+                f"CASE WHEN w = 0 THEN {HLL_MAX_RHO} "
+                "ELSE bit_count((w & -w) - 1) + 1 END"
+            ).alias("rho"),
+        )
+        .groupBy("col", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    sketch = regs.groupBy("col").agg(
+        F.count("*").cast("long").alias("n_filled_buckets"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_MAX_RHO} - register)")
+        ).alias("z_present"),
+    )
+    return (
+        base.join(F.broadcast(sketch), "col", "left")
+        .withColumn(
+            "z_num",
+            F.expr(
+                f"coalesce(z_present, CAST(0 AS BIGINT)) + "
+                f"({HLL_BUCKETS} - coalesce(n_filled_buckets, CAST(0 AS BIGINT)))"
+                f" * shiftleft(CAST(1 AS BIGINT), {HLL_MAX_RHO})"
+            ),
+        )
+        .select(
+            "col",
+            "n_rows",
+            "n_nulls",
+            F.coalesce("n_filled_buckets", F.lit(0).cast("long")).alias(
+                "n_filled_buckets"
+            ),
+            F.expr(
+                f"CAST(CAST('{est_num}' AS DECIMAL(38,0)) div "
+                f"(CAST(z_num AS DECIMAL(38,0)) * {_ALPHA64_DEN}) AS BIGINT)"
+            ).alias("nd_estimate"),
+            "min_repr",
+            "max_repr",
+        )
+        .orderBy("col")
+    )
+
+
+def _table_profile_approx_oracle() -> str:
+    from ..operators.sketches import HLL_BUCKETS, HLL_MAX_RHO
+
+    est_num = _ALPHA64_NUM * HLL_BUCKETS * HLL_BUCKETS * (2**HLL_MAX_RHO)
+    base = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        + ", ".join(
+            f"CAST(COUNT({c}) AS BIGINT) AS cnt_{c}, "
+            f"{drepr.format(m='MIN')} AS mn_{c}, {drepr.format(m='MAX')} AS mx_{c}"
+            for c, _, drepr in _PROFILE_COLS
+        )
+        + " FROM orders"
+    )
+    per_col = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, n_rows, n_rows - cnt_{c} AS n_nulls, "
+        f"mn_{c} AS min_repr, mx_{c} AS max_repr FROM s"
+        for c, _, _ in _PROFILE_COLS
+    )
+    vals = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, {drepr.format(m='')} AS repr FROM orders"
+        for c, _, drepr in _PROFILE_COLS
+    )
+    return f"""
+    WITH s AS ({base}),
+    base AS ({per_col}),
+    vals AS ({vals}),
+    hashed AS (
+        SELECT col, ('0x' || substr(md5(repr), 1, 15))::BIGINT AS h
+        FROM vals WHERE repr IS NOT NULL
+    ),
+    split AS (
+        SELECT col, h % {HLL_BUCKETS} AS bucket, h // {HLL_BUCKETS} AS w
+        FROM hashed
+    ),
+    regs AS (
+        SELECT col, bucket,
+               MAX(CASE WHEN w = 0 THEN {HLL_MAX_RHO}
+                        ELSE bit_count((w & (-w)) - 1) + 1 END) AS register
+        FROM split GROUP BY 1, 2
+    ),
+    sk AS (
+        SELECT col, CAST(COUNT(*) AS BIGINT) AS n_filled_buckets,
+               CAST(SUM(CAST(1 AS BIGINT) << ({HLL_MAX_RHO} - register))
+                    AS BIGINT) AS z_present
+        FROM regs GROUP BY 1
+    )
+    SELECT b.col, b.n_rows, b.n_nulls,
+           COALESCE(sk.n_filled_buckets, 0) AS n_filled_buckets,
+           CAST(CAST({est_num} AS HUGEINT) //
+                (CAST(COALESCE(sk.z_present, 0)
+                      + ({HLL_BUCKETS} - COALESCE(sk.n_filled_buckets, 0))
+                        * (CAST(1 AS BIGINT) << {HLL_MAX_RHO}) AS HUGEINT)
+                 * {_ALPHA64_DEN}) AS BIGINT) AS nd_estimate,
+           b.min_repr, b.max_repr
+    FROM base b LEFT JOIN sk ON b.col = sk.col
+    ORDER BY b.col
+"""
+
+
 ORACLE_SQL["q_table_profile"] = (
     "WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
     + ", ".join(
@@ -538,3 +720,5 @@ ORACLE_SQL["q_table_profile"] = (
     )
     + " ORDER BY col"
 )
+
+ORACLE_SQL["q_table_profile_approx"] = _table_profile_approx_oracle()
