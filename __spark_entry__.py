@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_lsh_recall": dedup.dedup_lsh_recall,
         "dedup_lsh_recall_sampled": dedup.dedup_lsh_recall_sampled,
+        "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
         "mm_features": multimodal.mm_features,
         "mm_decode_image": multimodal.mm_decode_image,
         "mm_decode_audio": multimodal.mm_decode_audio,

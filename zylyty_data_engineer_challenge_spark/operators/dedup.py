@@ -870,8 +870,8 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: output-sized pair join + 1-row aggregate on top of the two
     composed detectors; the exhaustive side is the cost and is the reason
-    this is an sf0.1-class gate — at 100 TB, anchor-sample it exactly as
-    :func:`dedup_lsh_recall_sampled` does for text.
+    this is an sf0.1-class gate — :func:`dedup_embedding_recall_sampled`
+    is the registered anchor-sampled twin that runs at 100 TB.
     """
     exact = dedup_embedding_cosine(spark, sf_dir).select("v1", "v2")
     lsh = dedup_embedding_lsh(spark, sf_dir).select(
@@ -889,6 +889,113 @@ ORACLE_SQL["dedup_embedding_recall"] = f"""
     )
     SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
            (SELECT COUNT(*) FROM lsh) AS n_lsh,
+           CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+                 ON e.v1 = l.v1 AND e.v2 = l.v2) AS BIGINT) AS hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
+                           ON e.v1 = l.v1 AND e.v2 = l.v2) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM exact)
+           END AS recall
+"""
+
+
+def dedup_embedding_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-ground-truth recall gate for :func:`dedup_embedding_lsh` —
+    the embedding twin of :func:`dedup_lsh_recall_sampled`, so BOTH dedup
+    modalities (text shingles and embeddings) carry a gate in the form
+    that survives 100 TB, where :func:`dedup_embedding_recall`'s
+    exhaustive corpus^2 exact side is impossible.
+
+    The anchor stratum is the same deterministic Knuth-hash sample
+    (:func:`_is_anchor`, keyed on vec_id); exact cosine ground truth is
+    computed only for pairs whose smaller id (v1) is an anchor, but
+    against the FULL corpus — the anchor filter lands on the LEFT side of
+    the blocked numpy kernel *before* any pair forms: anchors are
+    replicated to every corpus block (O(sample x N_BLOCKS) shuffle rows)
+    and each block task multiplies the anchor matrix against its corpus
+    block, so the exact side costs O(sample x corpus) flops instead of
+    O(corpus^2). LSH pairs are filtered to the same stratum; recall over
+    it is unbiased for full recall because anchoring is independent of
+    content. Both detectors share the verify predicate, so the gate
+    purely measures banding recall, same as the exhaustive form.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+        ).alias("q"),
+    )
+    anchors = emb.filter(_is_anchor(F.col("vec_id"))).select(
+        "vec_id",
+        "q",
+        F.lit(1).alias("is_anchor"),
+        F.explode(F.array(*[F.lit(i) for i in range(N_BLOCKS)])).alias("blk"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        "q",
+        F.lit(0).alias("is_anchor"),
+        (F.col("vec_id") % N_BLOCKS).alias("blk"),
+    )
+    out_schema = T.StructType(
+        [T.StructField("v1", T.LongType()), T.StructField("v2", T.LongType())]
+    )
+
+    def anchor_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        left = pdf[pdf["is_anchor"] == 1]
+        right = pdf[pdf["is_anchor"] == 0]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["v1", "v2"]).astype("int64")
+        lm = np.stack(left["q"].to_numpy()).astype(np.int64)
+        rm = np.stack(right["q"].to_numpy()).astype(np.int64)
+        lids = left["vec_id"].to_numpy()
+        rids = right["vec_id"].to_numpy()
+        dots = lm @ rm.T
+        ln = (lm * lm).sum(axis=1)
+        rn = (rm * rm).sum(axis=1)
+        # anchor must be the SMALLER id: that is the stratum definition,
+        # and it also dedups anchor-anchor pairs (counted once, in the
+        # larger anchor's corpus block)
+        ii, jj = np.where(
+            (lids[:, None] < rids[None, :])
+            & (dots > 0)
+            & (COS_DEN * dots * dots >= COS_NUM * ln[:, None] * rn[None, :])
+        )
+        return pd.DataFrame({"v1": lids[ii], "v2": rids[jj]})
+
+    exact = (
+        anchors.unionByName(corpus)
+        .groupBy("blk")
+        .applyInPandas(anchor_block, schema=out_schema)
+    )
+    lsh = (
+        dedup_embedding_lsh(spark, sf_dir)
+        .filter(_is_anchor(F.col("v1")))
+        .select("v1", "v2", F.lit(1).alias("hit"))
+    )
+    return _pair_recall_gate(exact, lsh, "n_lsh_sampled")
+
+
+_V_ANCHOR_SQL = f"(v1 * {SAMPLE_KNUTH}) % {2**32} % {SAMPLE_MOD} = 0"
+
+ORACLE_SQL["dedup_embedding_recall_sampled"] = f"""
+    WITH exact AS (
+        SELECT v1, v2 FROM ({_strip_order_by(ORACLE_SQL["dedup_embedding_cosine"])})
+        WHERE {_V_ANCHOR_SQL}
+    ),
+    lsh AS (
+        SELECT v1, v2, 1 AS hit
+        FROM ({_strip_order_by(ORACLE_SQL["dedup_embedding_lsh"])})
+        WHERE {_V_ANCHOR_SQL}
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh_sampled,
            CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
                  ON e.v1 = l.v1 AND e.v2 = l.v2) AS BIGINT) AS hits,
            CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
