@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_weighted_sample": sketches.sketch_weighted_sample,
         "sketch_weighted_sample_est": sketches.sketch_weighted_sample_est,
         "curate_source_mix": curate.curate_source_mix,
+        "curate_boilerplate": curate.curate_boilerplate,
         "dedup_containment": dedup.dedup_containment,
         "mm_pixel_decode": multimodal.mm_pixel_decode,
         "sim_ann_ivfpq": similarity.sim_ann_ivfpq,

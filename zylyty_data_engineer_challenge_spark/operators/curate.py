@@ -226,6 +226,138 @@ def _curate_near_oracle() -> str:
 ORACLE_SQL["pipeline_curate_near"] = _curate_near_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Intra-/cross-document boilerplate removal
+# ---------------------------------------------------------------------------
+
+BOILER_SEG = 5  # tokens per segment (the repetition-detection granularity)
+
+
+def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate / repetition stripping at SUB-document granularity —
+    the C4-style curation stage ("discard all but one occurrence of any
+    repeated span") missing from the doc-level family: each document is
+    cut into disjoint BOILER_SEG-token segments, a segment instance
+    survives iff it is the corpus-wide FIRST occurrence of its content
+    (min (doc_id, seg_idx)), and each document is reassembled from its
+    surviving segments in order. Catches both cross-document boilerplate
+    (headers, license blurbs, whole duplicated docs — every segment of a
+    later duplicate drops) and intra-document repetition (a span pasted
+    twice keeps only its first copy). The fixture's documents are
+    single-line token streams, so the segment unit here is a fixed token
+    window; on corpora with real line structure the same plan runs with
+    ``split(text, '\\n')`` as the segmenter — only the first select
+    changes. Composes into :func:`pipeline_curate` as a pre-dedup map
+    (filter on ``n_kept > 0`` + the reassembled text).
+
+    Plan: explode to segments (map-only), ONE shuffle on the segment
+    content hash for the first-occurrence window, one per-doc reassembly
+    aggregate (order restored by array_sort, so the aggregate is
+    combiner-friendly and collect order never matters). Output is
+    counts + md5/length of the reassembled text — integer/string exact
+    on both engines, no full-text column in the gate.
+
+    Scale: segment state is corpus-token-sized but flows through hash
+    partitions; the window per content hash is the keep-first pattern of
+    t3 (reference main.py:64-66) at sub-document granularity. Hot
+    boilerplate (one segment in millions of docs) lands on one partition
+    only for its rank-1 scan — replace the window with a
+    min_by-struct groupBy + join (the t3 rewrite) if a single segment
+    dominates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"sequence(0, CAST((size(tk) + {BOILER_SEG} - 1) div {BOILER_SEG}"
+                    " AS INT) - 1)"
+                )
+            ).alias("seg_idx"),
+            F.col("tk"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.expr(
+                f"array_join(slice(tk, seg_idx * {BOILER_SEG} + 1, {BOILER_SEG}), ' ')"
+            ).alias("content"),
+        )
+    )
+    w = Window.partitionBy(F.md5("content")).orderBy("doc_id", "seg_idx")
+    flagged = segs.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep") == 1, F.struct("seg_idx", "content"))
+                )
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            F.expr("array_join(transform(kept, s -> s.content), ' ')").alias("_clean"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            F.length("_clean").cast("bigint").alias("clean_n_chars"),
+            F.md5("_clean").alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["curate_boilerplate"] = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, tk,
+               unnest(range(0, (len(tk) + {BOILER_SEG} - 1) // {BOILER_SEG}))
+                   AS seg_idx
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               array_to_string(
+                   tk[seg_idx * {BOILER_SEG} + 1 : seg_idx * {BOILER_SEG} + {BOILER_SEG}],
+                   ' ') AS content
+        FROM idx
+    ),
+    flagged AS (
+        SELECT doc_id, seg_idx, content,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(content)
+                        ORDER BY doc_id, seg_idx) = 1 THEN 1 ELSE 0 END AS keep
+        FROM segs
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(keep) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN keep = 1 THEN content END, ' '
+                        ORDER BY seg_idx), '') AS clean
+        FROM flagged
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_segments, n_kept,
+           CAST(length(clean) AS BIGINT) AS clean_n_chars,
+           md5(clean) AS clean_hash
+    FROM agg
+    ORDER BY doc_id
+"""
+
+
 STRATUM_QUOTA = 40  # docs per language stratum
 
 
