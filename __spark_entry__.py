@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pixel_decode": multimodal.mm_pixel_decode,
         "sim_ann_ivfpq": similarity.sim_ann_ivfpq,
         "sim_ann_ivfpq_recall": similarity.sim_ann_ivfpq_recall,
+        "sim_index_build": similarity.sim_index_build,
+        "sim_index_probe": similarity.sim_index_probe,
         "stream_hll_registers": sketch_stream.stream_hll_registers,
         "dedup_cc_names": graph.dedup_cc_names,
         "text_bm25": text.text_bm25,

@@ -177,6 +177,11 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_ann_ivfpq_recall": 3,  # inherits bruteforce (1) + ivfpq (2)
     "text_bm25": 1,  # 1-row (n_docs, total_tokens) stats cross
     "sim_hybrid_rrf": 2,  # inherits bruteforce (1) + bm25 stats (1)
+    "dedup_embedding_recall_sampled": 1,  # 1-row lsh-count cross in the gate
+    "dedup_edit_recall_sampled": 1,  # 1-row blocked-count cross in the gate
+    # trained centroid broadcast under probe assignment; the DPP subquery
+    # repeats the probes subtree in the plan text, so it counts twice
+    "sim_index_probe": 2,
 }
 
 
@@ -288,3 +293,39 @@ def test_edit_distance_is_dictionary_first(spark):
         1 for ln in plan.splitlines()[first_join:] if "HashAggregate" in ln
     )
     assert aggs_above >= 2, plan  # both join sides built from the dictionary agg
+
+
+def test_index_probe_scan_is_dynamically_pruned(spark, tmp_path):
+    """The persisted-index probe must read ONLY the probed lists: the
+    codes scan (partitioned by cid) carries a dynamic partition pruning
+    expression fed by the tiny probes side — the inverted-file seek,
+    expressed as partition pruning. Without it the probe degenerates to a
+    full-index scan and the persistence buys nothing at scale."""
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        plan = formatted_plan(similarity.sim_index_probe(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+    pf = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "cid" in line
+    ]
+    assert pf, f"codes scan lost its cid partition filter:\n{plan}"
+    assert any("dynamicpruning" in line for line in pf), (
+        f"cid filter is not dynamic pruning:\n{pf}"
+    )
+
+
+def test_index_probe_matches_in_memory_ivfpq(spark, tmp_path):
+    """Persisted round-trip exactness: probing the on-disk index returns
+    byte-identical rows to the in-memory IVFADC build (same oracle by
+    construction; asserted directly here so a parquet type drift can't
+    hide behind the shared oracle)."""
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        got = similarity.sim_index_probe(spark, SF_DIR).collect()
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+    want = similarity.sim_ann_ivfpq(spark, SF_DIR).collect()
+    assert got == want

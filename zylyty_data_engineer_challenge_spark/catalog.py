@@ -149,6 +149,40 @@ def _sniff_events_ts(events_path: str, spark: SparkSession | None) -> bool:
                 spark.conf.set(conf_key, prior)
 
 
+def source_identity(spark: SparkSession, src: str) -> str:
+    """Content identity of a source path: ``path:mtime:size``.
+
+    Local paths resolve through ``os.stat``; anything that is not
+    driver-statable (hdfs://, s3a://, or any scheme the local OS can't
+    see) resolves through the Hadoop FileSystem API instead — content
+    summary length + max file modification time — so a REGENERATED remote
+    source at the same path still changes identity. Used to key every
+    durable artifact derived from a source (stream sinks/checkpoints,
+    persisted ANN indexes) so stale state can never be reused against
+    regenerated data, while unchanged data reuses it by construction.
+    """
+    try:
+        st = os.stat(src)
+        return f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        pass
+    # remote path: ask the filesystem that will actually serve the reads
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    status = fs.getFileStatus(hpath)
+    if status.isDirectory():
+        size = fs.getContentSummary(hpath).getLength()
+        mtime = max(
+            (s.getModificationTime() for s in fs.listStatus(hpath)),
+            default=status.getModificationTime(),
+        )
+    else:
+        size = status.getLen()
+        mtime = status.getModificationTime()
+    return f"{src}:{mtime}:{size}"
+
+
 def convert_event_ts(df: DataFrame) -> DataFrame:
     """Raw epoch-nanos ``ts`` (see schemas.EVENTS_RAW) -> TimestampType,
     truncating to micros (integer div, matching DuckDB's nanos handling)."""

@@ -595,12 +595,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """PQ building blocks shared by :func:`sim_ann_pq` and
-    :func:`sim_ann_ivfpq`: (codes (vec_id, m, k, cn), lut (query_id, m,
-    k, pdot)) from the deterministic first-PQ_K codebook."""
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
-    cb = (
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """(m, k, cv, cn): the deterministic first-PQ_K codebook — subvectors
+    of the first PQ_K corpus vectors, with each codeword's exact squared
+    norm (the n2 contribution ADC reconstruction sums)."""
+    return (
         _subvectors(
             emb.filter(
                 (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
@@ -612,6 +611,12 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             "cn", F.expr("aggregate(cv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
         )
     )
+
+
+def _pq_encode(corpus: DataFrame, cb: DataFrame) -> DataFrame:
+    """codes (vec_id, m, k, cn): argmin-L2 codeword per (vector, subspace),
+    ties to the lowest code id — one map-side-combinable min_by aggregate
+    over a broadcast codebook join."""
     dists = _subvectors(corpus, "vec_id").join(F.broadcast(cb), "m").select(
         "vec_id",
         "m",
@@ -622,18 +627,23 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("dist"),
     )
-    codes = (
+    return (
         dists.groupBy("vec_id", "m")
         .agg(F.min(F.struct("dist", "k", "cn")).alias("best"))
         .select("vec_id", "m", F.col("best.k").alias("k"), F.col("best.cn").alias("cn"))
     )
+
+
+def _pq_lut(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """lut (query_id, m, k, pdot): the per-query ADC lookup table — exact
+    partial dot of each query subvector with each codeword."""
     qsubs = _subvectors(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), "q"
         ),
         "query_id",
     )
-    lut = qsubs.join(F.broadcast(cb.select("m", "k", "cv")), "m").select(
+    return qsubs.join(F.broadcast(cb.select("m", "k", "cv")), "m").select(
         "query_id",
         "m",
         "k",
@@ -642,7 +652,15 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("pdot"),
     )
-    return codes, lut
+
+
+def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """PQ building blocks shared by :func:`sim_ann_pq` and
+    :func:`sim_ann_ivfpq`: (codes (vec_id, m, k, cn), lut (query_id, m,
+    k, pdot)) from the deterministic first-PQ_K codebook."""
+    cb = _pq_codebook(emb)
+    codes = _pq_encode(emb.filter(F.col("vec_id") >= N_QUERIES), cb)
+    return codes, _pq_lut(emb, cb)
 
 
 ORACLE_SQL["sim_ann_pq"] = f"""
@@ -1128,3 +1146,198 @@ def _inject_bm25_oracle() -> None:
 
 
 _inject_bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: build once, probe many
+# ---------------------------------------------------------------------------
+
+# bump to invalidate every persisted index layout (schema/algorithm change)
+ANN_INDEX_VERSION = 1
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any scheme — local file paths and hdfs/s3a
+    resolve through the same API, so existence checks and marker writes
+    work identically on a laptop and a cluster."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Durable index location: root from ``spark.zylyty.annIndexDir`` conf
+    or ``SPARK_GRAFT_ANN_INDEX_DIR`` env (a shared filesystem on a
+    cluster; tempdir default in local mode), keyed by the embeddings
+    source identity + index version — the same contract as the streaming
+    sink dirs: regenerated data or a layout change gets a fresh index,
+    unchanged data reuses the build."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import source_identity
+
+    root = spark.conf.get("spark.zylyty.annIndexDir", None)
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_ANN_INDEX_DIR") or os.path.join(
+            tempfile.gettempdir(), "zylyty_ann_index"
+        )
+    ident = source_identity(spark, f"{sf_dir}/embeddings.parquet")
+    key = hashlib.sha1(f"v{ANN_INDEX_VERSION}:{ident}".encode()).hexdigest()[:16]
+    return f"{root}/{key}"
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build and persist the IVF-PQ index of :func:`sim_ann_ivfpq`;
+    returns the index directory. Idempotent per source identity: if the
+    ready marker exists the build is skipped entirely (build once, probe
+    many — the deployment shape every production vector index uses; the
+    per-query variants rebuild in-plan, which is the right form for an
+    acceptance gate but not for serving).
+
+    Persisted layout:
+
+    * ``codes/`` — (vec_id, m, k, cn) PQ code rows + the vector's coarse
+      list id, written ``partitionBy(cid)`` so a probe reads ONLY its
+      NPROBE list directories (partition pruning does the inverted-file
+      seek; at 100 TB this is the difference between reading 4/16 of the
+      codes and all of them);
+    * ``centroids/`` — the k-means-trained coarse codebook (cid, cq);
+    * ``codebook/`` — the PQ codebook (m, k, cv, cn).
+
+    Everything stored is integer-exact (quantized ints), so a parquet
+    round-trip reproduces the in-memory index bit-for-bit — pinned by the
+    probe's oracle being sim_ann_ivfpq's verbatim.
+    """
+    from .cluster import lloyd_centroids
+
+    base = _ann_index_dir(spark, sf_dir)
+    fs, marker = _hadoop_fs(spark, f"{base}/_INDEX_READY")
+    if fs.exists(marker):
+        return base
+    emb = _quantized(spark, sf_dir)
+    cents = lloyd_centroids(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    assign = _l2_nearest_lists(cents, corpus.select("vec_id", "q"), "vec_id", 1)
+    cb = _pq_codebook(emb)
+    (
+        _pq_encode(corpus, cb)
+        .join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{base}/codes")
+    )
+    cents.write.mode("overwrite").parquet(f"{base}/centroids")
+    cb.write.mode("overwrite").parquet(f"{base}/codebook")
+    fs.create(marker, True).close()
+    return base
+
+
+def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered gate for :func:`build_ann_index`: build (or reuse) the
+    persisted index, then summarize the PERSISTED artifacts by reading
+    them back — vector/code/list counts plus integer checksums of the
+    stored codes — so the differential proves what landed on disk, not
+    what was computed in memory. The oracle recomputes the same summary
+    from the shared training + encode CTE chain."""
+    base = build_ann_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{base}/codes")
+    return codes.agg(
+        F.countDistinct("vec_id").cast("long").alias("n_vectors"),
+        F.count("*").cast("long").alias("n_codes"),
+        F.countDistinct("cid").cast("long").alias("n_lists_used"),
+        F.sum("k").cast("long").alias("code_sum"),
+        F.sum("cn").cast("long").alias("cn_sum"),
+    )
+
+
+def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve ANN queries from the PERSISTED index — the probe half of
+    build-once/probe-many. Reads centroids, PQ codebook, and the
+    cid-partitioned code table written by :func:`build_ann_index`
+    (building it first if absent), then runs the IVFADC query plan purely
+    against stored artifacts: probe the NPROBE nearest lists, score
+    in-list candidates by broadcast-LUT lookup over the stored codes.
+
+    Identical output to :func:`sim_ann_ivfpq` (same oracle, hash-equal):
+    the only difference is WHERE the index comes from. Plan property
+    worth the persistence: the probes->codes join is an equi-join on the
+    PARTITION column of a tiny broadcast side, so Spark inserts a dynamic
+    partition pruning filter into the codes scan — only the probed list
+    directories are read (pinned in tests/test_plans.py). No raw corpus
+    vector is touched at query time.
+    """
+    base = build_ann_index(spark, sf_dir)
+    cents = spark.read.parquet(f"{base}/centroids")
+    cb = spark.read.parquet(f"{base}/codebook")
+    codes = spark.read.parquet(f"{base}/codes")
+    emb = _quantized(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "q"
+    )
+    probes = _l2_nearest_lists(cents, queries, "query_id", NPROBE)
+    lut = _pq_lut(emb, cb)
+    scored = (
+        probes.join(codes, "cid")
+        .join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("dot"), F.sum("cn").alias("n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _index_build_oracle() -> str:
+    """Summary twin over the shared training + probe + PQ CTEs: the same
+    chain sim_ann_ivfpq's oracle uses, aggregated instead of ranked."""
+    from .cluster import _oracle_rounds
+
+    return f"""
+    WITH {_oracle_rounds()},
+    {_ivf_probe_ctes()},
+    pos AS (
+        SELECT vec_id, CAST(d // {PQ_SUB} AS INT) AS m,
+               CAST(d % {PQ_SUB} AS INT) AS i, x
+        FROM dims
+    ),
+    cpos AS (
+        SELECT vec_id - {N_QUERIES} AS k, m, x AS y, i
+        FROM pos WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ),
+    cbn AS (SELECT k, m, CAST(SUM(y * y) AS BIGINT) AS cn FROM cpos GROUP BY 1, 2),
+    pqd AS (
+        SELECT p.vec_id, p.m, c.k,
+               CAST(SUM((p.x - c.y) * (p.x - c.y)) AS BIGINT) AS dist
+        FROM pos p JOIN cpos c ON p.m = c.m AND p.i = c.i
+        WHERE p.vec_id >= {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist ASC, k ASC) AS rk
+            FROM pqd) WHERE rk = 1
+    )
+    SELECT CAST(COUNT(DISTINCT c.vec_id) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_codes,
+           (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) FROM corpus_assign)
+               AS n_lists_used,
+           CAST(SUM(c.k) AS BIGINT) AS code_sum,
+           CAST(SUM(n.cn) AS BIGINT) AS cn_sum
+    FROM codes c JOIN cbn n ON n.m = c.m AND n.k = c.k
+"""
+
+
+ORACLE_SQL["sim_index_build"] = _index_build_oracle()
+# the probe serves the exact artifact sim_ann_ivfpq computes in-plan:
+# one oracle, two execution paths (in-memory build vs persisted read)
+ORACLE_SQL["sim_index_probe"] = ORACLE_SQL["sim_ann_ivfpq"]

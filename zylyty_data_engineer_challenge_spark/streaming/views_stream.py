@@ -288,41 +288,10 @@ ORACLE_SQL["stream_session_window"] = """
 """
 
 
-def _source_identity(spark: SparkSession, src: str) -> str:
-    """Content identity of a stream source path: ``path:mtime:size``.
-
-    Local paths resolve through ``os.stat``; anything that is not
-    driver-statable (hdfs://, s3a://, or any scheme the local OS can't
-    see) resolves through the Hadoop FileSystem API instead — content
-    summary length + max file modification time — so a REGENERATED remote
-    source at the same path still changes identity and gets a fresh
-    sink+checkpoint. Before r8 the remote branch fell back to name-only
-    identity, which would silently reuse a stale commit log and skip the
-    new data — exactly the failure mode the identity keying exists to
-    prevent.
-    """
-    import os
-
-    try:
-        st = os.stat(src)
-        return f"{src}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        pass
-    # remote path: ask the filesystem that will actually serve the stream
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(src)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    status = fs.getFileStatus(hpath)
-    if status.isDirectory():
-        size = fs.getContentSummary(hpath).getLength()
-        mtime = max(
-            (s.getModificationTime() for s in fs.listStatus(hpath)),
-            default=status.getModificationTime(),
-        )
-    else:
-        size = status.getLen()
-        mtime = status.getModificationTime()
-    return f"{src}:{mtime}:{size}"
+# shared identity resolver (r8: generalized to every durable derived
+# artifact — stream sinks here, persisted ANN indexes in .similarity);
+# kept under the old private name because tests and late_stream import it
+from ..catalog import source_identity as _source_identity  # noqa: E402
 
 
 def _stream_sink_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
