@@ -64,6 +64,40 @@ def test_triangles_one_closed_one_open(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_triangles_star_skew_orientations_agree(spark):
+    """r7 VERDICT item 7: the degree orientation must survive a skewed
+    general graph and return IDENTICAL counts to id order. Hub 0 (lowest
+    id, highest degree) with 8 leaves plus one closing edge (1,2): the
+    only triangle is {0,1,2}. Under id order the hub fans out C(8,2)=28
+    wedges; under degree order every hub edge points IN, so the hub
+    produces zero wedges — same answer, skew-safe intermediate."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)] + [(1, 2)], ["d1", "d2"]
+    )
+    want = {0: 1, 1: 1, 2: 1}
+    for orient in ("degree", "id"):
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(edges, orient=orient).collect()
+        }
+        assert got == want, orient
+
+
+def test_triangles_shared_edge_orientations_agree(spark):
+    # two triangles sharing edge (1,2): counts {1:2, 2:2, 3:1, 4:1} under
+    # BOTH orientations (ties in degree fall back to id order)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], ["d1", "d2"]
+    )
+    want = {1: 2, 2: 2, 3: 1, 4: 1}
+    for orient in ("degree", "id"):
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(edges, orient=orient).collect()
+        }
+        assert got == want, orient
+
+
 # ---------------------------------------------------------------------------
 # k-means
 # ---------------------------------------------------------------------------

@@ -294,13 +294,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     every triangle a<b<c is counted exactly once as wedge (a,b)+(b,c)
     closed by (a,c) — no division by 3 or 6, no symmetrization.
 
-    Scale notes (100 TB): cost is the wedge count = sum of per-node
-    C(deg,2); on a near-dup graph degree is bounded by true duplicate
-    cluster size, so the join is skew-safe. On a general graph, orient
-    edges low-degree -> high-degree instead of low-id -> high-id (one
-    degree join before orienting) — the classic bound that caps wedge
-    fan-out at O(sqrt(|E|)) per node; the join shape below is unchanged.
-    The edge list is checkpointed once and reused by all three join roles.
+    Scale notes (100 TB): cost is the wedge count, and
+    :func:`triangle_counts` runs under its default DEGREE orientation
+    (low-degree -> high-degree, one degree join before the wedge join),
+    which caps per-node wedge fan-out at O(sqrt(|E|)) on any graph — the
+    near-dup graph's cluster-bounded degree makes it safe either way (the
+    r7 build used id order for that reason; the orientations produce
+    identical counts, pinned by tests/test_cluster_triangles.py's skew
+    fixture). The edge list is checkpointed once and reused by all three
+    join roles.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
     return triangle_counts(pairs).withColumnRenamed("node", "doc_id").orderBy(
@@ -308,9 +310,46 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def triangle_counts(pairs: DataFrame) -> DataFrame:
+def triangle_counts(pairs: DataFrame, orient: str = "degree") -> DataFrame:
     """(d1, d2) id-oriented edge list (d1 < d2, each undirected edge once)
-    -> (node, n_triangles) for every node in at least one triangle."""
+    -> (node, n_triangles) for every node in at least one triangle.
+
+    ``orient`` picks the total order that directs the wedge join — the
+    result is IDENTICAL either way (each triangle is counted exactly once
+    at its order-minimal wedge); only the intermediate wedge volume
+    changes:
+
+    * ``"degree"`` (default): re-orient every edge low-degree ->
+      high-degree (ties to lower id) with one degree join before the
+      wedge join — the classic node-iterator bound that caps per-node
+      wedge fan-out at O(sqrt(|E|)) on ANY graph. A star hub of degree d
+      produces ZERO wedges under this orientation (all its edges point
+      in) versus C(d,2) under id order — the difference between a plan
+      that survives a skewed general graph and one that does not.
+    * ``"id"``: use the given d1 < d2 orientation directly — skips the
+      degree join; right when degree is already bounded by construction
+      (near-dup graphs, where cluster size caps degree).
+    """
+    if orient == "degree":
+        deg = (
+            pairs.select(F.col("d1").alias("v"))
+            .unionAll(pairs.select(F.col("d2").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        lo_first = (F.col("deg1") < F.col("deg2")) | (
+            (F.col("deg1") == F.col("deg2")) & (F.col("d1") < F.col("d2"))
+        )
+        pairs = (
+            pairs.join(deg.withColumnsRenamed({"v": "d1", "deg": "deg1"}), "d1")
+            .join(deg.withColumnsRenamed({"v": "d2", "deg": "deg2"}), "d2")
+            .select(
+                F.when(lo_first, F.col("d1")).otherwise(F.col("d2")).alias("d1"),
+                F.when(lo_first, F.col("d2")).otherwise(F.col("d1")).alias("d2"),
+            )
+        )
+    elif orient != "id":
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
     e = pairs.localCheckpoint(eager=False)  # three consumers below
     wedges = (
         e.alias("e1")
