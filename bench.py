@@ -2,11 +2,17 @@
 """Benchmark harness — the driver's per-round performance gate.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints the
+full JSON result line::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
+
+followed by a compact summary line (same scalar fields, slowest-10
+queries only) as the LAST line of stdout — the full per-query map has
+outgrown the driver's 2000-char tail capture, so the parseable headline
+must sit at the very end; the full map is also written to
+``BENCH_LAST.json`` beside this script.
 
 Methodology: each query is materialized with a ``noop``-format write —
 full computation of every output column, no driver-side row transfer, so
@@ -147,25 +153,43 @@ def main() -> int:
     r01_subset = round(
         sum(t for n, t in timings.items() if n in R01_BENCH_SET), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "value_r01_subset": r01_subset,
-                "n_r01_subset": sum(1 for n in timings if n in R01_BENCH_SET),
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                # cross-round caveat: r4/r5 hosts run this same best-of-2
-                # harness ~1.4x slower than r3's on queries whose code and
-                # inputs did not change (uniform inflation, idle system,
-                # stable across repeated runs) — compare ratios within a
-                # round, not absolute seconds across rounds
-                "notes": "best-of-2 per query; wall time is host-dependent",
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "value_r01_subset": r01_subset,
+        "n_r01_subset": sum(1 for n in timings if n in R01_BENCH_SET),
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        # cross-round caveat: r4/r5 hosts run this same best-of-2
+        # harness ~1.4x slower than r3's on queries whose code and
+        # inputs did not change (uniform inflation, idle system,
+        # stable across repeated runs) — compare ratios within a
+        # round, not absolute seconds across rounds
+        "notes": "best-of-2 per query; wall time is host-dependent",
+    }
+    print(json.dumps(full))
+    # the per-query map outgrew the driver's 2000-char stdout tail capture
+    # (BENCH_r07 recorded parsed: null with the line's front cut off), so:
+    # full fidelity goes to BENCH_LAST.json next to this script, and the
+    # LAST stdout line is a compact summary guaranteed to fit the tail
+    # whole — slowest-10 queries only, everything else scalar
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
+        json.dump(full, f)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "value_r01_subset": r01_subset,
+        "n_r01_subset": full["n_r01_subset"],
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_truncated": True,
+        "sf": full["sf"],
+        "full_artifact": "BENCH_LAST.json",
+    }
+    print(json.dumps(compact))
     return 0
 
 
