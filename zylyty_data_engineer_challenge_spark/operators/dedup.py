@@ -1054,8 +1054,10 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "blk")
         .filter(F.col("n1") < F.col("n2"))
-        .withColumn("dist", F.levenshtein("n1", "n2"))
-        .filter(F.col("dist") <= LEV_THRESHOLD)
+        # banded form: O(len * k) with early exit, returns -1 above the
+        # threshold — same surviving (pair, dist) set as the unbounded call
+        .withColumn("dist", F.levenshtein("n1", "n2", LEV_THRESHOLD))
+        .filter(F.col("dist") >= 0)
         .select("n1", "n2", "dist", "n1_parts", "n2_parts")
         .orderBy("n1", "n2")
     )
@@ -1129,7 +1131,8 @@ def dedup_edit_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         anchors.join(names.select(F.col("p_name").alias("n2"), "len"), "len")
         .filter(F.col("n1") < F.col("n2"))
-        .filter(F.levenshtein("n1", "n2") <= LEV_THRESHOLD)
+        # banded verify (see dedup_edit_distance): -1 above the threshold
+        .filter(F.levenshtein("n1", "n2", LEV_THRESHOLD) >= 0)
         .select("n1", "n2")
     )
     blocked = (
