@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_energy": multimodal.mm_audio_energy,
         "sketch_weighted_sample": sketches.sketch_weighted_sample,
         "sketch_weighted_sample_est": sketches.sketch_weighted_sample_est,
+        "sketch_quantile_sample": sketches.sketch_quantile_sample,
         # stale driver proof (last row r1/r4-era) — regraded this round
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_salted_agg": advanced.q_salted_agg,

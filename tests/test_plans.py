@@ -182,6 +182,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # trained centroid broadcast under probe assignment; the DPP subquery
     # repeats the probes subtree in the plan text, so it counts twice
     "sim_index_probe": 2,
+    "sketch_quantile_sample": 2,  # 1-row n_sample + n_total crosses
 }
 
 

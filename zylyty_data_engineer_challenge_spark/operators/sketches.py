@@ -761,3 +761,99 @@ ORACLE_SQL["sketch_weighted_sample_est"] = f"""
            e.est_total_weight, e.n_sample
     FROM est e
 """
+
+
+# ---------------------------------------------------------------------------
+# Sample-based quantile sketch (mergeable bottom-k uniform sample)
+# ---------------------------------------------------------------------------
+
+QS_K = 256  # sample size
+QS_PCTS = (25, 50, 75)
+
+
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE uniform sample — the quantile
+    member of the sketch family (KMV/HLL/theta/bloom/CMS cover counts and
+    membership; this covers order statistics). Every lineitem row gets a
+    60-bit md5 hash of its unique (l_orderkey, l_linenumber) key; the
+    bottom-QS_K hashes are a uniform sample whose partials merge exactly
+    like KMV's (any globally-bottom-k hash is partition-bottom-k, so
+    union -> bottom-k of per-partition samples is the global sample — and
+    ``orderBy(h).limit(k)`` compiles to exactly that distributed
+    TakeOrdered). The p-quantile estimate is the sample's
+    ``ceil(p * k)``-th order statistic of l_extendedprice
+    (percentile_disc semantics); the estimator is shown next to the exact
+    quantile of the full data so the sampling error is visible in the
+    output — the sketch contract used throughout this module.
+
+    Determinism: md5 replaces the RNG (same sample on any cluster, any
+    partitioning, forever); estimates are PICKED values, not
+    interpolations, so no float arithmetic touches the output. The exact
+    side is one global-sort window — the sf0.1 yardstick; at 100 TB only
+    the sample path runs (its whole point), or the exact side swaps to
+    the per-group median machinery of q_exact_median.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(l_orderkey AS STRING), ':', "
+            "CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    n = li.agg(F.count("*").cast("bigint").alias("n_total"))
+    sample = li.orderBy("h", "v").limit(QS_K)
+    kn = sample.agg(F.count("*").cast("bigint").alias("n_sample"))
+    ws = Window.orderBy("v", "h")  # QS_K rows: single-partition OK
+    ranked_sample = sample.withColumn("rs", F.row_number().over(ws))
+    wf = Window.orderBy("v", "h")  # exact yardstick: global sort by design
+    ranked_full = li.withColumn("r", F.row_number().over(wf))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in QS_PCTS])).alias("q_pct")
+    )
+    targets = (
+        pcts.crossJoin(F.broadcast(kn))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "q_pct",
+            "n_sample",
+            "n_total",
+            F.expr("(q_pct * n_sample + 99) div 100").alias("rs"),
+            F.expr("(q_pct * n_total + 99) div 100").alias("r"),
+        )
+    )
+    return (
+        targets.join(F.broadcast(ranked_sample.select("rs", F.col("v").alias("est"))), "rs")
+        .join(ranked_full.select("r", F.col("v").alias("exact")), "r")
+        .select("q_pct", "est", "exact", "n_sample", "n_total")
+        .orderBy("q_pct")
+    )
+
+
+ORACLE_SQL["sketch_quantile_sample"] = f"""
+    WITH keyed AS (
+        SELECT l_extendedprice AS v,
+               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM keyed),
+    sample AS (
+        SELECT v, h FROM keyed
+        QUALIFY row_number() OVER (ORDER BY h, v) <= {QS_K}
+    ),
+    kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM sample),
+    rs AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rs FROM sample),
+    rf AS (SELECT v, row_number() OVER (ORDER BY v, h) AS r FROM keyed),
+    pct AS (SELECT unnest([{", ".join(map(str, QS_PCTS))}]) AS q_pct),
+    targets AS (
+        SELECT p.q_pct, kn.n_sample, n.n_total,
+               (p.q_pct * kn.n_sample + 99) // 100 AS rs,
+               (p.q_pct * n.n_total + 99) // 100 AS r
+        FROM pct p CROSS JOIN kn CROSS JOIN n
+    )
+    SELECT t.q_pct, s.v AS est, f.v AS exact, t.n_sample, t.n_total
+    FROM targets t
+    JOIN rs s ON s.rs = t.rs
+    JOIN rf f ON f.r = t.r
+    ORDER BY t.q_pct
+"""
