@@ -331,6 +331,10 @@ def triangle_counts(pairs: DataFrame, orient: str = "degree") -> DataFrame:
       (near-dup graphs, where cluster size caps degree).
     """
     if orient == "degree":
+        # the degree aggregate and the reorientation join both consume the
+        # edge list — checkpoint it so an expensive upstream detector
+        # (e.g. the MinHash-LSH pipeline) is not re-evaluated per consumer
+        pairs = pairs.localCheckpoint(eager=False)
         deg = (
             pairs.select(F.col("d1").alias("v"))
             .unionAll(pairs.select(F.col("d2").alias("v")))
