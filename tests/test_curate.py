@@ -102,3 +102,70 @@ def test_wildcard_join_matches_bruteforce(spark, names):
         if i1 < i2 and _lev_le1_same_len(n1, n2)
     }
     assert got == want
+
+
+def test_boilerplate_strip_semantics(spark):
+    """Keep-first at segment granularity, pinned on hand-built docs:
+    an exact duplicate doc loses every segment; an intra-doc repeated
+    segment keeps only its first copy; unique text is untouched."""
+    from zylyty_data_engineer_challenge_spark.operators.curate import (
+        BOILER_SEG,
+        boilerplate_strip,
+    )
+
+    assert BOILER_SEG == 5  # fixture below is written in 5-token segments
+    seg_a = "a b c d e"
+    seg_b = "f g h i j"
+    seg_c = "k l m n o"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),          # original
+            (2, f"{seg_a} {seg_b}"),          # exact duplicate: drops fully
+            (3, f"{seg_c} {seg_c}"),          # intra-doc repeat: keeps one
+            (4, seg_c),                        # cross-doc repeat of doc 3's seg
+            (5, "p q r s t u"),               # unique, straddles one boundary
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in boilerplate_strip(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert (got[1]["n_segments"], got[1]["n_kept"]) == (2, 2)
+    assert (got[2]["n_segments"], got[2]["n_kept"]) == (2, 0)
+    assert got[2]["clean_n_chars"] == 0
+    assert (got[3]["n_segments"], got[3]["n_kept"]) == (2, 1)
+    assert got[3]["clean_n_chars"] == len(seg_c)
+    assert (got[4]["n_segments"], got[4]["n_kept"]) == (1, 0)
+    assert (got[5]["n_segments"], got[5]["n_kept"]) == (2, 2)
+    assert got[5]["clean_n_chars"] == len("p q r s t u")
+    # untouched docs reassemble to their original text hash
+    import hashlib
+
+    assert got[1]["clean_hash"] == hashlib.md5(f"{seg_a} {seg_b}".encode()).hexdigest()
+
+
+def test_ann_index_build_is_idempotent(spark, tmp_path):
+    """Second build call must skip entirely (ready marker): no file in the
+    index tree is rewritten."""
+    import os
+
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        build_ann_index,
+    )
+
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        base = build_ann_index(spark, "/root/testdata/sf0.001")
+
+        def tree():
+            return {
+                os.path.join(dp, f): os.stat(os.path.join(dp, f)).st_mtime_ns
+                for dp, _, fs in os.walk(base)
+                for f in fs
+            }
+
+        before = tree()
+        assert any(f.endswith(".parquet") for f in before)
+        assert build_ann_index(spark, "/root/testdata/sf0.001") == base
+        assert tree() == before, "re-build must not rewrite the index"
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")

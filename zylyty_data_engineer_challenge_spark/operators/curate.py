@@ -265,7 +265,15 @@ def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by-struct groupBy + join (the t3 rewrite) if a single segment
     dominates.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_strip(load_table(spark, sf_dir, "documents"))
+
+
+def boilerplate_strip(docs: DataFrame) -> DataFrame:
+    """The reusable kernel of :func:`curate_boilerplate`: (doc_id, text)
+    -> per-document (n_segments, n_kept, clean_n_chars, clean_hash) after
+    corpus-wide keep-first segment dedup. Semantics pinned on hand-built
+    frames in tests/test_curate.py; the registered query adds only the
+    fixture load."""
     segs = (
         docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("tk"))
         .select(
