@@ -62,6 +62,16 @@ HEAVY = [
     "text_redact",
     "sketch_kmv_distinct",
     "pipeline_curate_near",
+    # r8 additions: sampled embedding gate (10x replicas = real dup
+    # clusters), persisted-index build + probe, sub-document boilerplate
+    # (10x docs), sketch-backed profile and quantiles (10x orders/lineitem)
+    "dedup_embedding_recall_sampled",
+    "sim_index_build",
+    "sim_index_probe",
+    "curate_boilerplate",
+    "q_table_profile_approx",
+    "sketch_quantile_sample",
+    "graph_triangles",
 ]
 
 
