@@ -59,8 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (VERDICT r7 item 1): the graded window holds (a) the §2 reference
     surface (always graded), (b) the operators added this round — the two
     anchor-sampled recall gates (edit-distance blocking, embedding LSH),
-    sub-document boilerplate stripping, the persisted IVF-PQ index
-    build+probe pair, and the HLL-backed approximate table profile —
+    sub-document boilerplate stripping (plus the composed
+    pipeline_curate_clean), the persisted IVF-PQ index build+probe
+    pair, the HLL-backed approximate table profile, and the mergeable
+    sample-quantile sketch —
     (c) everything whose Spark code or oracle text changed this round
     (banded-levenshtein edit family + name clusters, degree-oriented
     triangles, the canary's two-batch replay pin, the Hadoop-FS sink
@@ -89,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
         "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
         "curate_boilerplate": curate.curate_boilerplate,
+        "pipeline_curate_clean": curate.pipeline_curate_clean,
         "sim_index_build": similarity.sim_index_build,
         "sim_index_probe": similarity.sim_index_probe,
         "q_table_profile_approx": warehouse.q_table_profile_approx,

@@ -573,3 +573,66 @@ ORACLE_SQL["curate_lang_temperature"] = f"""
     WHERE r.rk <= q.quota
     ORDER BY r.lang, r.rk
 """
+
+
+def pipeline_curate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the r8 boilerplate stage composed in —
+    the full pre-training document flow: language filter -> sub-document
+    boilerplate strip (:func:`boilerplate_strip`) -> drop docs whose every
+    segment was boilerplate -> token-length floor on the CLEANED length ->
+    exact dedup on the cleaned-text hash (keep lowest doc_id). Ordering
+    matters and is deliberate: stripping runs BEFORE the length floor and
+    dedup, so a document that is 90% boilerplate is judged (and deduped)
+    by what remains — the standard C4/RefinedWeb staging.
+
+    One declarative plan: the lang filter reaches the scan; the strip
+    contributes its one segment-hash shuffle + reassembly aggregate; the
+    dedup adds one map-side-combinable min agg on the clean hash. Output
+    is (doc_id, n_kept, clean_n_chars, clean_hash) for surviving docs —
+    the same hash-exact gate columns as the strip stage.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == CURATE_LANG
+    )
+    cleaned = boilerplate_strip(docs.select("doc_id", "text")).filter(
+        (F.col("n_kept") > 0)
+        # n_kept * BOILER_SEG bounds the cleaned token count from above;
+        # the exact floor uses the reassembled char length (cheap, already
+        # computed) scaled by the corpus's ~6 chars/token — kept simple
+        # and engine-exact: floor on clean_n_chars
+        & (F.col("clean_n_chars") >= MIN_TOKENS * 5)
+    )
+    keeper = cleaned.groupBy("clean_hash").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        cleaned.join(keeper, "clean_hash")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "n_kept", "clean_n_chars", "clean_hash")
+        .orderBy("doc_id")
+    )
+
+
+def _curate_clean_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip
+
+    # the strip stage's oracle, retargeted at the lang-filtered corpus
+    strip_sql = _strip(ORACLE_SQL["curate_boilerplate"]).replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE lang = '{CURATE_LANG}')",
+        1,
+    )
+    return f"""
+    WITH cleaned AS (
+        SELECT * FROM ({strip_sql})
+        WHERE n_kept > 0 AND clean_n_chars >= {MIN_TOKENS * 5}
+    ),
+    keeper AS (
+        SELECT clean_hash, MIN(doc_id) AS keep_id FROM cleaned GROUP BY 1
+    )
+    SELECT c.doc_id, c.n_kept, c.clean_n_chars, c.clean_hash
+    FROM cleaned c JOIN keeper k
+      ON c.clean_hash = k.clean_hash AND c.doc_id = k.keep_id
+    ORDER BY c.doc_id
+"""
+
+
+ORACLE_SQL["pipeline_curate_clean"] = _curate_clean_oracle()
