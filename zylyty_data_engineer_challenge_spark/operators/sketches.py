@@ -782,16 +782,22 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``orderBy(h).limit(k)`` compiles to exactly that distributed
     TakeOrdered). The p-quantile estimate is the sample's
     ``ceil(p * k)``-th order statistic of l_extendedprice
-    (percentile_disc semantics); the estimator is shown next to the exact
-    quantile of the full data so the sampling error is visible in the
-    output — the sketch contract used throughout this module.
+    (percentile_disc semantics).
+
+    The acceptance yardstick is the estimate's EXACT rank in the full
+    data: ``n_lt_est``/``n_le_est`` (strict / inclusive counts below the
+    estimate) next to the target rank ``ceil(p * n)`` — the estimate is
+    rank-correct iff n_lt_est < target <= n_le_est, and its rank error is
+    directly readable against n_total. Counting ranks instead of
+    SELECTING the exact quantile value keeps the yardstick fully
+    distributed: one conditional aggregate per scan (a 3-row broadcast
+    fan-out), versus the global single-partition sort a rank-r value
+    selection needs — the 10x smoke measured that sort at 11.6 s where
+    this shape stays scan-bound (r8).
 
     Determinism: md5 replaces the RNG (same sample on any cluster, any
-    partitioning, forever); estimates are PICKED values, not
-    interpolations, so no float arithmetic touches the output. The exact
-    side is one global-sort window — the sf0.1 yardstick; at 100 TB only
-    the sample path runs (its whole point), or the exact side swaps to
-    the per-group median machinery of q_exact_median.
+    partitioning, forever); estimates are PICKED values and the yardstick
+    is integer counts — no float arithmetic anywhere in the output.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"),
@@ -805,26 +811,36 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kn = sample.agg(F.count("*").cast("bigint").alias("n_sample"))
     ws = Window.orderBy("v", "h")  # QS_K rows: single-partition OK
     ranked_sample = sample.withColumn("rs", F.row_number().over(ws))
-    wf = Window.orderBy("v", "h")  # exact yardstick: global sort by design
-    ranked_full = li.withColumn("r", F.row_number().over(wf))
     pcts = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in QS_PCTS])).alias("q_pct")
     )
-    targets = (
+    ests = (
         pcts.crossJoin(F.broadcast(kn))
         .crossJoin(F.broadcast(n))
+        .withColumn("rs", F.expr("(q_pct * n_sample + 99) div 100"))
+        .join(F.broadcast(ranked_sample.select("rs", F.col("v").alias("est"))), "rs")
         .select(
             "q_pct",
+            "est",
+            F.expr("(q_pct * n_total + 99) div 100").alias("target_rank"),
             "n_sample",
             "n_total",
-            F.expr("(q_pct * n_sample + 99) div 100").alias("rs"),
-            F.expr("(q_pct * n_total + 99) div 100").alias("r"),
+        )
+    )
+    ranks = (
+        li.crossJoin(F.broadcast(ests.select("q_pct", "est")))
+        .groupBy("q_pct")
+        .agg(
+            F.sum((F.col("v") < F.col("est")).cast("long")).alias("n_lt_est"),
+            F.sum((F.col("v") <= F.col("est")).cast("long")).alias("n_le_est"),
         )
     )
     return (
-        targets.join(F.broadcast(ranked_sample.select("rs", F.col("v").alias("est"))), "rs")
-        .join(ranked_full.select("r", F.col("v").alias("exact")), "r")
-        .select("q_pct", "est", "exact", "n_sample", "n_total")
+        ests.join(ranks, "q_pct")
+        .select(
+            "q_pct", "est", "target_rank", "n_lt_est", "n_le_est",
+            "n_sample", "n_total",
+        )
         .orderBy("q_pct")
     )
 
@@ -843,17 +859,25 @@ ORACLE_SQL["sketch_quantile_sample"] = f"""
     ),
     kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM sample),
     rs AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rs FROM sample),
-    rf AS (SELECT v, row_number() OVER (ORDER BY v, h) AS r FROM keyed),
     pct AS (SELECT unnest([{", ".join(map(str, QS_PCTS))}]) AS q_pct),
-    targets AS (
-        SELECT p.q_pct, kn.n_sample, n.n_total,
-               (p.q_pct * kn.n_sample + 99) // 100 AS rs,
-               (p.q_pct * n.n_total + 99) // 100 AS r
+    ests AS (
+        SELECT p.q_pct, s.v AS est,
+               (p.q_pct * n.n_total + 99) // 100 AS target_rank,
+               kn.n_sample, n.n_total
         FROM pct p CROSS JOIN kn CROSS JOIN n
+        JOIN rs s ON s.rs = (p.q_pct * kn.n_sample + 99) // 100
+    ),
+    ranks AS (
+        SELECT e.q_pct,
+               CAST(SUM(CASE WHEN k.v < e.est THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lt_est,
+               CAST(SUM(CASE WHEN k.v <= e.est THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_le_est
+        FROM keyed k CROSS JOIN (SELECT q_pct, est FROM ests) e
+        GROUP BY e.q_pct
     )
-    SELECT t.q_pct, s.v AS est, f.v AS exact, t.n_sample, t.n_total
-    FROM targets t
-    JOIN rs s ON s.rs = t.rs
-    JOIN rf f ON f.r = t.r
-    ORDER BY t.q_pct
+    SELECT e.q_pct, e.est, e.target_rank, r.n_lt_est, r.n_le_est,
+           e.n_sample, e.n_total
+    FROM ests e JOIN ranks r ON e.q_pct = r.q_pct
+    ORDER BY e.q_pct
 """
