@@ -826,6 +826,9 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sample",
             "n_total",
         )
+        # two consumers (the rank fan-out and the final join): checkpoint
+        # the 3-row table so the sample TakeOrdered is not re-run per use
+        .localCheckpoint(eager=False)
     )
     ranks = (
         li.crossJoin(F.broadcast(ests.select("q_pct", "est")))
