@@ -714,3 +714,75 @@ ORACLE_SQL["text_bm25"] = f"""
     ORDER BY score DESC, doc_id ASC
     LIMIT {BM25_TOP}
 """
+
+
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity profile per document: statistics of each document's
+    tokens' CORPUS frequency — the quality signal that separates fluent
+    text (built from common tokens) from gibberish, OCR noise, and inline
+    codes (rare-token-dense). Complements :func:`text_quality`'s
+    document-local counts with a corpus-relative one: ``n_hapax`` (tokens
+    occurring exactly once in the whole corpus), ``min_freq`` (the
+    rarest token the document contains), ``freq_sum`` and the derived
+    ``mean_freq`` — a low mean marks documents a frequency-based quality
+    filter would drop.
+
+    Plan: one token hash-agg builds the corpus dictionary (vocab-sized),
+    one equi-join puts each token's frequency back on the stream, one
+    doc-keyed aggregate — all shuffles are on well-spread keys (token,
+    doc_id) and the aggregates are map-side combinable. The dictionary is
+    NOT force-broadcast: at web scale the vocabulary outgrows a
+    broadcast, and the token-keyed shuffle join is the shape that holds
+    (AQE will still broadcast it when it is small enough). Everything is
+    integer counts except ``mean_freq``, a single IEEE division both
+    engines compute identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("w")
+    )
+    dictf = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    return (
+        toks.join(dictf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("freq").cast("bigint").alias("freq_sum"),
+            F.min("freq").alias("min_freq"),
+            F.sum((F.col("freq") == 1).cast("long")).cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_sum",
+            "min_freq",
+            "n_hapax",
+            (F.col("freq_sum") * 1.0 / F.col("n_tokens")).alias("mean_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["text_rarity"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents
+    ),
+    dictf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY w
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(d.freq) AS BIGINT) AS freq_sum,
+               MIN(d.freq) AS min_freq,
+               CAST(SUM(CASE WHEN d.freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM toks t JOIN dictf d ON t.w = d.w
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, freq_sum, min_freq, n_hapax,
+           freq_sum * 1.0 / n_tokens AS mean_freq
+    FROM per_doc
+    ORDER BY doc_id
+"""
