@@ -185,6 +185,8 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # the 3-row est fan-out for the distributed rank-count yardstick (the
     # 1-row n_sample/n_total crosses hide behind the ests checkpoint)
     "sketch_quantile_sample": 1,
+    "sim_index_append": 2,  # stored centroid table under probe + DPP echo
+    "sim_filtered_ann": 2,  # trained centroid table under assign + probe
 }
 
 

@@ -1269,9 +1269,19 @@ def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is touched at query time.
     """
     base = build_ann_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{base}/codes")
+    return _probe_stored(spark, sf_dir, base, codes)
+
+
+def _probe_stored(
+    spark: SparkSession, sf_dir: str, base: str, codes: DataFrame
+) -> DataFrame:
+    """The IVFADC probe plan over stored artifacts: centroids + codebook
+    read from ``base``, candidate codes from the given (cid-partitioned)
+    code table. Shared by :func:`sim_index_probe` and
+    :func:`sim_index_append`."""
     cents = spark.read.parquet(f"{base}/centroids")
     cb = spark.read.parquet(f"{base}/codebook")
-    codes = spark.read.parquet(f"{base}/codes")
     emb = _quantized(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "q"
@@ -1293,6 +1303,49 @@ def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "vec_id", "dot", "n2")
         .orderBy("query_id", "rank")
     )
+
+
+def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the missing half of a deployed
+    build-once/probe-many story: new vectors arrive AFTER the index was
+    trained, and must be encoded against the FROZEN coarse centroids and
+    PQ codebook (retraining per batch would both cost a full pass and
+    silently shift every stored code). This op rebuilds the code table in
+    two installments into a separate ``codes_incr`` tree — an initial
+    load (even vec_ids) then an append of the rest (odd vec_ids), each
+    installment assigning + encoding ONLY its own rows against the stored
+    codebook, delivered with parquet append into the same cid partitions
+    — and then probes the combined table.
+
+    The differential IS the maintenance proof: the oracle is
+    sim_ann_ivfpq's verbatim, so the probe over base+appended codes must
+    hash-equal the single-shot build — any drift in the incremental
+    encode (stale codebook read, partition misplacement, double- or
+    missed rows) breaks the gate. Scale: each increment costs
+    O(new rows), the only write amplification is new parquet files in
+    existing cid directories (compaction territory, not rewrite).
+    """
+    base = build_ann_index(spark, sf_dir)
+    fs, marker = _hadoop_fs(spark, f"{base}/_INCR_READY")
+    inc = f"{base}/codes_incr"
+    if not fs.exists(marker):
+        cents = spark.read.parquet(f"{base}/centroids")
+        cb = spark.read.parquet(f"{base}/codebook")
+        emb = _quantized(spark, sf_dir)
+        for parity, mode in ((0, "overwrite"), (1, "append")):
+            part = emb.filter(
+                (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == parity)
+            )
+            assign = _l2_nearest_lists(cents, part.select("vec_id", "q"), "vec_id", 1)
+            (
+                _pq_encode(part, cb)
+                .join(assign, "vec_id")
+                .write.mode(mode)
+                .partitionBy("cid")
+                .parquet(inc)
+            )
+        fs.create(marker, True).close()
+    return _probe_stored(spark, sf_dir, base, spark.read.parquet(inc))
 
 
 def _index_build_oracle() -> str:
@@ -1341,3 +1394,90 @@ ORACLE_SQL["sim_index_build"] = _index_build_oracle()
 # the probe serves the exact artifact sim_ann_ivfpq computes in-plan:
 # one oracle, two execution paths (in-memory build vs persisted read)
 ORACLE_SQL["sim_index_probe"] = ORACLE_SQL["sim_ann_ivfpq"]
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search (metadata predicate + ANN)
+# ---------------------------------------------------------------------------
+
+FILTER_LANG = "en"  # the metadata predicate of the filtered-search gate
+
+
+def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-k ANN UNDER a metadata predicate
+    (documents.lang = FILTER_LANG over the shared id space) — the query
+    shape every production vector store serves ("nearest English
+    documents"), and a correctness trap worth operationalizing: filtering
+    AFTER top-k (post-filter) silently returns fewer than k results and
+    MISSES qualifying neighbors ranked below non-qualifying ones. This
+    operator pre-filters: the metadata join lands on the IVF candidate
+    set BEFORE any ranking, so the top-k is taken over exactly the
+    qualifying candidates.
+
+    Plan: trained-IVF candidates (broadcast codebook assign/probe, list
+    equi-join — sim_ann_ivf_kmeans's shape), one equi-join against the
+    filtered metadata side (filter pushed to the documents scan), exact
+    integer scoring on candidates, per-query top-k window. At 100 TB the
+    metadata side is a semi-join on the id key — broadcast when the
+    predicate is selective, shuffle otherwise; either way the filter
+    multiplies candidate volume down before the expensive scoring.
+    """
+    from .cluster import lloyd_centroids
+
+    emb = _quantized(spark, sf_dir)
+    cents = lloyd_centroids(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    cand = (
+        _ivf_kmeans_candidates(cents, corpus, queries)
+        .join(allowed, "vec_id")  # PRE-filter: before scoring and ranking
+        .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "n2",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _filtered_ann_oracle() -> str:
+    """sim_ann_ivf_kmeans's oracle with the metadata join spliced into its
+    candidate CTE — derived textually from the SAME generated SQL (with a
+    fail-loud anchor assert), so the two can never drift apart."""
+    anchor = "JOIN corpus_assign a USING (cid)"
+    sql = _ivf_kmeans_oracle()
+    assert anchor in sql, "filtered-ANN oracle anchor drifted"
+    return sql.replace(
+        anchor,
+        anchor
+        + f"\n        JOIN documents doc ON doc.doc_id = a.vec_id"
+        + f" AND doc.lang = '{FILTER_LANG}'",
+        1,
+    )
+
+
+ORACLE_SQL["sim_filtered_ann"] = _filtered_ann_oracle()
+# the incremental rebuild must serve the identical artifact: one oracle,
+# three execution paths (in-plan build / persisted read / base+append)
+ORACLE_SQL["sim_index_append"] = ORACLE_SQL["sim_ann_ivfpq"]
