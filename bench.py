@@ -101,6 +101,8 @@ def headline_queries() -> dict:
         "q_unpivot",
         "q_null_semantics",
         "pipeline_curate",
+        "pipeline_curate_near",
+        "pipeline_curate_clean",
         "pagerank",
         "q_zorder_layout",
         "q_reservoir_sample",

@@ -596,10 +596,9 @@ def pipeline_curate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cleaned = boilerplate_strip(docs.select("doc_id", "text")).filter(
         (F.col("n_kept") > 0)
-        # n_kept * BOILER_SEG bounds the cleaned token count from above;
-        # the exact floor uses the reassembled char length (cheap, already
-        # computed) scaled by the corpus's ~6 chars/token — kept simple
-        # and engine-exact: floor on clean_n_chars
+        # length floor on the CLEANED text: char-based (clean_n_chars is
+        # already computed and engine-exact), with 5 chars standing in
+        # for one token-plus-space at this corpus's word lengths
         & (F.col("clean_n_chars") >= MIN_TOKENS * 5)
     )
     keeper = cleaned.groupBy("clean_hash").agg(F.min("doc_id").alias("keep_id"))

@@ -529,6 +529,8 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rational so the estimate is pure integer arithmetic in both engines
 _ALPHA64_NUM = 709
 _ALPHA64_DEN = 1000
+
+
 def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`q_table_profile` with the exact ``COUNT(DISTINCT)``s swapped
     for HyperLogLog register estimates — the form a 100 TB profile
