@@ -334,3 +334,14 @@ def test_index_probe_matches_in_memory_ivfpq(spark, tmp_path):
         spark.conf.unset("spark.zylyty.annIndexDir")
     want = similarity.sim_ann_ivfpq(spark, SF_DIR).collect()
     assert got == want
+
+
+def test_filtered_ann_pushes_metadata_predicate(spark):
+    """sim_filtered_ann's lang predicate must reach the documents parquet
+    scan (pre-filter at the source, not a post-scan Filter), and the
+    candidate/metadata joins must be hash joins."""
+    plan = formatted_plan(similarity.sim_filtered_ann(spark, SF_DIR))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("lang" in p for p in pushed), plan
+    phys = physical_plan(similarity.sim_filtered_ann(spark, SF_DIR))
+    assert count_nodes(phys, "CartesianProduct") == 0

@@ -613,8 +613,12 @@ def pipeline_curate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curate_clean_oracle() -> str:
     from ..oracle_utils import strip_order_by as _strip
 
-    # the strip stage's oracle, retargeted at the lang-filtered corpus
-    strip_sql = _strip(ORACLE_SQL["curate_boilerplate"]).replace(
+    # the strip stage's oracle, retargeted at the lang-filtered corpus;
+    # fail loudly if the source clause stops being unique (the blind
+    # replace would then retarget the wrong scan)
+    strip_sql = _strip(ORACLE_SQL["curate_boilerplate"])
+    assert strip_sql.count("FROM documents") == 1, "boilerplate oracle drifted"
+    strip_sql = strip_sql.replace(
         "FROM documents",
         f"FROM (SELECT * FROM documents WHERE lang = '{CURATE_LANG}')",
         1,

@@ -168,10 +168,15 @@ def _assert_two_batch_replay(q) -> None:
             "advanced) — the out-of-order schedule is no longer in effect"
         )
     after_first = progress.index(data_batches[0]) + 1
-    later_out = sum(
+    later_counts = [
         p.get("sink", {}).get("numOutputRows", 0)
         for p in progress[after_first:]
-    )
+    ]
+    if all(c < 0 for c in later_counts):
+        # a sink that reports -1 (metric unavailable) must not trip the
+        # canary; the oracle hash still checks the actual output rows
+        return
+    later_out = sum(max(0, c) for c in later_counts)
     if later_out <= 0:
         raise RuntimeError(
             "watermark canary replay degenerated: no append output after "
