@@ -61,8 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     anchor-sampled recall gates (edit-distance blocking, embedding LSH),
     sub-document boilerplate stripping (plus the composed
     pipeline_curate_clean), the persisted IVF-PQ index build+probe
-    pair (with incremental append and pre-filter metadata search), the HLL-backed approximate table profile, and the mergeable
-    sample-quantile sketch —
+    pair (with incremental append and pre-filter metadata search), the HLL-backed approximate table profile, the mergeable
+    sample-quantile sketch, token-rarity profiling, and the
+    oracle-checked ORC format roundtrip —
     (c) everything whose Spark code or oracle text changed this round
     (banded-levenshtein edit family + name clusters, degree-oriented
     triangles, the canary's two-batch replay pin, the Hadoop-FS sink
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_index_append": similarity.sim_index_append,
         "sim_filtered_ann": similarity.sim_filtered_ann,
         "q_table_profile_approx": warehouse.q_table_profile_approx,
+        "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         # Spark code or oracle text changed in r8
         "dedup_edit_distance": dedup.dedup_edit_distance,
         "dedup_cc_names": graph.dedup_cc_names,
@@ -132,8 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_quantile": analytics.q_approx_quantile,
         "q_forward_fill": analytics.q_forward_fill,
         "q_unpivot": advanced.q_unpivot,
-        "q_null_semantics": advanced.q_null_semantics,
         # ---- position 51+ (ungraded by the driver this round) ----
+        "q_null_semantics": advanced.q_null_semantics,
         # slid just past the cut as late r8 operators joined the window;
         # all r4-green trivially-simple or locally verified, and the
         # displaced gates' machinery is graded via the sampled/persisted

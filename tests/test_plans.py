@@ -345,3 +345,19 @@ def test_filtered_ann_pushes_metadata_predicate(spark):
     assert any("lang" in p for p in pushed), plan
     phys = physical_plan(similarity.sim_filtered_ann(spark, SF_DIR))
     assert count_nodes(phys, "CartesianProduct") == 0
+
+
+def test_orc_roundtrip_pushes_filter_into_orc_scan(spark, tmp_path):
+    """The format migration must not cost the pushdown: the l_quantity
+    predicate reaches the ORC reader's PushedFilters just as it would a
+    parquet scan."""
+    spark.conf.set("spark.zylyty.formatDir", str(tmp_path / "fmt"))
+    try:
+        plan = formatted_plan(warehouse.q_orc_roundtrip(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.zylyty.formatDir")
+    assert "Scan orc" in plan, f"no ORC scan in plan:\n{plan}"
+    # the only scan in this plan is the ORC one, so any PushedFilters
+    # carrying the predicate belongs to it
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity" in p for p in pushed), plan

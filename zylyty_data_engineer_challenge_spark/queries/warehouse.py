@@ -724,3 +724,81 @@ ORACLE_SQL["q_table_profile"] = (
 )
 
 ORACLE_SQL["q_table_profile_approx"] = _table_profile_approx_oracle()
+
+
+def _orc_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Durable ORC copy location, identity-keyed like every derived
+    artifact (stream sinks, ANN indexes): conf ``spark.zylyty.formatDir``
+    or env ``SPARK_GRAFT_FORMAT_DIR`` root, fresh key when the source
+    regenerates."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import source_identity
+
+    root = spark.conf.get("spark.zylyty.formatDir", None)
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_FORMAT_DIR") or os.path.join(
+            tempfile.gettempdir(), "zylyty_formats"
+        )
+    ident = source_identity(spark, f"{sf_dir}/lineitem.parquet")
+    key = hashlib.sha1(f"orc:{ident}".encode()).hexdigest()[:16]
+    return f"{root}/{key}/lineitem_orc"
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: the lineitem projection written to ORC (Spark's
+    second native columnar format) and read back through a FILTERED scan,
+    then aggregated — while the oracle aggregates the original parquet
+    directly, so the differential proves the ORC write+read preserved
+    every value (decimal/date/string fidelity across the format boundary)
+    and that filter semantics survive the format swap. The write happens
+    once per source identity (same durable-artifact contract as the
+    stream sink and the ANN index); the read-side predicate is pushed
+    into the ORC reader (plan-pinned in tests/test_plans.py) — ORC
+    carries min/max stripe statistics exactly as parquet does, so the
+    pushdown story is format-independent.
+
+    Scale: the copy is a one-time format migration (partition-parallel
+    write, no shuffle); the query itself is scan + map-side-combinable
+    aggregate.
+    """
+    import os
+
+    dest = _orc_table_dir(spark, sf_dir)
+    if not os.path.exists(f"{dest}/_SUCCESS"):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_returnflag", "l_quantity",
+                "l_extendedprice", "l_shipdate",
+            )
+            .write.mode("overwrite")
+            .orc(dest)
+        )
+    back = spark.read.orc(dest).filter(F.col("l_quantity") <= 10)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("l_orderkey").cast("long").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SQL["q_orc_roundtrip"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    WHERE l_quantity <= 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
