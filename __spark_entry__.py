@@ -62,8 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sub-document boilerplate stripping (plus the composed
     pipeline_curate_clean), the persisted IVF-PQ index build+probe
     pair (with incremental append and pre-filter metadata search), the HLL-backed approximate table profile, the mergeable
-    sample-quantile sketch, token-rarity profiling, and the
-    oracle-checked ORC format roundtrip —
+    sample-quantile sketch, token-rarity profiling, k-core peeling,
+    and the oracle-checked ORC/JSONL format roundtrips —
     (c) everything whose Spark code or oracle text changed this round
     (banded-levenshtein edit family + name clusters, degree-oriented
     triangles, the canary's two-batch replay pin, the Hadoop-FS sink
@@ -97,8 +97,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_index_probe": similarity.sim_index_probe,
         "sim_index_append": similarity.sim_index_append,
         "sim_filtered_ann": similarity.sim_filtered_ann,
+        "graph_kcore": graph.graph_kcore,
         "q_table_profile_approx": warehouse.q_table_profile_approx,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
+        "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,
         # Spark code or oracle text changed in r8
         "dedup_edit_distance": dedup.dedup_edit_distance,
         "dedup_cc_names": graph.dedup_cc_names,
@@ -132,15 +134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_range_frame": analytics.q_window_range_frame,
         "q_exact_median": analytics.q_exact_median,
         "q_approx_quantile": analytics.q_approx_quantile,
-        "q_forward_fill": analytics.q_forward_fill,
-        "q_unpivot": advanced.q_unpivot,
         # ---- position 51+ (ungraded by the driver this round) ----
-        "q_null_semantics": advanced.q_null_semantics,
         # slid just past the cut as late r8 operators joined the window;
         # all r4-green trivially-simple or locally verified, and the
         # displaced gates' machinery is graded via the sampled/persisted
         # twins (dedup_embedding_recall_sampled composes
         # dedup_embedding_lsh directly)
+        "q_forward_fill": analytics.q_forward_fill,
+        "q_unpivot": advanced.q_unpivot,
+        "q_null_semantics": advanced.q_null_semantics,
         "dedup_exact": dedup.dedup_exact,
         "q_revenue_filter": relational.q_revenue_filter,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,

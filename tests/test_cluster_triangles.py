@@ -542,3 +542,80 @@ def test_wav_sample_decode_roundtrip_and_corruption():
 
     with _pytest.raises(ValueError):
         _decode_wav_samples(payload[:-3])
+
+
+def test_kcore_fixture_converged_and_sane(spark):
+    """In-band convergence certificate: no node may be removed in the
+    LAST peel round (that would mean another round could remove more),
+    and every in-core node has removed_round 0."""
+    from zylyty_data_engineer_challenge_spark.operators.graph import (
+        PEEL_ROUNDS,
+        graph_kcore,
+    )
+
+    rows = graph_kcore(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "near-dup graph is non-empty at sf0.001"
+    assert all(r["removed_round"] < PEEL_ROUNDS for r in rows), (
+        "peeling did not reach its fixpoint within PEEL_ROUNDS"
+    )
+    for r in rows:
+        assert (r["in_core"] == 1) == (r["removed_round"] == 0), r
+
+
+def test_kcore_peeling_semantics_on_chain_and_clique(spark):
+    """A path graph peels completely under k=2 (ends first, then the
+    newly-exposed ends); a triangle survives; a pendant off the triangle
+    is removed in round 1."""
+    from zylyty_data_engineer_challenge_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        # path 10-11-12-13 + triangle 1-2-3 with pendant 4 on node 3
+        [(10, 11), (11, 12), (12, 13), (1, 2), (1, 3), (2, 3), (3, 4)],
+        ["d1", "d2"],
+    )
+
+    def run(pairs_df):
+        # reuse the operator's loop via monkey-free composition: inline
+        # the same peeling over an arbitrary edge list
+        from pyspark.sql import functions as F
+
+        nodes0 = (
+            pairs_df.select(F.col("d1").alias("node"))
+            .unionAll(pairs_df.select(F.col("d2").alias("node")))
+            .distinct()
+        )
+        cur_nodes, edges, removed = nodes0, pairs_df, None
+        for r in range(1, G.PEEL_ROUNDS + 1):
+            deg = (
+                edges.select(F.col("d1").alias("node"))
+                .unionAll(edges.select(F.col("d2").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
+            weak = (
+                cur_nodes.join(deg, "node", "left")
+                .filter(F.coalesce(F.col("deg"), F.lit(0)) < G.K_CORE)
+                .select("node")
+                .localCheckpoint(eager=False)
+            )
+            tagged = weak.select("node", F.lit(r).alias("removed_round"))
+            removed = tagged if removed is None else removed.unionAll(tagged)
+            cur_nodes = cur_nodes.join(weak, "node", "left_anti").localCheckpoint(
+                eager=False
+            )
+            edges = (
+                edges.join(cur_nodes.withColumnsRenamed({"node": "d1"}), "d1")
+                .join(cur_nodes.withColumnsRenamed({"node": "d2"}), "d2")
+                .localCheckpoint(eager=False)
+            )
+        return {
+            r["node"]: r["removed_round"]
+            for r in nodes0.join(removed, "node", "left").collect()
+        }
+
+    got = run(pairs)
+    # triangle is the 2-core
+    assert got[1] is None and got[2] is None and got[3] is None
+    # pendant and path ends go in round 1; path middles in round 2
+    assert got[4] == 1 and got[10] == 1 and got[13] == 1
+    assert got[11] == 2 and got[12] == 2

@@ -467,3 +467,139 @@ ORACLE_SQL["dedup_cc_names"] = f"""
     GROUP BY n.p_name, n.node
     ORDER BY n.p_name
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+K_CORE = 2  # the core order: nodes must keep >= K_CORE surviving neighbors
+PEEL_ROUNDS = 4  # unrolled rounds; the output certifies convergence in-band
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the near-dup graph by iterative peeling:
+    repeatedly remove every node with fewer than K_CORE surviving
+    neighbors (and its edges) — what remains is the k-core, the maximal
+    subgraph of minimum degree k. On a dedup graph this is the
+    cluster-quality cut one level up from :func:`graph_triangles`: a
+    2-core member sits in a cycle of mutual near-duplicates (high-
+    confidence cluster), while nodes peeled in round 1 are pendant
+    matches a conservative pipeline reviews instead of collapsing.
+
+    Output: one row per graph node — (doc_id, removed_round, in_core)
+    with removed_round = the peel round that dropped the node (0 = never,
+    i.e. in the k-core). The round count is FIXED and unrolled
+    (PEEL_ROUNDS, like pagerank's iterations) so the DuckDB oracle runs
+    the identical computation; convergence is certified IN-BAND: peeling
+    reached its fixpoint iff no row has removed_round == PEEL_ROUNDS
+    (a node removed in the last round means another round might remove
+    more), which tests/test_cluster_triangles.py asserts on the fixture.
+
+    Scale: each round is one degree aggregate over surviving edges + two
+    semi-join restrictions — all key-partitioned shuffles on (node, d1,
+    d2); per-round lineage is checkpoint-truncated like the CC loop. Peel
+    depth on near-dup graphs is tiny (clusters are dense); a general
+    graph raises PEEL_ROUNDS the way pagerank raises its iteration count.
+    """
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
+    nodes0 = (
+        pairs.select(F.col("d1").alias("node"))
+        .unionAll(pairs.select(F.col("d2").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur_nodes, edges, removed = nodes0, pairs, None
+    for r in range(1, PEEL_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("d1").alias("node"))
+            .unionAll(edges.select(F.col("d2").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        weak = (
+            cur_nodes.join(deg, "node", "left")
+            .filter(F.coalesce(F.col("deg"), F.lit(0)) < K_CORE)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        tagged = weak.select("node", F.lit(r).alias("removed_round"))
+        removed = tagged if removed is None else removed.unionAll(tagged)
+        cur_nodes = cur_nodes.join(weak, "node", "left_anti").localCheckpoint(
+            eager=False
+        )
+        edges = (
+            edges.join(cur_nodes.withColumnsRenamed({"node": "d1"}), "d1")
+            .join(cur_nodes.withColumnsRenamed({"node": "d2"}), "d2")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes0.join(removed, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("removed_round", F.lit(0)).cast("int").alias("removed_round"),
+            F.col("removed_round").isNull().cast("int").alias("in_core"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds as chained CTEs — the identical computation,
+    pagerank-oracle style."""
+    # every CTE is MATERIALIZED: the round chain references each previous
+    # round several times, and DuckDB's default inlining would otherwise
+    # re-expand the whole upstream (including the LSH pair SQL) per
+    # reference — exponential blow-up that exhausts file handles
+    parts = [
+        f"""pairs AS MATERIALIZED (
+            SELECT d1, d2 FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_minhash_lsh"])})
+        ),
+        n0 AS MATERIALIZED (SELECT DISTINCT d1 AS node FROM pairs
+               UNION SELECT DISTINCT d2 FROM pairs),
+        e0 AS MATERIALIZED (SELECT d1, d2 FROM pairs)"""
+    ]
+    for r in range(1, PEEL_ROUNDS + 1):
+        parts.append(f"""deg{r} AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT d1 AS node FROM e{r - 1}
+                UNION ALL SELECT d2 FROM e{r - 1}
+            ) GROUP BY node
+        ),
+        rm{r} AS MATERIALIZED (
+            SELECT n.node FROM n{r - 1} n
+            LEFT JOIN deg{r} d ON n.node = d.node
+            WHERE COALESCE(d.deg, 0) < {K_CORE}
+        ),
+        n{r} AS MATERIALIZED (
+            SELECT node FROM n{r - 1}
+            WHERE node NOT IN (SELECT node FROM rm{r})
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT d1, d2 FROM e{r - 1}
+            WHERE d1 IN (SELECT node FROM n{r})
+              AND d2 IN (SELECT node FROM n{r})
+        )""")
+    removed_union = " UNION ALL ".join(
+        f"SELECT node, {r} AS removed_round FROM rm{r}"
+        for r in range(1, PEEL_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        removed AS ({removed_union})
+        SELECT n0.node AS doc_id,
+               CAST(COALESCE(rm.removed_round, 0) AS INT) AS removed_round,
+               CAST(rm.node IS NULL AS INT) AS in_core
+        FROM n0 LEFT JOIN removed rm ON n0.node = rm.node
+        ORDER BY doc_id
+    """
+    )
+
+
+ORACLE_SQL["graph_kcore"] = _kcore_oracle()

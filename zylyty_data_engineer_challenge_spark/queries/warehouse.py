@@ -802,3 +802,84 @@ ORACLE_SQL["q_orc_roundtrip"] = """
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth, text edition: the orders projection written as
+    JSON-lines and read back under an EXPLICIT schema, then aggregated —
+    against the parquet-sourced oracle. JSON is the stress case the
+    columnar roundtrip (:func:`q_orc_roundtrip`) cannot exercise: every
+    value crosses a TEXT boundary, so the differential proves timestamp
+    serialization (ISO round-trip), decimal-through-double fidelity, and
+    string escaping survive — the bugs that bite real JSONL interchange.
+    The explicit read schema is non-negotiable repo policy (inference is
+    banned in prod paths) and doubly so for JSON, where inference
+    silently widens types per file.
+
+    Scale: one-time partition-parallel migration write per source
+    identity; the query is scan + map-side-combinable aggregate. JSON
+    scans cannot push predicates (documented absence — the reader
+    filters post-parse), which is exactly why bronze data lands in
+    parquet/ORC and JSONL stays an interchange format.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..catalog import source_identity
+
+    root = spark.conf.get("spark.zylyty.formatDir", None)
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_FORMAT_DIR") or os.path.join(
+            tempfile.gettempdir(), "zylyty_formats"
+        )
+    ident = source_identity(spark, f"{sf_dir}/orders.parquet")
+    key = hashlib.sha1(f"jsonl:{ident}".encode()).hexdigest()[:16]
+    dest = f"{root}/{key}/orders_jsonl"
+    if not os.path.exists(f"{dest}/_SUCCESS"):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .write.mode("overwrite")
+            .json(dest)
+        )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(dest)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "min_date"
+            ),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_date"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SQL["q_jsonl_roundtrip"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
