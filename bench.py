@@ -117,7 +117,10 @@ def headline_queries() -> dict:
         "kmeans_lloyd",
         "kmeans_inertia",
         "graph_triangles",
+        "graph_kcore",
         "q_table_profile",
+        "q_orc_roundtrip",
+        "q_jsonl_roundtrip",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_", "curate_")
