@@ -149,17 +149,39 @@ def _sniff_events_ts(events_path: str, spark: SparkSession | None) -> bool:
                 spark.conf.set(conf_key, prior)
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any scheme — local file paths and hdfs/s3a
+    resolve through the same API, so existence checks and marker writes
+    work identically on a laptop and a cluster. Shared by every durable
+    artifact (ANN index, format migrations, near-dup pair cache)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def artifact_ready(spark: SparkSession, marker_path: str) -> bool:
+    """Existence check for a durable-artifact ready marker that works on
+    remote filesystems too — a driver-local ``os.path.exists`` would
+    never see an hdfs/s3a marker, silently demoting 'build once per
+    source identity' to 'rebuild every call'."""
+    fs, marker = hadoop_fs(spark, marker_path)
+    return fs.exists(marker)
+
+
 def source_identity(spark: SparkSession, src: str) -> str:
-    """Content identity of a source path: ``path:mtime:size``.
+    """Content identity of a source path: ``path:mtime:size:nfiles``.
 
     Local paths resolve through ``os.stat``; anything that is not
     driver-statable (hdfs://, s3a://, or any scheme the local OS can't
     see) resolves through the Hadoop FileSystem API instead — content
-    summary length + max file modification time — so a REGENERATED remote
-    source at the same path still changes identity. Used to key every
-    durable artifact derived from a source (stream sinks/checkpoints,
-    persisted ANN indexes) so stale state can never be reused against
-    regenerated data, while unchanged data reuses it by construction.
+    summary length + file count + max file modification time over a
+    RECURSIVE listing (a regenerated source whose churn is confined to
+    nested subdirectories would keep unchanged top-level mtimes) — so a
+    REGENERATED remote source at the same path still changes identity.
+    Used to key every durable artifact derived from a source (stream
+    sinks/checkpoints, persisted ANN indexes) so stale state can never be
+    reused against regenerated data, while unchanged data reuses it by
+    construction.
     """
     try:
         st = os.stat(src)
@@ -167,19 +189,19 @@ def source_identity(spark: SparkSession, src: str) -> str:
     except OSError:
         pass
     # remote path: ask the filesystem that will actually serve the reads
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(src)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = hadoop_fs(spark, src)
     status = fs.getFileStatus(hpath)
     if status.isDirectory():
-        size = fs.getContentSummary(hpath).getLength()
-        mtime = max(
-            (s.getModificationTime() for s in fs.listStatus(hpath)),
-            default=status.getModificationTime(),
-        )
-    else:
-        size = status.getLen()
+        summary = fs.getContentSummary(hpath)
+        size = summary.getLength()
+        nfiles = summary.getFileCount()
         mtime = status.getModificationTime()
+        it = fs.listFiles(hpath, True)  # recursive: nested churn counts
+        while it.hasNext():
+            mtime = max(mtime, it.next().getModificationTime())
+        return f"{src}:{mtime}:{size}:{nfiles}"
+    size = status.getLen()
+    mtime = status.getModificationTime()
     return f"{src}:{mtime}:{size}"
 
 

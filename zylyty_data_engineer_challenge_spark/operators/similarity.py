@@ -1157,12 +1157,12 @@ ANN_INDEX_VERSION = 1
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for any scheme — local file paths and hdfs/s3a
-    resolve through the same API, so existence checks and marker writes
-    work identically on a laptop and a cluster."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+    """(FileSystem, Path) for any scheme — delegates to the shared
+    :func:`..catalog.hadoop_fs` so every durable artifact (index, format
+    migration, pair cache) uses the one existence-check code path."""
+    from ..catalog import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -1467,7 +1467,7 @@ def _filtered_ann_oracle() -> str:
     fail-loud anchor assert), so the two can never drift apart."""
     anchor = "JOIN corpus_assign a USING (cid)"
     sql = _ivf_kmeans_oracle()
-    assert anchor in sql, "filtered-ANN oracle anchor drifted"
+    assert sql.count(anchor) == 1, "filtered-ANN oracle anchor drifted"
     return sql.replace(
         anchor,
         anchor

@@ -764,10 +764,13 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write, no shuffle); the query itself is scan + map-side-combinable
     aggregate.
     """
-    import os
+    from ..catalog import artifact_ready
 
     dest = _orc_table_dir(spark, sf_dir)
-    if not os.path.exists(f"{dest}/_SUCCESS"):
+    # Hadoop-FS existence check (not os.path.exists): with a remote
+    # formatDir / cluster defaultFS a driver-local stat never sees the
+    # marker and the one-time migration degrades to a rewrite per call.
+    if not artifact_ready(spark, f"{dest}/_SUCCESS"):
         (
             load_table(spark, sf_dir, "lineitem")
             .select(
@@ -835,10 +838,13 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = os.environ.get("SPARK_GRAFT_FORMAT_DIR") or os.path.join(
             tempfile.gettempdir(), "zylyty_formats"
         )
+    from ..catalog import artifact_ready
+
     ident = source_identity(spark, f"{sf_dir}/orders.parquet")
     key = hashlib.sha1(f"jsonl:{ident}".encode()).hexdigest()[:16]
     dest = f"{root}/{key}/orders_jsonl"
-    if not os.path.exists(f"{dest}/_SUCCESS"):
+    # same remote-safe marker check as q_orc_roundtrip / the ANN index
+    if not artifact_ready(spark, f"{dest}/_SUCCESS"):
         (
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")

@@ -172,11 +172,14 @@ def _assert_two_batch_replay(q) -> None:
         p.get("sink", {}).get("numOutputRows", 0)
         for p in progress[after_first:]
     ]
-    if all(c < 0 for c in later_counts):
-        # a sink that reports -1 (metric unavailable) must not trip the
-        # canary; the oracle hash still checks the actual output rows
+    if any(c < 0 for c in later_counts):
+        # ANY -1 (metric unavailable) among the later batches means the
+        # sum is untrustworthy — the emitting batch may be the one
+        # reporting -1 while interleaved empty batches report 0, which
+        # would sum to 0 and raise a FALSE degeneration failure. Skip the
+        # assertion; the oracle hash still checks the actual output rows.
         return
-    later_out = sum(max(0, c) for c in later_counts)
+    later_out = sum(later_counts)
     if later_out <= 0:
         raise RuntimeError(
             "watermark canary replay degenerated: no append output after "
