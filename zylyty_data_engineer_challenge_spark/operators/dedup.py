@@ -202,21 +202,14 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     return proj.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection: shingle → minhash → band → bucket-join
-    → exact-Jaccard verify. Emits the same (d1,d2,common,s1,s2) contract as
-    :func:`dedup_ngram_jaccard` — at j >= 0.5 with 4x4 banding the candidate
-    recall is high but not guaranteed 1.0, which is the standard trade.
-
-    Scale: the quadratic join runs only inside (band, signature) buckets;
-    bucket cardinality ~ corpus size, so skew is bounded by true duplicate
-    cluster size. Signature computation is one shuffle; banding is a narrow
-    projection.
-    """
-    # uncached; one exchange materializes the shingle table for all four
-    # consumers (signatures, sizes, both verify-join sides) via
-    # ReusedExchange — see dedup_ngram_jaccard's note
-    sh = _shingles(load_table(spark, sf_dir, "documents")).repartition("doc_id")
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band table. Per-doc deterministic — a
+    document's bands depend only on its own text (md5 of its shingles),
+    never on the rest of the corpus — which is the property that makes
+    incremental append (:func:`dedup_minhash_append`) EXACTLY equal to a
+    full rebuild: encoding a new batch against a frozen band table yields
+    the same candidates the union build would."""
+    sh = _shingles(docs).repartition("doc_id")
     sig = _minhash_signatures(sh)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []
@@ -225,14 +218,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("sig"))
         )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
-    cand = (
-        bands.alias("x")
+
+def _band_candidates(bx: DataFrame, by: DataFrame) -> DataFrame:
+    """Distinct candidate (d1, d2) pairs sharing any (band, sig) bucket,
+    d1 < d2. The quadratic work runs only inside buckets."""
+    return (
+        bx.alias("x")
         .join(
-            bands.alias("y"),
+            by.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.sig") == F.col("y.sig"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
@@ -241,13 +238,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verify: fold each doc's (already-distinct) shingles into one
-    # array and intersect per candidate pair — two doc_id equi-joins
-    # against a doc-count-sized table instead of re-shuffling the full
-    # shingle relation twice and aggregating pair counts (measured
-    # 2.3 s -> 1.8 s at sf0.1, identical output). Per-doc array size is
-    # bounded by document length, and candidate volume is output-bounded,
-    # so both joins stay skew-safe at corpus scale.
+
+def _jaccard_verify(cand: DataFrame, docs: DataFrame, restrict: bool = False) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs: fold each doc's
+    (already-distinct) shingles into one array and intersect per pair —
+    two doc_id equi-joins against a doc-count-sized table instead of
+    re-shuffling the full shingle relation twice and aggregating pair
+    counts (measured 2.3 s -> 1.8 s at sf0.1, identical output). Per-doc
+    array size is bounded by document length, and candidate volume is
+    output-bounded, so both joins stay skew-safe at corpus scale.
+
+    ``restrict=True`` semi-joins the corpus down to candidate members
+    before shingling — the append path's shape, where candidates touch a
+    tiny fraction of the corpus and shingling everything would dominate.
+    The full build leaves it False so the one materialized shingle
+    exchange is shared with the signature stage via ReusedExchange.
+    """
+    if restrict:
+        needed = (
+            cand.select(F.col("d1").alias("doc_id"))
+            .unionAll(cand.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        docs = docs.join(needed, "doc_id", "left_semi")
+    sh = _shingles(docs).repartition("doc_id")
     arrs = sh.groupBy("doc_id").agg(F.collect_list("s").alias("arr"))
     return (
         cand.join(arrs.select(F.col("doc_id").alias("d1"), F.col("arr").alias("arr1")), "d1")
@@ -260,8 +274,88 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("arr2").alias("s2"),
         )
         .filter(3 * F.col("common") >= F.col("s1") + F.col("s2"))
-        .orderBy("d1", "d2")
     )
+
+
+def _minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Unordered MinHash-LSH near-dup pairs (the full-build composition:
+    band → bucket-join → exact verify). Shared by the registered query,
+    the persisted pair cache, and the append path's base build."""
+    # uncached; one exchange materializes the shingle table for all four
+    # consumers (signatures, sizes, both verify-join sides) via
+    # ReusedExchange — see dedup_ngram_jaccard's note
+    bands = _minhash_bands(docs)
+    return _jaccard_verify(_band_candidates(bands, bands), docs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle → minhash → band → bucket-join
+    → exact-Jaccard verify. Emits the same (d1,d2,common,s1,s2) contract as
+    :func:`dedup_ngram_jaccard` — at j >= 0.5 with 4x4 banding the candidate
+    recall is high but not guaranteed 1.0, which is the standard trade.
+
+    Scale: the quadratic join runs only inside (band, signature) buckets;
+    bucket cardinality ~ corpus size, so skew is bounded by true duplicate
+    cluster size. Signature computation is one shuffle; banding is a narrow
+    projection.
+    """
+    return _minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).orderBy("d1", "d2")
+
+
+# bump to invalidate every persisted near-dup artifact (banding/hash change)
+NEARDUP_PAIRS_VERSION = 1
+
+
+def _pair_cache_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Durable near-dup pair cache location: root from
+    ``spark.zylyty.pairCacheDir`` conf or ``SPARK_GRAFT_PAIR_CACHE_DIR``
+    env (a shared filesystem on a cluster; tempdir default in local
+    mode), keyed by the documents source identity + layout version — the
+    same contract as the ANN index (:func:`..operators.similarity.
+    build_ann_index`): regenerated data or an algorithm change gets a
+    fresh pair list, unchanged data reuses the detection run."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import source_identity
+
+    root = spark.conf.get("spark.zylyty.pairCacheDir", None)
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_PAIR_CACHE_DIR") or os.path.join(
+            tempfile.gettempdir(), "zylyty_pair_cache"
+        )
+    ident = source_identity(spark, f"{sf_dir}/documents.parquet")
+    key = hashlib.sha1(f"v{NEARDUP_PAIRS_VERSION}:{ident}".encode()).hexdigest()[:16]
+    return f"{root}/{key}"
+
+
+def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted near-dup pair list: detect once per source identity,
+    then every consumer reads parquet.
+
+    Pair detection (shingle → minhash → band → verify) is the dominant
+    shared cost of the graph/curation family — `dedup_cc`,
+    `graph_triangles`, `graph_kcore`, and `pipeline_curate_near` each
+    need the SAME (d1, d2) edge list, and at 100 TB re-running detection
+    per consumer is ~4x the total cost of the family. This materializes
+    :func:`_minhash_lsh_pairs` to an identity-keyed parquet (plus the
+    band table for :func:`dedup_minhash_append`) on first use; thereafter
+    consumers start from a columnar scan of the output-sized pair list
+    instead of the corpus-sized detection pipeline. Stale reuse is
+    impossible by construction: the directory key embeds the documents
+    source identity (mtime+size), so regenerated data re-detects.
+    """
+    from ..catalog import hadoop_fs
+
+    base = _pair_cache_dir(spark, sf_dir)
+    fs, marker = hadoop_fs(spark, f"{base}/_PAIRS_READY")
+    if not fs.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        _minhash_lsh_pairs(docs).write.mode("overwrite").parquet(f"{base}/pairs")
+        _minhash_bands(docs).write.mode("overwrite").parquet(f"{base}/bands")
+        fs.create(marker, True).close()
+    return spark.read.parquet(f"{base}/pairs")
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed 64-bit in both engines

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..oracle_utils import strip_order_by as _strip_order_by
 from .dedup import ORACLE_SQL as _DEDUP_ORACLE
-from .dedup import dedup_minhash_lsh
+from .dedup import minhash_pairs_cached
 
 MAX_CC_ROUNDS = 20  # safety bound; convergence is checked every round
 
@@ -90,11 +90,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment for every document: component = min doc_id
     reachable through MinHash-LSH near-dup pairs; ``is_representative``
-    marks the survivor each cluster keeps. Composes the LSH pair detector
-    (:func:`..operators.dedup.dedup_minhash_lsh`) with
-    :func:`connected_components`."""
+    marks the survivor each cluster keeps. Composes the PERSISTED LSH
+    pair list (:func:`..operators.dedup.minhash_pairs_cached` — detection
+    runs once per source identity and every graph/curation consumer reads
+    the parquet thereafter) with :func:`connected_components`."""
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
-    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+    pairs = minhash_pairs_cached(spark, sf_dir).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     cc = connected_components(docs, pairs)
@@ -304,7 +305,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture). The edge list is checkpointed once and reused by all three
     join roles.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    pairs = minhash_pairs_cached(spark, sf_dir).select("d1", "d2")
     return triangle_counts(pairs).withColumnRenamed("node", "doc_id").orderBy(
         "doc_id"
     )
@@ -502,8 +503,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth on near-dup graphs is tiny (clusters are dense); a general
     graph raises PEEL_ROUNDS the way pagerank raises its iteration count.
     """
+    # persisted pair list (shared with dedup_cc/triangles/curate_near);
+    # the checkpoint still truncates lineage for the peel loop below
     pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
+        minhash_pairs_cached(spark, sf_dir)
         .select("d1", "d2")
         .localCheckpoint(eager=False)
     )
