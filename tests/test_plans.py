@@ -81,7 +81,10 @@ def test_top_customers_prunes_orders_scan(spark):
         # subtrees print once per consumer (ReusedExchange dedupes them at
         # runtime): ngram's 1-row corpus-count cross appears under each of
         # the 4 shingle consumers.
-        ("dedup_simhash", dedup.dedup_simhash, 0),
+        # simhash's sanctioned BNLJ: the 1-row corpus-count cross that
+        # sizes the hot-bucket df-cap (same shape as ngram's) — printed
+        # once per self-join side of the capped band table
+        ("dedup_simhash", dedup.dedup_simhash, 2),
         ("dedup_minhash_lsh", dedup.dedup_minhash_lsh, 0),
         ("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, 4),
         ("sim_ann_lsh", similarity.sim_ann_lsh, 2),
@@ -110,8 +113,10 @@ def test_simhash_has_no_bit_explode(spark):
     plan = physical_plan(dedup.dedup_simhash(spark, SF_DIR))
     assert "sequence(0" not in plan
     # two sanctioned Generates (tokens, bands), each printed once per
-    # self-join side in the static plan
-    assert count_nodes(plan, "Generate") <= 4, count_nodes(plan, "Generate")
+    # consumer of the capped band table in the static plan: the two
+    # self-join sides plus the hot-bucket df subtree under each anti-join
+    # (runtime dedupes them via ReusedExchange)
+    assert count_nodes(plan, "Generate") <= 8, count_nodes(plan, "Generate")
 
 
 def test_no_collect_in_query_modules():
@@ -187,6 +192,12 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sketch_quantile_sample": 1,
     "sim_index_append": 2,  # stored centroid table under probe + DPP echo
     "sim_filtered_ann": 2,  # trained centroid table under assign + probe
+    # 1-row corpus-count cross sizing the hot-bucket cap, once per
+    # self-join side of the capped band table
+    "dedup_simhash": 2,
+    # inherits the capped detector (2, twice: joined + count consumer)
+    # plus the gate's own 1-row capped-count cross
+    "dedup_simhash_recall_sampled": 5,
 }
 
 

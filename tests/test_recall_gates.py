@@ -181,3 +181,49 @@ def test_funnel_requires_strict_event_order(spark, tmp_path):
     )
     got = {r["step"]: r["n_users"] for r in q_funnel(spark, str(d)).collect()}
     assert got == {"1_signup": 2, "2_view": 2, "3_click": 2, "4_purchase": 1}
+
+
+def test_simhash_cap_drops_degenerate_bucket_and_gate_quantifies_it(
+    spark, tmp_path
+):
+    """The hot-bucket cap's contract on a HOMOGENEOUS corpus (r8 VERDICT
+    item 3): 120 near-identical docs all collapse into the same band
+    buckets (df=120 > cap=50), the capped detector drops them — bounded
+    candidates, zero pairs — and the sampled gate reports the loss as
+    recall ~ 0 with a non-zero exact side, instead of hiding it."""
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        dedup_simhash,
+        dedup_simhash_recall_sampled,
+    )
+
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, base, "en", "synthetic", 80) for i in range(120)]
+    d = tmp_path / "homog"
+    spark.createDataFrame(rows, DOCUMENTS).coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    assert dedup_simhash(spark, str(d)).count() == 0, (
+        "cap must drop the degenerate bucket entirely"
+    )
+    row = dedup_simhash_recall_sampled(spark, str(d)).collect()[0]
+    assert row["n_exact"] > 0, "uncapped ground truth must see the dups"
+    assert row["hits"] == 0 and row["recall"] == 0.0
+
+
+def test_simhash_cap_lossless_on_heterogeneous_corpus(spark, nodup_dir):
+    """On a corpus with no bucket above the cap the capped detector is
+    IDENTICAL to the uncapped banded join (the cap only ever bites hot
+    buckets)."""
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        _simhash_banded_pairs,
+        _simhash_bands,
+        dedup_simhash,
+    )
+
+    bands = _simhash_bands(load_table(spark, nodup_dir, "documents"))
+    uncapped = sorted(
+        tuple(r) for r in _simhash_banded_pairs(bands, bands).collect()
+    )
+    capped = sorted(tuple(r) for r in dedup_simhash(spark, nodup_dir).collect())
+    assert capped == uncapped

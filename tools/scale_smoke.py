@@ -72,6 +72,12 @@ HEAVY = [
     "q_table_profile_approx",
     "sketch_quantile_sample",
     "graph_triangles",
+    # r9: hot-bucket-capped simhash — the homogeneous word-salad corpus is
+    # exactly the degenerate case the cap bounds (was >15 min uncapped;
+    # ~13 s capped). Its sampled recall gate is O(sample x corpus) by
+    # formulation (~220 s here because the degenerate corpus has ~150M
+    # true in-stratum pairs) and is smoke-tested separately, not per-run.
+    "dedup_simhash",
 ]
 
 

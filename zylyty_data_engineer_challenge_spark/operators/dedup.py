@@ -366,23 +366,49 @@ SIMHASH_BANDS = 4
 HAMMING_MAX = SIMHASH_BANDS - 1
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15-bit band keys
 SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+# Hot-bucket cap (the simhash analog of the ngram family's hot-shingle
+# df-cap): a (bidx, bsig) bucket holding more than max(floor, 1% of corpus)
+# docs is dropped from candidate generation. On a homogeneous corpus most
+# docs collapse into a handful of band buckets (the fingerprint IS a
+# content summary, so low-diversity content means low-diversity bands) and
+# the within-bucket join goes quadratic — the r5 10x audit measured >15 min
+# there. Pairs are lost only when EVERY shared band of a qualifying pair is
+# hot; dedup_simhash_recall_sampled quantifies exactly that loss.
+SIMHASH_BUCKET_MIN_DF = 50  # absolute floor for the bucket cap
+SIMHASH_BUCKET_PCT = 100  # cap = max(floor, n_docs div 100), 1% of corpus
+
+# Shared oracle CTE chain: tokens -> token hashes -> per-bit sums ->
+# fingerprints -> band table. Used by both the capped detector's oracle and
+# the sampled recall gate's UNCAPPED exact side, so the two can never drift.
+_SIMHASH_CTE = f"""toks AS (
+            SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS th FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b.b, SUM(((th >> b.b) & 1) * 2 - 1) AS s
+            FROM th, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
+            GROUP BY 1, 2
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, simhash, b.b AS bidx,
+                   CAST((simhash >> (b.b * {SIMHASH_BAND_BITS})) & {SIMHASH_BAND_MASK} AS INT) AS bsig
+            FROM fp, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b) b
+        )"""
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit signed-projection fingerprints, all
-    pairs at Hamming distance <= 3, found via an exact banded equi-join.
-
-    Token hash = first 15 hex chars of md5 as int (identical in Spark
-    `conv` and DuckDB hex-cast). Bit b of the fingerprint is the sign of
-    sum over tokens of (2*bit_b(hash)-1). All integer arithmetic.
-
-    Scale: fingerprints are one groupBy(doc_id) with 60 codegen'd SUMs;
-    candidate pairs come from a 4x15-bit **band equi-join** which is
-    *exact* at this threshold (see HAMMING_MAX note) — the Hamming verify
-    runs only inside band buckets, never all-pairs, and no qualifying
-    pair is missed. The oracle mirrors the same banded construction.
-    """
-    toks = _tokens(load_table(spark, sf_dir, "documents"))
+def _simhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, bidx, bsig) band table for the simhash family —
+    fingerprints are one groupBy(doc_id) with 60 codegen'd SUMs; bands
+    are a narrow projection. Per-doc deterministic, like minhash bands."""
+    toks = _tokens(docs)
     th = toks.select(
         "doc_id",
         F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").alias("th"),
@@ -420,10 +446,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.bidx").alias("bidx"), F.col("b.bsig").alias("bsig"))
-    pairs = (
-        bands.alias("x")
+    return bands
+
+
+def _simhash_banded_pairs(bx: DataFrame, by: DataFrame) -> DataFrame:
+    """Distinct (d1, d2, hamming) pairs at Hamming <= HAMMING_MAX sharing
+    any band bucket between the two band tables, d1 < d2."""
+    return (
+        bx.alias("x")
         .join(
-            bands.alias("y"),
+            by.alias("y"),
             (F.col("x.bidx") == F.col("y.bidx"))
             & (F.col("x.bsig") == F.col("y.bsig"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
@@ -435,9 +467,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
-        .orderBy("d1", "d2")
     )
-    return pairs
+
+
+def _simhash_hot_buckets(bands: DataFrame, docs: DataFrame) -> DataFrame:
+    """(bidx, bsig) buckets above the df-cap — joined anti to prune
+    candidate generation. Hot-bucket cardinality is tiny (they are the
+    head of the bucket-size distribution), so the anti-join broadcasts."""
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        bands.groupBy("bidx", "bsig")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(n_docs)  # 1-row corpus count, same shape as ngram's cap
+        .filter(
+            F.col("df")
+            > F.greatest(
+                F.lit(SIMHASH_BUCKET_MIN_DF),
+                F.expr(f"n_docs div {SIMHASH_BUCKET_PCT}"),
+            )
+        )
+        .select("bidx", "bsig")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signed-projection fingerprints, all
+    pairs at Hamming distance <= 3, found via a banded equi-join with a
+    hot-bucket df-cap.
+
+    Token hash = first 15 hex chars of md5 as int (identical in Spark
+    `conv` and DuckDB hex-cast). Bit b of the fingerprint is the sign of
+    sum over tokens of (2*bit_b(hash)-1). All integer arithmetic.
+
+    Scale: fingerprints are one groupBy(doc_id) with 60 codegen'd SUMs;
+    candidate pairs come from a 4x15-bit **band equi-join** that is
+    lossless at this threshold on heterogeneous corpora (<= 3 flipped
+    bits cannot touch all 4 bands — pigeonhole), BUT homogeneous corpora
+    concentrate docs into few buckets and the within-bucket join goes
+    quadratic. Buckets above max(SIMHASH_BUCKET_MIN_DF, 1% of corpus)
+    docs are therefore dropped (the hot-shingle cap's analog), bounding
+    per-bucket work by the cap squared; the recall cost — a pair is lost
+    only when every band it shares is hot — is quantified by
+    :func:`dedup_simhash_recall_sampled`. The oracle mirrors the same
+    capped banded construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _simhash_bands(docs)
+    kept = bands.join(
+        F.broadcast(_simhash_hot_buckets(bands, docs)),
+        ["bidx", "bsig"],
+        "left_anti",
+    )
+    return _simhash_banded_pairs(kept, kept).orderBy("d1", "d2")
 
 
 COS_NUM = 81  # threshold 0.45: cos >= 0.45 ⟺ 400*dot^2 >= 81*n1*n2 (dot>0)
@@ -726,32 +807,20 @@ ORACLE_SQL = {
         ORDER BY d1, d2
     """,
     "dedup_simhash": f"""
-        WITH toks AS (
-            SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
-            FROM documents
+        WITH {_SIMHASH_CTE},
+        bdf AS (
+            SELECT bidx, bsig, COUNT(*) AS df FROM bands GROUP BY 1, 2
         ),
-        th AS (
-            SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS th FROM toks
-        ),
-        bits AS (
-            SELECT doc_id, b.b, SUM(((th >> b.b) & 1) * 2 - 1) AS s
-            FROM th, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
-            GROUP BY 1, 2
-        ),
-        fp AS (
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-            FROM bits GROUP BY doc_id
-        ),
-        bands AS (
-            SELECT doc_id, simhash, b.b AS bidx,
-                   CAST((simhash >> (b.b * {SIMHASH_BAND_BITS})) & {SIMHASH_BAND_MASK} AS INT) AS bsig
-            FROM fp, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b) b
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        kept AS (
+            SELECT bands.* FROM bands JOIN bdf USING (bidx, bsig), nd
+            WHERE bdf.df <= greatest({SIMHASH_BUCKET_MIN_DF},
+                                     nd.n_docs // {SIMHASH_BUCKET_PCT})
         )
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
                bit_count(xor(x.simhash, y.simhash)) AS hamming
-        FROM bands x
-        JOIN bands y ON x.bidx = y.bidx AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+        FROM kept x
+        JOIN kept y ON x.bidx = y.bidx AND x.bsig = y.bsig AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
         ORDER BY d1, d2
     """,
@@ -911,6 +980,63 @@ ORACLE_SQL["dedup_lsh_recall_sampled"] = f"""
            CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
                 ELSE CAST((SELECT COUNT(*) FROM exact e JOIN lsh l
                            ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM exact)
+           END AS recall
+"""
+
+
+def dedup_simhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled recall gate quantifying :func:`dedup_simhash`'s hot-bucket
+    cap loss — the simhash member of the recall-gate family
+    (:func:`dedup_lsh_recall_sampled`, :func:`dedup_edit_recall_sampled`,
+    :func:`dedup_embedding_recall_sampled`).
+
+    Ground truth is the UNCAPPED banded join, which at Hamming <= 3 with
+    4 bands is EXACT (pigeonhole: <= 3 flipped bits cannot touch all 4
+    bands), restricted to pairs whose smaller id (d1) is an anchor — the
+    anchor filter lands on the x side of the band join *before* any pair
+    forms, so the exact side is O(sample x corpus) even inside hot
+    buckets, the formulation that survives 100 TB. The capped detector's
+    pairs are filtered to the same stratum; a pair is missed exactly when
+    EVERY band it shares is hot, so recall over the stratum is an
+    unbiased estimate of the cap's true loss (anchoring is independent of
+    content).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _simhash_bands(docs)
+    exact = _simhash_banded_pairs(
+        bands.filter(_is_anchor(F.col("doc_id"))), bands
+    ).select("d1", "d2")
+    capped = (
+        dedup_simhash(spark, sf_dir)
+        .filter(_is_anchor(F.col("d1")))
+        .select("d1", "d2", F.lit(1).alias("hit"))
+    )
+    return _pair_recall_gate(exact, capped, "n_capped_sampled")
+
+
+ORACLE_SQL["dedup_simhash_recall_sampled"] = f"""
+    WITH {_SIMHASH_CTE},
+    exact AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x
+        JOIN bands y ON x.bidx = y.bidx AND x.bsig = y.bsig
+                    AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+          AND (x.doc_id * {SAMPLE_KNUTH}) % {2**32} % {SAMPLE_MOD} = 0
+    ),
+    capped AS (
+        SELECT d1, d2, 1 AS hit
+        FROM ({_strip_order_by(ORACLE_SQL["dedup_simhash"])})
+        WHERE {_ANCHOR_SQL}
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM capped) AS n_capped_sampled,
+           CAST((SELECT COUNT(*) FROM exact e JOIN capped c
+                 ON e.d1 = c.d1 AND e.d2 = c.d2) AS BIGINT) AS hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM exact e JOIN capped c
+                           ON e.d1 = c.d1 AND e.d2 = c.d2) AS BIGINT) * 1.0
                      / (SELECT COUNT(*) FROM exact)
            END AS recall
 """
