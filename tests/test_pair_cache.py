@@ -110,3 +110,20 @@ def test_regenerated_source_invalidates_cache(spark, sf_dir, tmp_path):
         assert n1 >= 0
     finally:
         spark.conf.unset("spark.zylyty.pairCacheDir")
+
+
+def test_minhash_append_idempotent_and_equals_rebuild(spark, sf_dir, pair_cache):
+    """dedup_minhash_append (r8 VERDICT item 4): the persisted base +
+    appended batch must serve the EXACT full-rebuild pair set, and a
+    re-run must not duplicate stored rows (marker idempotency)."""
+    rebuild = sorted(
+        tuple(r) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    )
+    first = sorted(
+        tuple(r) for r in dedup.dedup_minhash_append(spark, sf_dir).collect()
+    )
+    assert first == rebuild, "append must equal full rebuild on the union"
+    second = sorted(
+        tuple(r) for r in dedup.dedup_minhash_append(spark, sf_dir).collect()
+    )
+    assert second == first, "re-run must be a no-op read, not a re-append"

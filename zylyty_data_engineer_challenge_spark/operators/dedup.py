@@ -330,6 +330,85 @@ def _pair_cache_dir(spark: SparkSession, sf_dir: str) -> str:
     return f"{root}/{key}"
 
 
+APPEND_MOD = 10  # doc_id % 10 == 0 plays the arriving "daily batch"
+
+
+def dedup_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the shape a training-data pipeline runs
+    daily (the dedup analog of ``sim_index_append``): encode a NEW
+    document batch against the persisted band table, emit only
+    new-vs-corpus and new-vs-new pairs, and append the batch's bands and
+    pairs to the stored artifacts. Returns the persisted pair table
+    AFTER the append, whose oracle is :func:`dedup_minhash_lsh`'s full
+    SQL verbatim — hash-equality proves **append ≡ full rebuild on the
+    union corpus**, which holds exactly (not approximately) because a
+    doc's minhash bands depend only on its own text: candidates over the
+    union = base-base candidates ∪ new-vs-anything candidates, and the
+    Jaccard verify is per-pair.
+
+    The fixture split is deterministic: doc_id % APPEND_MOD == 0 is the
+    arriving batch, the rest is the pre-built corpus (built and persisted
+    once per source identity, same marker contract as the pair cache).
+
+    Scale: the incremental cost is O(batch) band encoding + a
+    batch-vs-corpus bucket join (never corpus x corpus) + verify over
+    candidate pairs only, with shingle arrays recomputed just for
+    candidate-touched docs (semi-join pushdown, ``restrict=True``) — the
+    whole reason an incremental path exists at 100 TB. Both the band
+    append and the pair append are marker-idempotent: re-running emits
+    the same result without duplicating stored rows.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import hadoop_fs, source_identity
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % APPEND_MOD == 0
+    base_docs = docs.filter(~is_new)
+    new_docs = docs.filter(is_new)
+
+    root = spark.conf.get("spark.zylyty.pairCacheDir", None)
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_PAIR_CACHE_DIR") or os.path.join(
+            tempfile.gettempdir(), "zylyty_pair_cache"
+        )
+    ident = source_identity(spark, f"{sf_dir}/documents.parquet")
+    key = hashlib.sha1(
+        f"append-base-v{NEARDUP_PAIRS_VERSION}:{ident}".encode()
+    ).hexdigest()[:16]
+    base = f"{root}/{key}"
+
+    fs, base_marker = hadoop_fs(spark, f"{base}/_BASE_READY")
+    if not fs.exists(base_marker):
+        _minhash_bands(base_docs).write.mode("overwrite").parquet(f"{base}/bands")
+        _minhash_lsh_pairs(base_docs).write.mode("overwrite").parquet(
+            f"{base}/pairs"
+        )
+        fs.create(base_marker, True).close()
+
+    _, appended = hadoop_fs(spark, f"{base}/_APPEND_READY")
+    if not fs.exists(appended):
+        stored_bands = spark.read.parquet(f"{base}/bands")
+        new_bands = _minhash_bands(new_docs)
+        all_bands = stored_bands.unionByName(new_bands)
+        # both orientations of the new-vs-anything bucket join (the new
+        # doc may be either the smaller or larger id of a pair);
+        # new-vs-new pairs land in both and the distinct collapses them
+        cand = (
+            _band_candidates(new_bands, all_bands)
+            .unionByName(_band_candidates(all_bands, new_bands))
+            .distinct()
+        )
+        new_pairs = _jaccard_verify(cand, docs, restrict=True)
+        new_pairs.write.mode("append").parquet(f"{base}/pairs")
+        new_bands.write.mode("append").parquet(f"{base}/bands")
+        fs.create(appended, True).close()
+
+    return spark.read.parquet(f"{base}/pairs").orderBy("d1", "d2")
+
+
 def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted near-dup pair list: detect once per source identity,
     then every consumer reads parquet.
@@ -848,6 +927,12 @@ ORACLE_SQL = {
         ORDER BY v1, v2
     """,
 }
+
+# append ≡ full rebuild on the union corpus: the incremental path must
+# serve the identical pair set, so its oracle is the full-build SQL
+# verbatim — one oracle, two execution paths (in-plan build / persisted
+# base + appended batch), mirroring sim_index_append's contract
+ORACLE_SQL["dedup_minhash_append"] = ORACLE_SQL["dedup_minhash_lsh"]
 
 
 def _pair_recall_gate(exact, lsh, n_lsh_alias: str):
