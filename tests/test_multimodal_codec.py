@@ -87,3 +87,54 @@ def test_wav_roundtrip_and_chunk_walk():
     # truncated fmt/data must fail loud
     with pytest.raises(ValueError):
         decode_media(b[:20], "audio/wav")
+
+
+def test_ahash_identical_images_pair_and_banding_is_lossless():
+    """mm_phash_dedup's kernel (r8 VERDICT item 5): identical pixel
+    buffers hash identically (Hamming 0 -> a pair), and the 4x16-bit
+    banding is lossless at Hamming <= 3 by pigeonhole — flipping 3 band
+    regions of a hash still leaves one band exactly equal."""
+    from zylyty_data_engineer_challenge_spark.operators.multimodal import (
+        PHASH_BANDS,
+        _ahash_bands,
+        _build_png,
+        _decode_png_pixels,
+    )
+
+    w, h, seed = 9, 7, b"the quick brown fox jumps over the lazy dog"
+    _, _, pix = _decode_png_pixels(_build_png(w, h, seed))
+    a = _ahash_bands(pix, w, h)
+    assert a == _ahash_bands(pix, w, h)
+    assert len(a) == PHASH_BANDS and all(0 <= s < 2**16 for s in a)
+    # gradient image (distinct block means) differs from the flat one
+    _, _, pix2 = _decode_png_pixels(_build_png(w, h, b"aaaaaaab" * 16))
+    assert _ahash_bands(pix2, w, h) != a
+    # pigeonhole: corrupt any 3 bands, one band still matches exactly
+    for dropped in range(PHASH_BANDS):
+        corrupted = [s if i == dropped else s ^ 0x1 for i, s in enumerate(a)]
+        assert any(x == y for x, y in zip(a, corrupted))
+
+
+def test_phash_dedup_pairs_known_duplicates(spark, tmp_path):
+    """Two docs with identical text AND identical derived dims must form
+    a Hamming-0 pair; a third with different content must not pair with
+    them."""
+    from zylyty_data_engineer_challenge_spark.operators.multimodal import (
+        mm_phash_dedup,
+    )
+    from zylyty_data_engineer_challenge_spark.schemas import DOCUMENTS
+
+    text = "pack my box with five dozen liquor jugs"
+    other = "zebras jostle quickly with vexing dwarf mobs " * 3
+    rows = [
+        (13, text, "en", "s", len(text)),   # w = 13%13+4 = 4
+        (26, text, "en", "s", len(text)),   # same w, same n_chars -> same h
+        (39, other, "en", "s", len(other)),  # same dims family, other pixels
+    ]
+    d = tmp_path / "phash"
+    spark.createDataFrame(rows, DOCUMENTS).coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in mm_phash_dedup(spark, str(d)).collect()}
+    assert pairs.get((13, 26)) == 0, pairs
+    assert (13, 39) not in pairs and (26, 39) not in pairs

@@ -743,3 +743,209 @@ ORACLE_SQL["mm_audio_energy"] = f"""
     GROUP BY doc_id, frame
     ORDER BY doc_id, frame
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash + Hamming-banded near-dup pairs (r8 VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8  # 8x8 block-mean aHash -> 64 bits
+PHASH_BANDS = 4  # 4 bands x 16 bits; <= 3 flipped bits can't touch all 4
+PHASH_BAND_BITS = (PHASH_GRID * PHASH_GRID) // PHASH_BANDS  # 16-bit band keys
+PHASH_HAMMING_MAX = PHASH_BANDS - 1  # lossless banding (pigeonhole)
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def _ahash_bands(pix: bytes, w: int, h: int) -> list[int]:
+    """64-bit block-mean aHash of an RGB pixel buffer, returned as 4
+    16-bit band signatures (bit k of the hash = block k's mean exceeds
+    the global mean; k = (y-block * 8) + x-block). All-integer: the mean
+    comparison is the cross-multiplication block_sum * n_total >
+    total_sum * n_block, so no float division anywhere and the SQL
+    oracle reproduces it bit-for-bit. Blocks that receive no pixels
+    (images narrower/shorter than the 8-grid) contribute bit 0, matching
+    the oracle where the empty group simply never appears."""
+    n_total = len(pix)
+    total = sum(pix)
+    n_cells = PHASH_GRID * PHASH_GRID
+    bsum = [0] * n_cells
+    bn = [0] * n_cells
+    for j, v in enumerate(pix):
+        p = j // 3
+        x = p % w
+        y = p // w
+        k = ((y * PHASH_GRID) // h) * PHASH_GRID + (x * PHASH_GRID) // w
+        bsum[k] += v
+        bn[k] += 1
+    bits = [
+        1 if bsum[k] * n_total > total * bn[k] else 0 for k in range(n_cells)
+    ]
+    return [
+        sum(
+            bits[i * PHASH_BAND_BITS + t] << t
+            for t in range(PHASH_BAND_BITS)
+        )
+        for i in range(PHASH_BANDS)
+    ]
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over DECODED pixels: build each document's
+    generative PNG (the :func:`mm_pixel_decode` path — real CRC32s, zlib
+    IDAT), fully decode it, compute a 64-bit block-mean aHash, and emit
+    all pairs at Hamming distance <= 3 via an exact banded equi-join —
+    image dedup joining the text (:func:`..dedup.dedup_minhash_lsh`) and
+    embedding (:func:`..dedup.dedup_embedding_lsh`) families with the
+    same (d1, d2, hamming) pair contract, so the output composes directly
+    with ``connected_components``/``dedup_cc``.
+
+    The hash is stored as 4 x 16-bit band signatures (never one 64-bit
+    int — bit 63 would overflow signed int64 in both engines); banding at
+    Hamming <= 3 with 4 bands is LOSSLESS (pigeonhole: <= 3 flipped bits
+    cannot touch all 4 bands), so recall is 1.0 by construction, and the
+    oracle recomputes hash + join from the generative pixel formula —
+    a corrupted bit anywhere in construction, compression, decode, or
+    hashing breaks the differential.
+
+    Scale: decode+hash is ONE map-only Arrow-batched stage (pixels never
+    leave the executor; 4 small ints per image do); the pair join runs
+    only inside (band, sig) buckets over a 2^16 keyspace per band. A
+    pathological corpus of near-identical images would concentrate
+    buckets like simhash's homogeneous case — the same hot-bucket df-cap
+    applies if that corpus ever materializes (documented, not built:
+    unlike text, the synthetic image corpus derives dims from doc_id so
+    buckets stay populated-but-bounded).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "b0", "b1", "b2", "b3")}
+            for did, n_chars, txt in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"]):
+                w = int(did) % 13 + 4
+                h = int(n_chars) % 11 + 3
+                payload = _build_png(w, h, txt.encode("utf-8"))
+                w2, h2, pix = _decode_png_pixels(payload)
+                bands = _ahash_bands(pix, w2, h2)
+                out["doc_id"].append(int(did))
+                for i in range(PHASH_BANDS):
+                    out[f"b{i}"].append(bands[i])
+            yield pd.DataFrame(out)
+
+    sigs = docs.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+    bands = sigs.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bidx"), F.col(f"b{i}").alias("bsig")
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("bb.bidx").alias("bidx"), F.col("bb.bsig").alias("bsig"),
+    )
+    ham = " + ".join(
+        f"bit_count(x.b{i} ^ y.b{i})" for i in range(PHASH_BANDS)
+    )
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+ORACLE_SQL["mm_phash_dedup"] = f"""
+    WITH dims AS (
+        SELECT doc_id, n_chars, text,
+               CAST(doc_id % 13 + 4 AS INT) AS width,
+               CAST(n_chars % 11 + 3 AS INT) AS height
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, width, height, n_chars, text,
+               unnest(range(0, width * 3 * height)) AS j
+        FROM dims
+    ),
+    bytes AS (
+        SELECT doc_id, width, height,
+               CASE WHEN n_chars = 0 THEN 0
+                    ELSE unicode(substr(text, CAST(j % n_chars AS INT) + 1, 1))
+               END AS bv,
+               (j // 3) % width AS x, (j // 3) // width AS y
+        FROM idx
+    ),
+    blocks AS (
+        SELECT doc_id,
+               ((y * {PHASH_GRID}) // height) * {PHASH_GRID}
+                   + (x * {PHASH_GRID}) // width AS k,
+               SUM(bv) AS bsum, COUNT(*) AS bn
+        FROM bytes GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, SUM(bv) AS tsum, COUNT(*) AS tn FROM bytes GROUP BY 1
+    ),
+    bits AS (
+        SELECT b.doc_id, b.k,
+               CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+        FROM blocks b JOIN tot t USING (doc_id)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN k // {PHASH_BAND_BITS} = 0
+                    THEN bit << (k % {PHASH_BAND_BITS}) END), 0) AS BIGINT) AS b0,
+               CAST(COALESCE(SUM(CASE WHEN k // {PHASH_BAND_BITS} = 1
+                    THEN bit << (k % {PHASH_BAND_BITS}) END), 0) AS BIGINT) AS b1,
+               CAST(COALESCE(SUM(CASE WHEN k // {PHASH_BAND_BITS} = 2
+                    THEN bit << (k % {PHASH_BAND_BITS}) END), 0) AS BIGINT) AS b2,
+               CAST(COALESCE(SUM(CASE WHEN k // {PHASH_BAND_BITS} = 3
+                    THEN bit << (k % {PHASH_BAND_BITS}) END), 0) AS BIGINT) AS b3
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, b0, b1, b2, b3, i.i AS bidx,
+               CASE i.i WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS bsig
+        FROM sigs, (SELECT unnest(range(0, {PHASH_BANDS})) AS i) i
+    )
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS INT) AS hamming
+    FROM bands x
+    JOIN bands y ON x.bidx = y.bidx AND x.bsig = y.bsig
+                AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {PHASH_HAMMING_MAX}
+    ORDER BY d1, d2
+"""
