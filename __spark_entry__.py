@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_recall_sampled": dedup.dedup_simhash_recall_sampled,
         "dedup_minhash_append": dedup.dedup_minhash_append,
         "mm_phash_dedup": multimodal.mm_phash_dedup,
+        "sketch_quantile_err": sketches.sketch_quantile_err,
         # stale driver proof (last row r1/r4-era) — regraded this round
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_salted_agg": advanced.q_salted_agg,

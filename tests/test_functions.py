@@ -61,3 +61,20 @@ def test_builders_accept_columns_and_strings(spark):
     ).collect()[0]
     assert row.h1 == row.h2
     assert row.c1 == row.c2 == 150
+
+
+def test_quantile_err_gate_within_dkw_bound(spark, sf_dir):
+    """sketch_quantile_err's in-band acceptance: every percentile's
+    observed rank error sits inside the DKW bound (the quantile twin of
+    the HLL/recall gates)."""
+    from zylyty_data_engineer_challenge_spark.operators.sketches import (
+        sketch_quantile_err,
+    )
+
+    rows = sketch_quantile_err(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["within"] == 1, (
+            f"q{r['q_pct']}: rank error {r['err_rank']} exceeds "
+            f"{r['eps_ppm']}ppm of {r['n_total']}"
+        )

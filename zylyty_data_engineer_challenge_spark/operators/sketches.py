@@ -884,3 +884,93 @@ ORACLE_SQL["sketch_quantile_sample"] = f"""
     FROM ests e JOIN ranks r ON e.q_pct = r.q_pct
     ORDER BY e.q_pct
 """
+
+
+# --- quantile error contract (r8 VERDICT item 6) ---------------------------
+
+# DKW inequality (Dvoretzky–Kiefer–Wolfowitz, with Massart's tight
+# constant): for a uniform k-sample, P(sup_x |F_hat(x) - F(x)| > eps)
+# <= 2 exp(-2 k eps^2), so with failure probability delta = 1/QS_DELTA_INV
+# the sample p-quantile's POPULATION rank sits within eps * n of the
+# target rank, eps = sqrt(ln(2 * QS_DELTA_INV) / (2 k)). The bottom-k
+# md5 sample is a uniform sample of the key universe (hash order is
+# independent of value order), so the bound applies verbatim; the gate
+# below asserts the OBSERVED rank error against it. Stored in parts-per-
+# million so the acceptance test is pure int64 arithmetic in both engines.
+QS_DELTA_INV = 100  # delta = 1%
+
+
+def _qs_eps_ppm() -> int:
+    import math
+
+    return math.ceil(
+        math.sqrt(math.log(2 * QS_DELTA_INV) / (2 * QS_K)) * 1_000_000
+    )
+
+
+QS_EPS_PPM = _qs_eps_ppm()
+
+
+def sketch_quantile_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-contract gate for :func:`sketch_quantile_sample` — the
+    quantile twin of the HLL-relative-error and dedup-recall gates: for
+    each target percentile, the estimate's observed population rank
+    error (0 when n_lt_est < target <= n_le_est, else the distance to
+    the nearest end of that bracket — percentile_disc rank-correctness)
+    is asserted against the DKW bound eps * n_total IN-BAND via the
+    ``within`` column, which tests/test_functions.py pins to 1 for every
+    row. All-integer: error and bound compare as
+    err * 1e6 <= QS_EPS_PPM * n_total.
+
+    Scale: inherits sketch_quantile_sample's shape exactly (distributed
+    rank counts, no global value sort) plus a 3-row projection.
+    """
+    base = sketch_quantile_sample(spark, sf_dir)
+    err = F.expr(
+        "CASE WHEN n_le_est < target_rank THEN target_rank - n_le_est "
+        "WHEN n_lt_est >= target_rank THEN n_lt_est - target_rank + 1 "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        base.select(
+            "q_pct",
+            "est",
+            "target_rank",
+            err.alias("err_rank"),
+            F.lit(QS_EPS_PPM).cast("long").alias("eps_ppm"),
+            "n_total",
+        )
+        .withColumn(
+            "within",
+            (
+                F.col("err_rank") * F.lit(1_000_000)
+                <= F.col("eps_ppm") * F.col("n_total")
+            ).cast("int"),
+        )
+        .orderBy("q_pct")
+    )
+
+
+def _quantile_err_oracle() -> str:
+    from ..oracle_utils import strip_order_by
+
+    return f"""
+    SELECT q_pct, est, target_rank, err_rank, eps_ppm, n_total,
+           CAST(CASE WHEN err_rank * 1000000 <= eps_ppm * n_total
+                THEN 1 ELSE 0 END AS INT) AS within
+    FROM (
+        SELECT q_pct, est, target_rank,
+               CASE WHEN n_le_est < target_rank
+                        THEN target_rank - n_le_est
+                    WHEN n_lt_est >= target_rank
+                        THEN n_lt_est - target_rank + 1
+                    ELSE CAST(0 AS BIGINT) END AS err_rank,
+               CAST({QS_EPS_PPM} AS BIGINT) AS eps_ppm,
+               n_total
+        FROM ({strip_order_by(ORACLE_SQL["sketch_quantile_sample"])})
+    )
+    ORDER BY q_pct
+"""
+
+
+ORACLE_SQL["sketch_quantile_err"] = _quantile_err_oracle()
