@@ -36,6 +36,7 @@ from zylyty_data_engineer_challenge_spark.queries import (
 )
 from zylyty_data_engineer_challenge_spark.streaming import (
     dedup_stream,
+    index_stream,
     join_stream,
     late_stream,
     sessionize,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_append": dedup.dedup_minhash_append,
         "mm_phash_dedup": multimodal.mm_phash_dedup,
         "sketch_quantile_err": sketches.sketch_quantile_err,
+        "stream_index_append": index_stream.stream_index_append,
         # stale driver proof (last row r1/r4-era) — regraded this round
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_salted_agg": advanced.q_salted_agg,
@@ -267,4 +269,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(sessionize.ORACLE_SQL)
     out.update(dedup_stream.ORACLE_SQL)
     out.update(join_stream.ORACLE_SQL)
+    out.update(index_stream.ORACLE_SQL)
     return out

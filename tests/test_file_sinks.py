@@ -155,3 +155,31 @@ def test_stream_sink_identity_remote_path(spark, sf_dir, tmp_path, monkeypatch):
     assert _stream_sink_dirs(spark, str(src_dir)) != dirs1, (
         "regenerated remote source must get a fresh sink+checkpoint"
     )
+
+
+def test_stream_index_append_exactly_once_retrigger(spark, sf_dir, tmp_path):
+    """stream_index_append (r8 VERDICT item 7): re-triggering the stream
+    must process zero new batches — stored code count unchanged, probe
+    results identical — and the streamed probe must equal the persisted
+    batch probe (the three paths serve one artifact)."""
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        _ann_index_dir,
+        sim_index_probe,
+    )
+    from zylyty_data_engineer_challenge_spark.streaming.index_stream import (
+        stream_index_append,
+    )
+
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        first = stream_index_append(spark, sf_dir).collect()
+        base = _ann_index_dir(spark, sf_dir)
+        n1 = spark.read.parquet(f"{base}/codes_stream").count()
+        assert n1 > 0
+        second = stream_index_append(spark, sf_dir).collect()
+        n2 = spark.read.parquet(f"{base}/codes_stream").count()
+        assert n2 == n1, "re-trigger must not duplicate stored codes"
+        assert second == first
+        assert sim_index_probe(spark, sf_dir).collect() == first
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
