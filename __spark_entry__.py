@@ -56,32 +56,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS DELIBERATE: the driver's correctness run grades the first
     50 entries, so each round the registry front-loads the queries whose
-    driver row carries the most NEW information. Round-8 rotation
-    (VERDICT r7 item 1): the graded window holds (a) the §2 reference
-    surface (always graded), (b) the operators added this round — the two
-    anchor-sampled recall gates (edit-distance blocking, embedding LSH),
-    sub-document boilerplate stripping (plus the composed
-    pipeline_curate_clean), the persisted IVF-PQ index build+probe
-    pair (with incremental append and pre-filter metadata search), the HLL-backed approximate table profile, the mergeable
-    sample-quantile sketch, token-rarity profiling, k-core peeling,
-    and the oracle-checked ORC/JSONL format roundtrips —
-    (c) everything whose Spark code or oracle text changed this round
-    (banded-levenshtein edit family + name clusters, degree-oriented
-    triangles, the canary's two-batch replay pin, the Hadoop-FS sink
-    identity, the empty-text oracle guards on the mm decoders, the
-    zero-weight guard on priority sampling), and (d) the r1/r4-era block
-    VERDICT r7 item 1 listed for regrading — the q_json_map_ops ..
-    q_null_semantics displaced set plus the head of the deferred trivial
-    tail. Still waiting past position 50 for r9: the r5/r6-green
-    unchanged block (streaming family, q_sessionize .. q_local_
-    supplier_volume) and the remaining trivial text ops
-    (text_train_split .. text_top_ngrams); everything r7-green and
-    untouched this round also parks there. Every registered query is
-    verified locally every round by tools/oracle_check.py (and the
-    tests/test_oracle_gate.py suite gate) regardless of grading position.
+    driver row carries the most NEW information. Round-9 rotation
+    (VERDICT r8 items 1-8): the graded window holds (a) the §2 reference
+    surface (always graded), (b) everything whose Spark code or oracle
+    changed this round — the four consumers of the new persisted
+    near-dup pair cache (dedup_cc, graph_triangles, graph_kcore,
+    pipeline_curate_near), the refactored dedup_minhash_lsh, the
+    hot-bucket-capped dedup_simhash, and the remote-safe format
+    roundtrips + watermark canary — (c) the operators added this round:
+    dedup_simhash_recall_sampled, dedup_minhash_append, mm_phash_dedup,
+    sketch_quantile_err, stream_index_append, and (d) the stalest driver
+    rows in the registry: the r5/r6-green streaming family, the r1/r4-era
+    trivial text tail (text_token_stats .. text_pack_sequences,
+    dedup_exact, q_revenue_filter, q_forward_fill, q_null_semantics,
+    q_unpivot), and every never-yet-graded entry (dedup_embedding_lsh,
+    dedup_embedding_recall, sim_ann_pq_recall, q_sliding_window,
+    q_funnel, q_retention_cohorts, sketch_hll_union, q_incremental_agg).
+    After this round every registered query's driver row is <= 3 rounds
+    old; the r6-green relational block (q_sessionize ..
+    q_local_supplier_volume) parks at position 51+ and rotates back in
+    r10. Every registered query is verified locally every round by
+    tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
+    regardless of grading position.
     """
     return {
-        # §2.10/§2.2-§2.5/§2.11 — the reference surface (FIXTURES.md Family B)
+        # --- graded window (first 50) ---
         "view1_client_transaction_counts": views.client_transaction_counts_tpch,
         "view2_monthly_transaction_summary": views.monthly_transaction_summary_tpch,
         "view3_high_transaction_accounts": views.high_transaction_accounts_tpch,
@@ -89,7 +88,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
-        # brand-new in r8
+        "dedup_cc": graph.dedup_cc,
+        "graph_triangles": graph.graph_triangles,
+        "graph_kcore": graph.graph_kcore,
+        "pipeline_curate_near": curate.pipeline_curate_near,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_simhash_recall_sampled": dedup.dedup_simhash_recall_sampled,
+        "dedup_minhash_append": dedup.dedup_minhash_append,
+        "mm_phash_dedup": multimodal.mm_phash_dedup,
+        "sketch_quantile_err": sketches.sketch_quantile_err,
+        "stream_index_append": index_stream.stream_index_append,
+        "q_orc_roundtrip": warehouse.q_orc_roundtrip,
+        "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,
+        "stream_watermark_canary": late_stream.stream_watermark_canary,
+        "stream_event_summary": views_stream.stream_event_summary,
+        "stream_high_activity_users": views_stream.stream_high_activity_users,
+        "stream_sessionize": sessionize.stream_sessionize,
+        "stream_dedup_events": dedup_stream.stream_dedup_events,
+        "stream_stream_join": join_stream.stream_stream_join,
+        "stream_session_window": views_stream.stream_session_window,
+        "stream_static_join": views_stream.stream_static_join,
+        "stream_sliding_window": views_stream.stream_sliding_window,
+        "text_token_stats": text.text_token_stats,
+        "text_quality": text.text_quality,
+        "text_fingerprint": text.text_fingerprint,
+        "text_chunk": text.text_chunk,
+        "text_top_ngrams": text.text_top_ngrams,
+        "text_stratified_sample": curate.text_stratified_sample,
+        "text_train_split": curate.text_train_split,
+        "text_pack_sequences": curate.text_pack_sequences,
+        "dedup_exact": dedup.dedup_exact,
+        "q_revenue_filter": relational.q_revenue_filter,
+        "q_forward_fill": analytics.q_forward_fill,
+        "q_null_semantics": advanced.q_null_semantics,
+        "q_unpivot": advanced.q_unpivot,
+        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "dedup_embedding_recall": dedup.dedup_embedding_recall,
+        "sim_ann_pq_recall": similarity.sim_ann_pq_recall,
+        "q_sliding_window": analytics.q_sliding_window,
+        "q_funnel": analytics.q_funnel,
+        "q_retention_cohorts": analytics.q_retention_cohorts,
+        "sketch_hll_union": sketches.sketch_hll_union,
+        "q_incremental_agg": warehouse.q_incremental_agg,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # r7/r8-green entries whose code and oracle are unchanged, then
+        # the r6-green relational block queued for the r10 window
         "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
         "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
         "curate_boilerplate": curate.curate_boilerplate,
@@ -98,15 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_index_probe": similarity.sim_index_probe,
         "sim_index_append": similarity.sim_index_append,
         "sim_filtered_ann": similarity.sim_filtered_ann,
-        "graph_kcore": graph.graph_kcore,
         "q_table_profile_approx": warehouse.q_table_profile_approx,
-        "q_orc_roundtrip": warehouse.q_orc_roundtrip,
-        "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,
-        # Spark code or oracle text changed in r8
         "dedup_edit_distance": dedup.dedup_edit_distance,
         "dedup_cc_names": graph.dedup_cc_names,
-        "graph_triangles": graph.graph_triangles,
-        "stream_watermark_canary": late_stream.stream_watermark_canary,
         "stream_parquet_sink": views_stream.stream_parquet_sink,
         "mm_pixel_decode": multimodal.mm_pixel_decode,
         "mm_audio_energy": multimodal.mm_audio_energy,
@@ -114,12 +152,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_weighted_sample_est": sketches.sketch_weighted_sample_est,
         "sketch_quantile_sample": sketches.sketch_quantile_sample,
         "text_rarity": text.text_rarity,
-        "dedup_simhash_recall_sampled": dedup.dedup_simhash_recall_sampled,
-        "dedup_minhash_append": dedup.dedup_minhash_append,
-        "mm_phash_dedup": multimodal.mm_phash_dedup,
-        "sketch_quantile_err": sketches.sketch_quantile_err,
-        "stream_index_append": index_stream.stream_index_append,
-        # stale driver proof (last row r1/r4-era) — regraded this round
         "q_json_map_ops": advanced.q_json_map_ops,
         "q_salted_agg": advanced.q_salted_agg,
         "q_scalar_subquery": advanced.q_scalar_subquery,
@@ -140,21 +172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_range_frame": analytics.q_window_range_frame,
         "q_exact_median": analytics.q_exact_median,
         "q_approx_quantile": analytics.q_approx_quantile,
-        # ---- position 51+ (ungraded by the driver this round) ----
-        # slid just past the cut as late r8 operators joined the window;
-        # all r4-green trivially-simple or locally verified, and the
-        # displaced gates' machinery is graded via the sampled/persisted
-        # twins (dedup_embedding_recall_sampled composes
-        # dedup_embedding_lsh directly)
-        "q_forward_fill": analytics.q_forward_fill,
-        "q_unpivot": advanced.q_unpivot,
-        "q_null_semantics": advanced.q_null_semantics,
-        "dedup_exact": dedup.dedup_exact,
-        "q_revenue_filter": relational.q_revenue_filter,
-        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
-        "dedup_embedding_recall": dedup.dedup_embedding_recall,
-        "sim_ann_pq_recall": similarity.sim_ann_pq_recall,
-        # r7-green, code unchanged in r8
         "q_pricing_summary": relational.q_pricing_summary,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_lsh_recall": dedup.dedup_lsh_recall,
@@ -187,26 +204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "pagerank": graph.pagerank,
         "sketch_hll_registers": sketches.sketch_hll_registers,
-        "pipeline_curate_near": curate.pipeline_curate_near,
         "text_redact": text.text_redact,
-        # r5/r6-green unchanged block + deferred trivial text ops — r9
-        "stream_event_summary": views_stream.stream_event_summary,
-        "stream_high_activity_users": views_stream.stream_high_activity_users,
-        "stream_sessionize": sessionize.stream_sessionize,
-        "stream_dedup_events": dedup_stream.stream_dedup_events,
-        "stream_stream_join": join_stream.stream_stream_join,
-        "stream_session_window": views_stream.stream_session_window,
-        "stream_static_join": views_stream.stream_static_join,
-        "stream_sliding_window": views_stream.stream_sliding_window,
         "q_sessionize": advanced.q_sessionize,
         "q_time_rollup": analytics.q_time_rollup,
-        "q_sliding_window": analytics.q_sliding_window,
-        "q_funnel": analytics.q_funnel,
-        "q_retention_cohorts": analytics.q_retention_cohorts,
         "q_recursive_cte": warehouse.q_recursive_cte,
         "sketch_kmv_union": sketches.sketch_kmv_union,
-        "sketch_hll_union": sketches.sketch_hll_union,
-        "dedup_cc": graph.dedup_cc,
         "q_interval_overlap": advanced.q_interval_overlap,
         "q_reservoir_sample": relational.q_reservoir_sample,
         "mm_arrow_resize": multimodal.mm_arrow_resize,
@@ -216,14 +218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_extras": warehouse.q_window_extras,
         "q_lateral_topn": warehouse.q_lateral_topn,
         "q_bucketed_join": warehouse.q_bucketed_join,
-        "q_incremental_agg": warehouse.q_incremental_agg,
         "q_udtf_surface": analytics.q_udtf_surface,
         "q_asof_join": advanced.q_asof_join,
         "q_range_join": analytics.q_range_join,
         "q_gaps_islands": analytics.q_gaps_islands,
         "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
         "q_semi_anti_join": relational.q_semi_anti_join,
         "q_set_ops": relational.q_set_ops,
         "q_pivot_events": relational.q_pivot_events,
@@ -235,14 +234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": advanced.q_salted_join,
         "q_shipping_priority": relational.q_shipping_priority,
         "q_local_supplier_volume": relational.q_local_supplier_volume,
-        "text_stratified_sample": curate.text_stratified_sample,
-        "text_train_split": curate.text_train_split,
-        "text_pack_sequences": curate.text_pack_sequences,
-        "text_token_stats": text.text_token_stats,
-        "text_quality": text.text_quality,
-        "text_fingerprint": text.text_fingerprint,
-        "text_chunk": text.text_chunk,
-        "text_top_ngrams": text.text_top_ngrams,
     }
 
 

@@ -173,12 +173,13 @@ def main() -> int:
         # round, not absolute seconds across rounds
         "notes": "best-of-2 per query; wall time is host-dependent",
     }
-    print(json.dumps(full))
     # the per-query map outgrew the driver's 2000-char stdout tail capture
     # (BENCH_r07 recorded parsed: null with the line's front cut off), so:
     # full fidelity goes to BENCH_LAST.json next to this script, and the
-    # LAST stdout line is a compact summary guaranteed to fit the tail
-    # whole — slowest-10 queries only, everything else scalar
+    # compact summary — slowest-10 queries only, everything else scalar —
+    # is BOTH the FIRST and the LAST stdout line, so either end of a
+    # truncated capture starts with a parseable summary (r8 VERDICT item
+    # 8: BENCH_r08's tail opened mid-JSON on the full line)
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
         json.dump(full, f)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
@@ -194,6 +195,8 @@ def main() -> int:
         "sf": full["sf"],
         "full_artifact": "BENCH_LAST.json",
     }
+    print(json.dumps(compact))
+    print(json.dumps(full))
     print(json.dumps(compact))
     return 0
 
