@@ -190,6 +190,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # the 3-row est fan-out for the distributed rank-count yardstick (the
     # 1-row n_sample/n_total crosses hide behind the ests checkpoint)
     "sketch_quantile_sample": 1,
+    "sketch_quantile_err": 1,  # inherits sketch_quantile_sample's fan-out
     "sim_index_append": 2,  # stored centroid table under probe + DPP echo
     "sim_filtered_ann": 2,  # trained centroid table under assign + probe
     # 1-row corpus-count cross sizing the hot-bucket cap, once per

@@ -78,6 +78,12 @@ HEAVY = [
     # formulation (~220 s here because the degenerate corpus has ~150M
     # true in-stratum pairs) and is smoke-tested separately, not per-run.
     "dedup_simhash",
+    # r9: incremental dedup (batch-vs-corpus, never corpus^2), image
+    # phash dedup (decode+hash map-only, banded join), quantile error
+    # gate (inherits the distributed rank-count shape)
+    "dedup_minhash_append",
+    "mm_phash_dedup",
+    "sketch_quantile_err",
 ]
 
 
