@@ -606,3 +606,108 @@ def _kcore_oracle() -> str:
 
 
 ORACLE_SQL["graph_kcore"] = _kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Cross-modality duplicate clusters (r9)
+# ---------------------------------------------------------------------------
+
+
+def dedup_multimodal_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified duplicate clusters across ALL THREE detection modalities —
+    the composition a training-data pipeline actually ships: a document
+    pair is an edge if the text detector (MinHash-LSH, served from the
+    persisted pair cache), the embedding detector (hyperplane-LSH cosine,
+    restricted to ids present in the documents table), OR the image
+    detector (perceptual-hash Hamming banding over decoded pixels) fired;
+    clusters are connected components over the union graph, one
+    representative (minimum doc_id) per cluster. A near-dup that any
+    single signal catches collapses the whole group — exactly the
+    union-of-signals semantics used to build production training sets
+    (semantic paraphrases caught by embeddings, boilerplate mirrors by
+    text shingles, re-encoded figures by pixels).
+
+    Output schema matches :func:`dedup_cc` (doc_id, component,
+    is_representative); the oracle is the recursive transitive closure
+    over the UNION of the three modalities' pair SQLs — two engines, two
+    algorithms (label propagation vs recursive closure), three composed
+    detectors, one fixpoint.
+
+    Scale: each detector is its own bounded pipeline (bucketed,
+    output-sized pair lists — the text list is read from the identity-
+    keyed cache, amortized across this whole query family); the union is
+    pair-count-sized; CC is the same min-label propagation loop with
+    checkpoint-truncated lineage, one key-partitioned shuffle per round.
+    """
+    from .dedup import dedup_embedding_lsh, minhash_pairs_cached
+    from .multimodal import mm_phash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    text_pairs = minhash_pairs_cached(spark, sf_dir).select("d1", "d2")
+    img_pairs = mm_phash_dedup(spark, sf_dir).select("d1", "d2")
+    emb_pairs = (
+        dedup_embedding_lsh(spark, sf_dir)
+        .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+        .join(docs.withColumnRenamed("node", "d1"), "d1", "left_semi")
+        .join(docs.withColumnRenamed("node", "d2"), "d2", "left_semi")
+    )
+    edges = (
+        text_pairs.unionByName(img_pairs)
+        .unionByName(emb_pairs)
+        .distinct()
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    )
+    cc = connected_components(docs, edges)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).cast("int").alias("is_representative"),
+    ).orderBy("doc_id")
+
+
+def _multimodal_cc_oracle() -> str:
+    from .multimodal import ORACLE_SQL as _MM_ORACLE
+
+    return f"""
+        WITH RECURSIVE tpairs AS MATERIALIZED (
+            SELECT d1, d2 FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_minhash_lsh"])})
+        ),
+        ipairs AS MATERIALIZED (
+            SELECT d1, d2 FROM ({_strip_order_by(_MM_ORACLE["mm_phash_dedup"])})
+        ),
+        epairs AS MATERIALIZED (
+            SELECT v1 AS d1, v2 AS d2
+            FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_embedding_lsh"])})
+            WHERE v1 IN (SELECT doc_id FROM documents)
+              AND v2 IN (SELECT doc_id FROM documents)
+        ),
+        pairs AS MATERIALIZED (
+            SELECT d1, d2 FROM tpairs
+            UNION
+            SELECT d1, d2 FROM ipairs
+            UNION
+            SELECT d1, d2 FROM epairs
+        ),
+        edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL
+            SELECT d2, d1 FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component,
+               CAST(d.doc_id = LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS INT)
+                   AS is_representative
+        FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+ORACLE_SQL["dedup_multimodal_cc"] = _multimodal_cc_oracle()
