@@ -196,6 +196,8 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # 1-row corpus-count cross sizing the hot-bucket cap, once per
     # self-join side of the capped band table
     "dedup_simhash": 2,
+    "sim_ann_rerank": 2,  # inherits sim_ann_ivfpq's trained-centroid crosses
+    "sim_ann_rerank_recall": 3,  # rerank (2) + bruteforce ground truth (1)
     # inherits the capped detector (2, twice: joined + count consumer)
     # plus the gate's own 1-row capped-count cross
     "dedup_simhash_recall_sampled": 5,

@@ -1481,3 +1481,128 @@ ORACLE_SQL["sim_filtered_ann"] = _filtered_ann_oracle()
 # the incremental rebuild must serve the identical artifact: one oracle,
 # three execution paths (in-plan build / persisted read / base+append)
 ORACLE_SQL["sim_index_append"] = ORACLE_SQL["sim_ann_ivfpq"]
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieve-then-rerank (r9)
+# ---------------------------------------------------------------------------
+
+RERANK_SHORTLIST = 20  # PQ shortlist size feeding the exact rerank stage
+
+
+def sim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the pattern every production vector-search
+    deployment actually serves: stage 1 shortlists RERANK_SHORTLIST
+    candidates per query with the IVF-PQ approximate scores (no raw
+    vector read, same plan as :func:`sim_ann_ivfpq`); stage 2 reranks
+    ONLY the shortlist with exact integer cosine over raw vectors and
+    returns the final top-k. PQ quantization error decides at most which
+    of the ~4x-over-fetched shortlist members survive, not their final
+    order — the standard way to get exact-ranking quality at
+    PQ-scan cost.
+
+    Scale: stage 1 touches codes only (memory-bandwidth bound); stage 2
+    reads raw vectors for queries x RERANK_SHORTLIST ids — an
+    output-sized equi-join, the ONLY raw-vector read in the whole query,
+    independent of corpus size. This is why rerank survives 100 TB while
+    exact-everything (:func:`sim_ann_ivf_kmeans`) does not.
+    """
+    from .cluster import lloyd_centroids
+
+    emb = _quantized(spark, sf_dir)
+    cents = lloyd_centroids(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    cand = _ivf_kmeans_candidates(cents, corpus, queries)
+    codes, lut = _pq_parts(emb)
+    pq_scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("dot"), F.sum("cn").alias("n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        pq_scored.withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= RERANK_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        shortlist.join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "n2",
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _rerank_oracle() -> str:
+    """Derived textually from sim_ann_ivfpq's generated SQL (fail-loud
+    unique anchor, the _filtered_ann_oracle pattern): the PQ chain up to
+    `ranked` is reused verbatim as the shortlist, then the exact-dot
+    rerank chain replaces the final SELECT — so the two stages can never
+    drift from their single-stage parents."""
+    anchor = (
+        f"SELECT query_id, rank, vec_id, dot, n2\n"
+        f"    FROM ranked WHERE rank <= {ANN_TOP_K}\n"
+        f"    ORDER BY query_id, rank"
+    )
+    sql = _ivfpq_oracle()
+    assert sql.count(anchor) == 1, "rerank oracle anchor drifted"
+    rerank_tail = f""", shortlist AS (
+        SELECT query_id, vec_id FROM ranked WHERE rank <= {RERANK_SHORTLIST}
+    ),
+    vnorm AS (
+        SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n FROM pos GROUP BY 1
+    ),
+    edot AS (
+        SELECT s.query_id, s.vec_id, CAST(SUM(qp.x * cp.x) AS BIGINT) AS dot
+        FROM shortlist s
+        JOIN pos qp ON qp.vec_id = s.query_id
+        JOIN pos cp ON cp.vec_id = s.vec_id AND cp.m = qp.m AND cp.i = qp.i
+        GROUP BY 1, 2
+    ),
+    eranked AS (
+        SELECT query_id, vec_id, dot, n2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_RANK_KEY_SQL} DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT e.query_id, e.vec_id, e.dot, v.n AS n2
+            FROM edot e JOIN vnorm v ON v.vec_id = e.vec_id
+        )
+    )
+    SELECT query_id, rank, vec_id, dot, n2
+    FROM eranked WHERE rank <= {ANN_TOP_K}
+    ORDER BY query_id, rank"""
+    return sql.replace(anchor, rerank_tail, 1)
+
+
+ORACLE_SQL["sim_ann_rerank"] = _rerank_oracle()
+ORACLE_SQL["sim_ann_rerank_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_rerank"])
+
+
+def sim_ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the two-stage pipeline — read next to
+    sim_ann_ivfpq_recall: the delta IS the rerank's value (every
+    shortlist survivor is ranked exactly, so recall is bounded below by
+    ivfpq's and above by whether the true top-k made the shortlist)."""
+    return _recall_at_k(spark, sf_dir, sim_ann_rerank)
