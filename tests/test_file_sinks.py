@@ -183,3 +183,25 @@ def test_stream_index_append_exactly_once_retrigger(spark, sf_dir, tmp_path):
         assert sim_index_probe(spark, sf_dir).collect() == first
     finally:
         spark.conf.unset("spark.zylyty.annIndexDir")
+
+
+def test_stream_dedup_pairs_exactly_once_retrigger(spark, sf_dir, tmp_path):
+    """stream_dedup_pairs (r9): the streamed band/pair store must equal
+    the full rebuild exactly, and a re-trigger must process zero batches
+    (pair count unchanged, results identical)."""
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+    from zylyty_data_engineer_challenge_spark.streaming.dedup_stream import (
+        stream_dedup_pairs,
+    )
+
+    spark.conf.set("spark.zylyty.pairCacheDir", str(tmp_path / "pc"))
+    try:
+        first = sorted(tuple(r) for r in stream_dedup_pairs(spark, sf_dir).collect())
+        rebuild = sorted(tuple(r) for r in dedup_minhash_lsh(spark, sf_dir).collect())
+        assert first == rebuild, "streamed store must equal full rebuild"
+        second = sorted(tuple(r) for r in stream_dedup_pairs(spark, sf_dir).collect())
+        assert second == first, "re-trigger must not duplicate stored pairs"
+    finally:
+        spark.conf.unset("spark.zylyty.pairCacheDir")
