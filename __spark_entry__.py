@@ -149,6 +149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is graded verbatim through dedup_minhash_append's window row —
         # its slot goes to the new stream_dedup_pairs.
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        # new in r9 but parked (window full of never-graded entries): its
+        # oracle is sim_ann_ivfpq's verbatim, already graded through the
+        # sim_index family, and the one-file-per-cid invariant + probe
+        # equality are pytest-pinned; rotates into the r10 window.
+        "sim_index_compact": similarity.sim_index_compact,
         "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
         "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
         "curate_boilerplate": curate.curate_boilerplate,

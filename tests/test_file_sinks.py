@@ -205,3 +205,37 @@ def test_stream_dedup_pairs_exactly_once_retrigger(spark, sf_dir, tmp_path):
         assert second == first, "re-trigger must not duplicate stored pairs"
     finally:
         spark.conf.unset("spark.zylyty.pairCacheDir")
+
+
+def test_index_compaction_one_file_per_cid_and_probe_invariant(
+    spark, sf_dir, tmp_path
+):
+    """sim_index_compact (r9): the compacted code tree must hold exactly
+    one parquet file per cid partition, and the probe over it must equal
+    the probe over the uncompacted append tree — compaction is a pure
+    layout change."""
+    import os
+
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        _ann_index_dir,
+        sim_index_append,
+        sim_index_compact,
+    )
+
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        before = sim_index_append(spark, sf_dir).collect()
+        after = sim_index_compact(spark, sf_dir).collect()
+        assert after == before, "compaction must not change probe results"
+        base = _ann_index_dir(spark, sf_dir)
+        for cid_dir in sorted(os.listdir(f"{base}/codes_compact")):
+            if not cid_dir.startswith("cid="):
+                continue
+            files = [
+                f
+                for f in os.listdir(f"{base}/codes_compact/{cid_dir}")
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{cid_dir}: {len(files)} files (want 1)"
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")

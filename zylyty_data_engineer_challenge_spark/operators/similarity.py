@@ -1606,3 +1606,48 @@ def sim_ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist survivor is ranked exactly, so recall is bounded below by
     ivfpq's and above by whether the true top-k made the shortlist)."""
     return _recall_at_k(spark, sf_dir, sim_ann_rerank)
+
+
+def sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance, final lifecycle stage: COMPACTION. Incremental
+    appends (:func:`sim_index_append`, :func:`..streaming.index_stream.
+    stream_index_append`) accumulate one small parquet file per batch in
+    each cid directory — at daily-batch cadence a year of appends makes
+    the probe's partition-pruned scan open hundreds of files per list,
+    and small-file overhead (footer reads, task scheduling) erodes
+    exactly the seek advantage the cid layout exists for. This op
+    rewrites the appended ``codes_incr`` tree into ``codes_compact`` with
+    EXACTLY ONE file per cid partition (hash-repartition on cid puts each
+    list's rows in one task; partitionBy(cid) then emits one file per
+    list), marker-idempotent per source identity, and probes the
+    compacted table.
+
+    The differential proves compaction is a pure layout change: the
+    oracle is ``sim_ann_ivfpq``'s verbatim — one oracle, FOUR execution
+    paths now (in-plan build / persisted read / base+append / compacted)
+    — and tests/test_file_sinks.py additionally pins the one-file-per-cid
+    invariant and probe equality against the uncompacted table.
+
+    Scale: one shuffle of the code table (4 small ints per vector), then
+    partition-parallel writes; runs as a background maintenance job off
+    the serving path, the same shape as any LSM/lakehouse compactor.
+    """
+    base = build_ann_index(spark, sf_dir)
+    # ensure the append tree exists (the thing worth compacting)
+    sim_index_append(spark, sf_dir)
+    fs, marker = _hadoop_fs(spark, f"{base}/_COMPACT_READY")
+    dest = f"{base}/codes_compact"
+    if not fs.exists(marker):
+        (
+            spark.read.parquet(f"{base}/codes_incr")
+            .repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(dest)
+        )
+        fs.create(marker, True).close()
+    return _probe_stored(spark, sf_dir, base, spark.read.parquet(dest))
+
+
+# compaction must be probe-invisible: same oracle, fourth execution path
+ORACLE_SQL["sim_index_compact"] = ORACLE_SQL["sim_ann_ivfpq"]
