@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_index family, and the one-file-per-cid invariant + probe
         # equality are pytest-pinned; rotates into the r10 window.
         "sim_index_compact": similarity.sim_index_compact,
+        # new in r9, parked for the same reason: composes three window-
+        # graded stages (dedup_cc this round, curate_clean/boilerplate in
+        # r8) plus the r8-green packing window; rotates into r10.
+        "pipeline_curate_all": curate.pipeline_curate_all,
         "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
         "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
         "curate_boilerplate": curate.curate_boilerplate,

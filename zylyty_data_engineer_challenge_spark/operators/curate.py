@@ -639,3 +639,87 @@ def _curate_clean_oracle() -> str:
 
 
 ORACLE_SQL["pipeline_curate_clean"] = _curate_clean_oracle()
+
+
+def pipeline_curate_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline in one declarative plan — what "a
+    reference user switches their whole job to this repo" means for the
+    [EXTENDED] surface: language filter -> sub-document boilerplate strip
+    -> cleaned-length floor -> exact dedup on the cleaned hash (all of
+    :func:`pipeline_curate_clean`) -> NEAR-dup cluster representatives
+    (:func:`..operators.graph.dedup_cc`, served from the persisted pair
+    cache, so the expensive detection amortizes across the whole family)
+    -> greedy fixed-budget sequence packing of the survivors. Output is
+    one row per surviving document with its packed (seq_id, seq_offset)
+    layout — the artifact a training-data loader consumes.
+
+    Catalyst schedules the whole chain as one plan: filters reach the
+    scan, the strip contributes its segment-hash shuffle, both dedups are
+    map-side-combinable aggs/joins, and packing is one window. Like
+    :func:`text_pack_sequences`, the packing window orders the single
+    surviving language globally — a production run shards the window key
+    ((lang, hash-bucket)) to bound partition size; the lang-only form
+    keeps the oracle simple.
+    """
+    from .graph import dedup_cc
+
+    clean = pipeline_curate_clean(spark, sf_dir)
+    reps = (
+        dedup_cc(spark, sf_dir)
+        .filter(F.col("is_representative") == 1)
+        .select("doc_id")
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    surv = clean.join(reps, "doc_id").join(toks, "doc_id")
+    w = Window.orderBy("doc_id")
+    packed = surv.withColumn(
+        "cum_end",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return packed.select(
+        "doc_id",
+        "n_kept",
+        "clean_hash",
+        "n_tokens",
+        F.expr(f"(cum_end - n_tokens) div {PACK_BUDGET}").alias("seq_id"),
+        F.expr(f"(cum_end - n_tokens) % {PACK_BUDGET}").alias("seq_offset"),
+    ).orderBy("doc_id")
+
+
+def _curate_all_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip
+    from .graph import ORACLE_SQL as _G
+
+    return f"""
+    WITH clean AS (
+        SELECT doc_id, n_kept, clean_hash
+        FROM ({_strip(ORACLE_SQL["pipeline_curate_clean"])})
+    ),
+    reps AS (
+        SELECT doc_id FROM ({_strip(_G["dedup_cc"])})
+        WHERE is_representative = 1
+    ),
+    toks AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT c.doc_id, c.n_kept, c.clean_hash, t.n_tokens,
+               CAST(SUM(t.n_tokens) OVER (ORDER BY c.doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        FROM clean c
+        JOIN reps r ON r.doc_id = c.doc_id
+        JOIN toks t ON t.doc_id = c.doc_id
+    )
+    SELECT doc_id, n_kept, clean_hash, n_tokens,
+           (cum_end - n_tokens) // {PACK_BUDGET} AS seq_id,
+           (cum_end - n_tokens) % {PACK_BUDGET} AS seq_offset
+    FROM packed
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["pipeline_curate_all"] = _curate_all_oracle()
