@@ -192,6 +192,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sketch_quantile_sample": 1,
     "sketch_quantile_err": 1,  # inherits sketch_quantile_sample's fan-out
     "sim_index_append": 2,  # stored centroid table under probe + DPP echo
+    "sim_index_compact": 2,  # same probe plan over the compacted table
     "sim_filtered_ann": 2,  # trained centroid table under assign + probe
     # 1-row corpus-count cross sizing the hot-bucket cap, once per
     # self-join side of the capped band table
