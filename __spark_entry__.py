@@ -58,26 +58,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 entries, so each round the registry front-loads the queries whose
     driver row carries the most NEW information. Round-9 rotation
     (VERDICT r8 items 1-8): the graded window holds (a) the §2 reference
-    surface (always graded), (b) everything whose Spark code or oracle
-    changed this round — the four consumers of the new persisted
-    near-dup pair cache (dedup_cc, graph_triangles, graph_kcore,
-    pipeline_curate_near), the refactored dedup_minhash_lsh, the
-    hot-bucket-capped dedup_simhash, and the remote-safe format
-    roundtrips + watermark canary — (c) the operators added this round:
-    dedup_simhash_recall_sampled, dedup_minhash_append, mm_phash_dedup,
-    sketch_quantile_err, stream_index_append, and (d) the stalest driver
-    rows in the registry: the r5/r6-green streaming family, the r1/r4-era
-    trivial text tail (text_token_stats .. text_pack_sequences,
-    dedup_exact, q_revenue_filter, q_forward_fill, q_null_semantics,
-    q_unpivot), and every never-yet-graded entry (dedup_embedding_lsh,
+    surface (always graded), (b) the behavior-relevant changes of this
+    round — the four consumers of the new persisted near-dup pair cache
+    (dedup_cc, graph_triangles, graph_kcore, pipeline_curate_near) and
+    the hot-bucket-capped dedup_simhash — (c) the operators added this
+    round: dedup_simhash_recall_sampled, dedup_minhash_append,
+    dedup_multimodal_cc, mm_phash_dedup, sketch_quantile_err,
+    stream_index_append, stream_dedup_pairs, sim_ann_rerank (+ its
+    recall gate), and (d) the stalest driver rows in the registry: the
+    r5/r6-green streaming family, the r1/r4-era trivial text tail
+    (text_token_stats .. text_pack_sequences, dedup_exact,
+    q_revenue_filter, q_forward_fill, q_null_semantics, q_unpivot), and
+    every never-yet-graded pre-r9 entry (dedup_embedding_lsh,
     dedup_embedding_recall, sim_ann_pq_recall, q_sliding_window,
     q_funnel, q_retention_cohorts, sketch_hll_union, q_incremental_agg).
-    After this round every registered query's driver row is <= 3 rounds
-    old; the r6-green relational block (q_sessionize ..
-    q_local_supplier_volume) parks at position 51+ and rotates back in
-    r10. Every registered query is verified locally every round by
-    tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
-    regardless of grading position.
+    Four r9-touched entries deliberately park at 51+, each with its
+    reason noted inline there (remote-FS-only change pinned by pytest,
+    or oracle graded verbatim through a window twin). After this round
+    every registered query's driver row is <= 3 rounds old; the r6-green
+    relational block (q_sessionize .. q_local_supplier_volume) parks at
+    position 51+ and rotates back in r10. Every registered query is
+    verified locally every round by tools/oracle_check.py (and the
+    tests/test_oracle_gate.py suite gate) regardless of grading position.
     """
     return {
         # --- graded window (first 50) ---

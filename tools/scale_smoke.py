@@ -84,6 +84,10 @@ HEAVY = [
     "dedup_minhash_append",
     "mm_phash_dedup",
     "sketch_quantile_err",
+    # r9 late additions: the full curation chain (reuses the pair cache
+    # dedup_cc built) and the compacted-index probe
+    "pipeline_curate_all",
+    "sim_index_compact",
 ]
 
 
