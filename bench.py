@@ -103,6 +103,7 @@ def headline_queries() -> dict:
         "pipeline_curate",
         "pipeline_curate_near",
         "pipeline_curate_clean",
+        "pipeline_curate_all",
         "pagerank",
         "q_zorder_layout",
         "q_reservoir_sample",
