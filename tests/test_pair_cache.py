@@ -112,6 +112,66 @@ def test_regenerated_source_invalidates_cache(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.zylyty.pairCacheDir")
 
 
+def test_embedding_pairs_cached_equal_direct(spark, sf_dir, pair_cache):
+    direct = sorted(
+        tuple(r) for r in dedup.dedup_embedding_lsh(spark, sf_dir).collect()
+    )
+    cached = sorted(
+        tuple(r)
+        for r in dedup.embedding_pairs_cached(spark, sf_dir)
+        .select("v1", "v2", "dot", "n1", "n2")
+        .collect()
+    )
+    assert cached == direct
+
+
+def test_phash_pairs_cached_equal_direct(spark, sf_dir, pair_cache):
+    from zylyty_data_engineer_challenge_spark.operators import multimodal
+
+    direct = sorted(
+        tuple(r) for r in multimodal.mm_phash_dedup(spark, sf_dir).collect()
+    )
+    cached = sorted(
+        tuple(r)
+        for r in multimodal.phash_pairs_cached(spark, sf_dir)
+        .select("d1", "d2", "hamming")
+        .collect()
+    )
+    assert cached == direct
+
+
+def test_multimodal_cc_served_from_caches(spark, sf_dir, pair_cache):
+    """After one warming call of dedup_multimodal_cc, all three modality
+    caches must exist, each cached accessor must be a bare parquet scan
+    of its own cache directory (no Arrow-batched decode/verify stage, no
+    md5, no raw source scan — the CC loop's checkpoint would mask these
+    on the final plan, so the contract is pinned where it's visible: the
+    edge inputs), and a second full call must reproduce the warming
+    run's rows exactly."""
+    import os
+
+    from zylyty_data_engineer_challenge_spark.operators import graph, multimodal
+
+    first = graph.dedup_multimodal_cc(spark, sf_dir)
+    rows1 = sorted(tuple(r) for r in first.collect())  # warms all 3 caches
+
+    for modality, src in (("emb", "embeddings.parquet"), ("phash", "documents.parquet")):
+        base = dedup._pair_cache_dir(spark, sf_dir, modality=modality, src=src)
+        assert os.path.exists(f"{base}/_PAIRS_READY"), f"{modality} cache not built"
+
+    for accessor in (dedup.embedding_pairs_cached, multimodal.phash_pairs_cached):
+        df = accessor(spark, sf_dir)
+        plan = _physical_plan(df)
+        assert "FileScan parquet" in plan
+        for marker in ("MapInPandas", "md5", "embeddings.parquet", "documents.parquet"):
+            assert marker not in plan, (
+                f"{accessor.__name__} re-runs detection ({marker} in plan)"
+            )
+
+    rows2 = sorted(tuple(r) for r in graph.dedup_multimodal_cc(spark, sf_dir).collect())
+    assert rows2 == rows1, "cache-served result must equal the warming run"
+
+
 def test_minhash_append_idempotent_and_equals_rebuild(spark, sf_dir, pair_cache):
     """dedup_minhash_append (r8 VERDICT item 4): the persisted base +
     appended batch must serve the EXACT full-rebuild pair set, and a

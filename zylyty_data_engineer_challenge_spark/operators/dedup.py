@@ -306,14 +306,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_PAIRS_VERSION = 1
 
 
-def _pair_cache_dir(spark: SparkSession, sf_dir: str) -> str:
+def _pair_cache_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    modality: str = "",
+    src: str = "documents.parquet",
+) -> str:
     """Durable near-dup pair cache location: root from
     ``spark.zylyty.pairCacheDir`` conf or ``SPARK_GRAFT_PAIR_CACHE_DIR``
     env (a shared filesystem on a cluster; tempdir default in local
-    mode), keyed by the documents source identity + layout version — the
-    same contract as the ANN index (:func:`..operators.similarity.
-    build_ann_index`): regenerated data or an algorithm change gets a
-    fresh pair list, unchanged data reuses the detection run."""
+    mode), keyed by the SOURCE identity of the modality's input table +
+    layout version — the same contract as the ANN index (:func:`..
+    operators.similarity.build_ann_index`): regenerated data or an
+    algorithm change gets a fresh pair list, unchanged data reuses the
+    detection run.
+
+    ``modality`` namespaces additional detectors (``"emb"`` keyed by
+    embeddings.parquet, ``"phash"`` keyed by documents.parquet); the
+    default empty tag is the original text/minhash cache, whose key is
+    kept byte-identical so pre-existing builds stay valid."""
     import hashlib
     import os
     import tempfile
@@ -325,8 +336,11 @@ def _pair_cache_dir(spark: SparkSession, sf_dir: str) -> str:
         root = os.environ.get("SPARK_GRAFT_PAIR_CACHE_DIR") or os.path.join(
             tempfile.gettempdir(), "zylyty_pair_cache"
         )
-    ident = source_identity(spark, f"{sf_dir}/documents.parquet")
-    key = hashlib.sha1(f"v{NEARDUP_PAIRS_VERSION}:{ident}".encode()).hexdigest()[:16]
+    ident = source_identity(spark, f"{sf_dir}/{src}")
+    tag = f"{modality}-" if modality else ""
+    key = hashlib.sha1(
+        f"{tag}v{NEARDUP_PAIRS_VERSION}:{ident}".encode()
+    ).hexdigest()[:16]
     return f"{root}/{key}"
 
 
@@ -433,6 +447,33 @@ def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         _minhash_lsh_pairs(docs).write.mode("overwrite").parquet(f"{base}/pairs")
         _minhash_bands(docs).write.mode("overwrite").parquet(f"{base}/bands")
+        fs.create(marker, True).close()
+    return spark.read.parquet(f"{base}/pairs")
+
+
+def embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted EMBEDDING near-dup pair list — the embedding
+    modality's twin of :func:`minhash_pairs_cached`, keyed by the
+    embeddings source identity.
+
+    :func:`dedup_embedding_lsh` (hyperplane banding + integer cosine
+    verify) is deterministic per source bytes, so its output-sized pair
+    list is a build-once artifact exactly like the text pairs: detect on
+    first use, every later consumer (``dedup_multimodal_cc``,
+    ``dedup_semantic``-style compositions) starts from a columnar scan
+    of the pair parquet instead of re-running signature computation and
+    the bucketed self-join over the full vector corpus. Staleness safety
+    is by construction — the directory key embeds the embeddings file
+    identity, so regenerated vectors re-detect.
+    """
+    from ..catalog import hadoop_fs
+
+    base = _pair_cache_dir(spark, sf_dir, modality="emb", src="embeddings.parquet")
+    fs, marker = hadoop_fs(spark, f"{base}/_PAIRS_READY")
+    if not fs.exists(marker):
+        dedup_embedding_lsh(spark, sf_dir).write.mode("overwrite").parquet(
+            f"{base}/pairs"
+        )
         fs.create(marker, True).close()
     return spark.read.parquet(f"{base}/pairs")
 

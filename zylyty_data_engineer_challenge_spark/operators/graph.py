@@ -633,22 +633,25 @@ def dedup_multimodal_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms (label propagation vs recursive closure), three composed
     detectors, one fixpoint.
 
-    Scale: each detector is its own bounded pipeline (bucketed,
-    output-sized pair lists — the text list is read from the identity-
-    keyed cache, amortized across this whole query family); the union is
-    pair-count-sized; CC is the same min-label propagation loop with
-    checkpoint-truncated lineage, one key-partitioned shuffle per round.
+    Scale: ALL THREE detectors are served from identity-keyed persisted
+    pair caches (text: :func:`..dedup.minhash_pairs_cached`; embedding:
+    :func:`..dedup.embedding_pairs_cached`; image:
+    :func:`..multimodal.phash_pairs_cached`) — each modality's detection
+    runs once per source identity and every composition starts from
+    output-sized columnar pair scans; the union is pair-count-sized; CC
+    is the same min-label propagation loop with checkpoint-truncated
+    lineage, one key-partitioned shuffle per round.
     """
-    from .dedup import dedup_embedding_lsh, minhash_pairs_cached
-    from .multimodal import mm_phash_dedup
+    from .dedup import embedding_pairs_cached, minhash_pairs_cached
+    from .multimodal import phash_pairs_cached
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
     text_pairs = minhash_pairs_cached(spark, sf_dir).select("d1", "d2")
-    img_pairs = mm_phash_dedup(spark, sf_dir).select("d1", "d2")
+    img_pairs = phash_pairs_cached(spark, sf_dir).select("d1", "d2")
     emb_pairs = (
-        dedup_embedding_lsh(spark, sf_dir)
+        embedding_pairs_cached(spark, sf_dir)
         .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
         .join(docs.withColumnRenamed("node", "d1"), "d1", "left_semi")
         .join(docs.withColumnRenamed("node", "d2"), "d2", "left_semi")

@@ -884,6 +884,32 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IMAGE near-dup pair list — the pixel modality's twin
+    of :func:`..dedup.minhash_pairs_cached`, keyed by the documents
+    source identity under the ``phash`` namespace.
+
+    The decode → aHash → banded-join pipeline of :func:`mm_phash_dedup`
+    is deterministic per source bytes, and at 100 TB the decode stage
+    (every image's pixels) is the dominant cost — recomputing it per
+    consumer is exactly the waste the text pair cache eliminated. Build
+    once per source identity, then every composition
+    (``dedup_multimodal_cc`` and friends) reads the output-sized pair
+    parquet; regenerated images change the identity and re-detect.
+    """
+    from .dedup import _pair_cache_dir
+    from ..catalog import hadoop_fs
+
+    base = _pair_cache_dir(spark, sf_dir, modality="phash")
+    fs, marker = hadoop_fs(spark, f"{base}/_PAIRS_READY")
+    if not fs.exists(marker):
+        mm_phash_dedup(spark, sf_dir).write.mode("overwrite").parquet(
+            f"{base}/pairs"
+        )
+        fs.create(marker, True).close()
+    return spark.read.parquet(f"{base}/pairs")
+
+
 ORACLE_SQL["mm_phash_dedup"] = f"""
     WITH dims AS (
         SELECT doc_id, n_chars, text,
