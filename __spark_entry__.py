@@ -101,8 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_err": sketches.sketch_quantile_err,
         "stream_index_append": index_stream.stream_index_append,
         "dedup_multimodal_cc": graph.dedup_multimodal_cc,
+        "dedup_semantic": dedup.dedup_semantic,
         "sim_ann_rerank": similarity.sim_ann_rerank,
-        "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
         "stream_dedup_pairs": dedup_stream.stream_dedup_pairs,
         "stream_event_summary": views_stream.stream_event_summary,
         "stream_high_activity_users": views_stream.stream_high_activity_users,
@@ -143,6 +143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_ann_rerank_recall. Then r7/r8-green entries whose code and
         # oracle are unchanged, then the r6-green relational block queued
         # for r10.
+        # sim_ann_rerank_recall parks: its oracle is the mechanical
+        # _recall_oracle() derivation of sim_ann_rerank's SQL (which stays
+        # in-window), the gate combinator is pytest-pinned, and its slot
+        # goes to the new dedup_semantic; rotates into the r10 window.
+        "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,

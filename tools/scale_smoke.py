@@ -88,6 +88,9 @@ HEAVY = [
     # dedup_cc built) and the compacted-index probe
     "pipeline_curate_all",
     "sim_index_compact",
+    # r9b: SemDeDup-style cluster-then-cosine — the within-cluster
+    # pairwise is the scale risk (n^2/K), bounded by the cluster sizes
+    "dedup_semantic",
 ]
 
 

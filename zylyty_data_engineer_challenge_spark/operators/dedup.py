@@ -976,6 +976,120 @@ ORACLE_SQL = {
 ORACLE_SQL["dedup_minhash_append"] = ORACLE_SQL["dedup_minhash_lsh"]
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the trained
+    k-means codebook, compute exact pairwise cosine ONLY within each
+    cluster, and greedily drop every vector that has a lower-id
+    within-cluster neighbor at cosine >= 0.45 (the repo-wide near-dup
+    threshold, same integer test as :func:`dedup_embedding_cosine`).
+    Emits one row per vector: (vec_id, cid, is_kept) — the keep-mask a
+    curation pipeline applies before training.
+
+    The clustering IS :func:`..cluster.kmeans_lloyd`'s final assignment
+    (deterministic init, N_RECOMPUTE rounds), so the oracle chains the
+    cluster module's unrolled round CTEs and the semantics are
+    differential down to the quantized integer algebra. Duplicates whose
+    vectors land in different clusters are missed by construction —
+    the documented SemDeDup trade (the same recall surrender
+    :func:`dedup_embedding_lsh` makes to banding, quantified there by
+    ``dedup_embedding_recall_sampled``).
+
+    Scale (the whole point of the method at 100 TB): all-pairs cosine is
+    O(n²); clustering first makes it Σ|cluster|² ≈ n²/K, and K grows
+    with the corpus (the codebook stays a broadcast-sized K x D table).
+    Each cluster's pairwise block is ONE Arrow-batched numpy matmul task
+    (pixels^H compute shape of :func:`dedup_embedding_cosine`'s blocked
+    kernel, here keyed by cid instead of hash blocks) — no shuffle
+    beyond the groupBy(cid), no interpreted per-pair HOFs. A skewed
+    mega-cluster is the method's known failure mode; production guards
+    by splitting clusters above a size cap (re-clustering the overflow),
+    which this corpus never triggers.
+    """
+    import pandas as pd
+
+    from .cluster import kmeans_lloyd
+    from .similarity import _quantized
+
+    emb = _quantized(spark, sf_dir)
+    # the trained assignment feeds BOTH the pairwise stage and the final
+    # keep-mask join — checkpoint once so Lloyd's rounds run once, not
+    # per consumer (and the plan reuses one materialized label table)
+    labels = (
+        kmeans_lloyd(spark, sf_dir)
+        .select("vec_id", F.col("cluster").alias("cid"))
+        .localCheckpoint(eager=False)
+    )
+    members = labels.join(emb.select("vec_id", "q", "n"), "vec_id")
+
+    def drop_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        v = pdf["vec_id"].to_numpy()[order]
+        a = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
+        n = pdf["n"].to_numpy()[order].astype(np.int64)
+        dots = a @ a.T
+        sim = (dots > 0) & (
+            COS_DEN * dots * dots >= COS_NUM * n[:, None] * n[None, :]
+        )
+        # v is ascending, so column j is dropped iff any row i<j is similar
+        dropped = v[np.triu(sim, k=1).any(axis=0)]
+        return pd.DataFrame({"vec_id": dropped})
+
+    dropped = members.groupBy("cid").applyInPandas(
+        drop_in_cluster, schema="vec_id bigint"
+    )
+    return (
+        labels.join(
+            dropped.withColumn("dropped", F.lit(1)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("dropped").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_oracle() -> str:
+    from .cluster import N_RECOMPUTE, _oracle_rounds
+
+    return f"""
+    WITH {_oracle_rounds()},
+    labels AS (SELECT vec_id, cluster AS cid FROM a{N_RECOMPUTE}),
+    norms AS (
+        SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n FROM dims GROUP BY vec_id
+    ),
+    pair_dot AS (
+        SELECT l1.vec_id AS v1, l2.vec_id AS v2,
+               CAST(SUM(d1.x * d2.x) AS BIGINT) AS dot
+        FROM labels l1
+        JOIN labels l2 ON l1.cid = l2.cid AND l1.vec_id < l2.vec_id
+        JOIN dims d1 ON d1.vec_id = l1.vec_id
+        JOIN dims d2 ON d2.vec_id = l2.vec_id AND d2.d = d1.d
+        GROUP BY l1.vec_id, l2.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT p.v2 AS vec_id
+        FROM pair_dot p
+        JOIN norms n1 ON n1.vec_id = p.v1
+        JOIN norms n2 ON n2.vec_id = p.v2
+        WHERE p.dot > 0 AND {COS_DEN} * p.dot * p.dot >= {COS_NUM} * n1.n * n2.n
+    )
+    SELECT l.vec_id, l.cid, CAST(d.vec_id IS NULL AS INT) AS is_kept
+    FROM labels l LEFT JOIN dropped d USING (vec_id)
+    ORDER BY vec_id
+"""
+
+
+ORACLE_SQL["dedup_semantic"] = _semantic_oracle()
+
+
 def _pair_recall_gate(exact, lsh, n_lsh_alias: str):
     """Shared 1-row gate combinator for the dedup recall gates: pair-keyed
     left join + global aggregate. Two empty-input contracts, mirrored in
