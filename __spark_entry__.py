@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": join_stream.stream_stream_join,
         "stream_session_window": views_stream.stream_session_window,
         "stream_static_join": views_stream.stream_static_join,
-        "stream_sliding_window": views_stream.stream_sliding_window,
+        "dedup_exact_substring": dedup.dedup_exact_substring,
         "text_token_stats": text.text_token_stats,
         "text_quality": text.text_quality,
         "text_fingerprint": text.text_fingerprint,
@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window), the gate combinator is pytest-pinned, and its slot
         # goes to the new dedup_semantic; rotates into the r10 window.
         "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
+        # stream_sliding_window parks: streaming rows carry only the
+        # driver's weaker rows-only check, and its batch twin
+        # q_sliding_window keeps a full in-window hash row; its slot goes
+        # to the new dedup_exact_substring. Rotates into the r10 window.
+        "stream_sliding_window": views_stream.stream_sliding_window,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,

@@ -91,6 +91,9 @@ HEAVY = [
     # r9b: SemDeDup-style cluster-then-cosine — the within-cluster
     # pairwise is the scale risk (n^2/K), bounded by the cluster sizes
     "dedup_semantic",
+    # r9b: exact-substring coverage — never emits pairs, one hash-keyed
+    # shuffle; should scale near-linearly even on the degenerate corpus
+    "dedup_exact_substring",
 ]
 
 

@@ -976,6 +976,115 @@ ORACLE_SQL = {
 ORACLE_SQL["dedup_minhash_append"] = ORACLE_SQL["dedup_minhash_lsh"]
 
 
+K_SPAN = 8  # exact-substring span length, in whitespace tokens
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (the distributed form of Lee et
+    al. 2022, arXiv:2107.06499 "Deduplicating Training Data Makes
+    Language Models Better"): hash every K_SPAN-token window of every
+    document, flag windows whose exact token span also occurs in at
+    least one OTHER document, and report per-document duplicated-window
+    coverage — (doc_id, n_windows, dup_windows, dup_frac). A curation
+    pipeline thresholds dup_frac to drop boilerplate-heavy documents or
+    routes high-coverage spans to span-level excision, the two policies
+    the paper compares.
+
+    Unlike the pair-emitting dedup family this NEVER materializes
+    document pairs: a span shared by a million documents costs one
+    aggregation group, not 10^12 pairs — which is why exact-substring
+    coverage is computable at corpus sizes where even banded pair
+    detection is not. The paper's suffix array finds variable-length
+    maximal repeats; fixed-K windowing is the standard distributed
+    approximation (any duplicated run >= K tokens is caught, shorter
+    ones are below the dedup threshold by construction).
+
+    Scale: window hashing is a map-only narrow projection (each doc
+    emits ~n_tokens 128-bit hashes, no raw text shuffled); the repeat
+    test is ONE shuffle keyed on the span hash — uniformly distributed
+    by construction, so no salting needed; the per-doc rollup re-keys by
+    doc_id. Everything is JVM built-ins inside whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+    w = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= K_SPAN,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {K_SPAN} + 1), "
+                    f"i -> md5(array_join(slice(toks, i, {K_SPAN}), ' ')))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("h"),
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("isdup"))
+    )
+    per = (
+        w.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nw"),
+            F.sum(F.coalesce("isdup", F.lit(0))).cast("long").alias("dw"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nw", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("dw", F.lit(0)).cast("long").alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            # NULL, not 0/0, on sub-K docs (Spark non-ANSI x/0 is NULL
+            # while DuckDB raises — same guard as the recall gates)
+            F.when(F.col("n_windows") == 0, F.lit(None).cast("double")).otherwise(
+                F.col("dup_windows") * 1.0 / F.col("n_windows")
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["dedup_exact_substring"] = f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    w0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - {K_SPAN} + 2)) AS i FROM t
+    ),
+    w AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(toks, i, i + {K_SPAN} - 1), ' ')) AS h
+        FROM w0
+    ),
+    dup AS (
+        SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per AS (
+        SELECT w.doc_id,
+               COUNT(*) AS nw,
+               CAST(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS dw
+        FROM w LEFT JOIN dup d USING (h)
+        GROUP BY w.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(per.nw, 0) AS n_windows,
+           COALESCE(per.dw, 0) AS dup_windows,
+           CASE WHEN COALESCE(per.nw, 0) = 0 THEN NULL
+                ELSE COALESCE(per.dw, 0) * 1.0 / per.nw END AS dup_frac
+    FROM documents doc LEFT JOIN per USING (doc_id)
+    ORDER BY doc.doc_id
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with the trained
