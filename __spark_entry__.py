@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_err": sketches.sketch_quantile_err,
         "stream_index_append": index_stream.stream_index_append,
         "dedup_multimodal_cc": graph.dedup_multimodal_cc,
+        "mm_audio_dedup": multimodal.mm_audio_dedup,
         "dedup_semantic": dedup.dedup_semantic,
         "sim_ann_rerank": similarity.sim_ann_rerank,
         "stream_dedup_pairs": dedup_stream.stream_dedup_pairs,
@@ -110,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": dedup_stream.stream_dedup_events,
         "stream_stream_join": join_stream.stream_stream_join,
         "stream_session_window": views_stream.stream_session_window,
-        "stream_static_join": views_stream.stream_static_join,
         "dedup_exact_substring": dedup.dedup_exact_substring,
         "text_token_stats": text.text_token_stats,
         "text_quality": text.text_quality,
@@ -148,11 +148,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window), the gate combinator is pytest-pinned, and its slot
         # goes to the new dedup_semantic; rotates into the r10 window.
         "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
-        # stream_sliding_window parks: streaming rows carry only the
-        # driver's weaker rows-only check, and its batch twin
-        # q_sliding_window keeps a full in-window hash row; its slot goes
-        # to the new dedup_exact_substring. Rotates into the r10 window.
+        # stream_sliding_window and stream_static_join park: both are
+        # code-unchanged since their r5/r6 green driver rows, their
+        # oracles and micro-batch harness are pytest-pinned, and a
+        # first-ever driver row for a NEW operator carries more
+        # information than refreshing a two-round-stale green one — their
+        # slots go to dedup_exact_substring and mm_audio_dedup. Both
+        # rotate into the r10 window (freshness debt noted).
         "stream_sliding_window": views_stream.stream_sliding_window,
+        "stream_static_join": views_stream.stream_static_join,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,

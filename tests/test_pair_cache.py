@@ -155,11 +155,19 @@ def test_multimodal_cc_served_from_caches(spark, sf_dir, pair_cache):
     first = graph.dedup_multimodal_cc(spark, sf_dir)
     rows1 = sorted(tuple(r) for r in first.collect())  # warms all 3 caches
 
-    for modality, src in (("emb", "embeddings.parquet"), ("phash", "documents.parquet")):
+    for modality, src in (
+        ("emb", "embeddings.parquet"),
+        ("phash", "documents.parquet"),
+        ("audio", "documents.parquet"),
+    ):
         base = dedup._pair_cache_dir(spark, sf_dir, modality=modality, src=src)
         assert os.path.exists(f"{base}/_PAIRS_READY"), f"{modality} cache not built"
 
-    for accessor in (dedup.embedding_pairs_cached, multimodal.phash_pairs_cached):
+    for accessor in (
+        dedup.embedding_pairs_cached,
+        multimodal.phash_pairs_cached,
+        multimodal.audio_pairs_cached,
+    ):
         df = accessor(spark, sf_dir)
         plan = _physical_plan(df)
         assert "FileScan parquet" in plan

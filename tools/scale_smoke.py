@@ -94,6 +94,9 @@ HEAVY = [
     # r9b: exact-substring coverage — never emits pairs, one hash-keyed
     # shuffle; should scale near-linearly even on the degenerate corpus
     "dedup_exact_substring",
+    # r9b: audio fingerprint dedup — decode+fingerprint map-only, banded
+    # join over a 2^8-per-band keyspace (the phash shape, audio modality)
+    "mm_audio_dedup",
 ]
 
 

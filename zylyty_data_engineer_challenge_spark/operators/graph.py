@@ -614,42 +614,46 @@ ORACLE_SQL["graph_kcore"] = _kcore_oracle()
 
 
 def dedup_multimodal_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unified duplicate clusters across ALL THREE detection modalities —
+    """Unified duplicate clusters across ALL FOUR detection modalities —
     the composition a training-data pipeline actually ships: a document
     pair is an edge if the text detector (MinHash-LSH, served from the
     persisted pair cache), the embedding detector (hyperplane-LSH cosine,
-    restricted to ids present in the documents table), OR the image
-    detector (perceptual-hash Hamming banding over decoded pixels) fired;
-    clusters are connected components over the union graph, one
-    representative (minimum doc_id) per cluster. A near-dup that any
-    single signal catches collapses the whole group — exactly the
-    union-of-signals semantics used to build production training sets
-    (semantic paraphrases caught by embeddings, boilerplate mirrors by
-    text shingles, re-encoded figures by pixels).
+    restricted to ids present in the documents table), the image
+    detector (perceptual-hash Hamming banding over decoded pixels), OR
+    the audio detector (energy-profile fingerprint Hamming banding over
+    decoded samples) fired; clusters are connected components over the
+    union graph, one representative (minimum doc_id) per cluster. A
+    near-dup that any single signal catches collapses the whole group —
+    exactly the union-of-signals semantics used to build production
+    training sets (semantic paraphrases caught by embeddings,
+    boilerplate mirrors by text shingles, re-encoded figures by pixels,
+    re-sampled clips by audio fingerprints).
 
     Output schema matches :func:`dedup_cc` (doc_id, component,
     is_representative); the oracle is the recursive transitive closure
-    over the UNION of the three modalities' pair SQLs — two engines, two
-    algorithms (label propagation vs recursive closure), three composed
+    over the UNION of the four modalities' pair SQLs — two engines, two
+    algorithms (label propagation vs recursive closure), four composed
     detectors, one fixpoint.
 
-    Scale: ALL THREE detectors are served from identity-keyed persisted
+    Scale: ALL FOUR detectors are served from identity-keyed persisted
     pair caches (text: :func:`..dedup.minhash_pairs_cached`; embedding:
     :func:`..dedup.embedding_pairs_cached`; image:
-    :func:`..multimodal.phash_pairs_cached`) — each modality's detection
+    :func:`..multimodal.phash_pairs_cached`; audio:
+    :func:`..multimodal.audio_pairs_cached`) — each modality's detection
     runs once per source identity and every composition starts from
     output-sized columnar pair scans; the union is pair-count-sized; CC
     is the same min-label propagation loop with checkpoint-truncated
     lineage, one key-partitioned shuffle per round.
     """
     from .dedup import embedding_pairs_cached, minhash_pairs_cached
-    from .multimodal import phash_pairs_cached
+    from .multimodal import audio_pairs_cached, phash_pairs_cached
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
     text_pairs = minhash_pairs_cached(spark, sf_dir).select("d1", "d2")
     img_pairs = phash_pairs_cached(spark, sf_dir).select("d1", "d2")
+    audio_pairs = audio_pairs_cached(spark, sf_dir).select("d1", "d2")
     emb_pairs = (
         embedding_pairs_cached(spark, sf_dir)
         .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
@@ -658,6 +662,7 @@ def dedup_multimodal_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         text_pairs.unionByName(img_pairs)
+        .unionByName(audio_pairs)
         .unionByName(emb_pairs)
         .distinct()
         .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
@@ -680,6 +685,9 @@ def _multimodal_cc_oracle() -> str:
         ipairs AS MATERIALIZED (
             SELECT d1, d2 FROM ({_strip_order_by(_MM_ORACLE["mm_phash_dedup"])})
         ),
+        apairs AS MATERIALIZED (
+            SELECT d1, d2 FROM ({_strip_order_by(_MM_ORACLE["mm_audio_dedup"])})
+        ),
         epairs AS MATERIALIZED (
             SELECT v1 AS d1, v2 AS d2
             FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_embedding_lsh"])})
@@ -690,6 +698,8 @@ def _multimodal_cc_oracle() -> str:
             SELECT d1, d2 FROM tpairs
             UNION
             SELECT d1, d2 FROM ipairs
+            UNION
+            SELECT d1, d2 FROM apairs
             UNION
             SELECT d1, d2 FROM epairs
         ),

@@ -884,6 +884,199 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AFP_BINS = 32  # audio fingerprint: 32 energy bins -> 32 bits
+AFP_BANDS = 4  # 4 bands x 8 bits; <= 3 flipped bits can't touch all 4
+AFP_BAND_BITS = AFP_BINS // AFP_BANDS
+AFP_HAMMING_MAX = AFP_BANDS - 1  # lossless banding (pigeonhole)
+
+
+def mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over DECODED samples — the audio modality
+    joining the text/embedding/image dedup families with the same
+    (d1, d2, hamming) pair contract. Each document's generative WAV is
+    built and fully decoded (:func:`mm_audio_energy`'s RIFF path), the
+    interleaved int16 stream is partitioned into AFP_BINS equal-width
+    bins, and bit b is set iff bin b's mean energy exceeds the whole
+    clip's mean (the Haitsma-Kalker energy-profile fingerprint shape,
+    normalized to a fixed length so clips of different duration remain
+    comparable). Pairs at Hamming <= 3 emerge from an exact banded
+    equi-join — 4 x 8-bit bands, lossless at this threshold by
+    pigeonhole, exactly :func:`mm_phash_dedup`'s construction.
+
+    The corpus has true audio near-dups by construction: sample bytes
+    cycle the document text, so the neighbor-with-one-word-changed
+    documents that give the text family its duplicate clusters yield
+    nearly identical energy profiles here.
+
+    Scale: build+decode+fingerprint is ONE map-only Arrow-batched stage
+    (samples never leave the executor; 4 small ints per clip do); the
+    pair join runs inside (band, sig) buckets over a 2^8 keyspace per
+    band. The same hot-bucket cap as simhash applies if a homogeneous
+    audio corpus concentrates bands (documented, not built — profile
+    diversity here tracks text diversity).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "b0", "b1", "b2", "b3")}
+            for did, n_chars, txt in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"]):
+                rate = 8000 if int(did) % 2 == 0 else 16000
+                channels = int(did) % 2 + 1
+                n_samples = int(n_chars) % 50 + 10
+                payload = _build_wav(n_samples, rate, channels, txt.encode("utf-8"))
+                samples = _decode_wav_samples(payload)
+                t = len(samples)
+                tot = sum(s * s for s in samples)
+                esum = [0] * AFP_BINS
+                cnt = [0] * AFP_BINS
+                for j, s in enumerate(samples):
+                    b = (j * AFP_BINS) // t
+                    esum[b] += s * s
+                    cnt[b] += 1
+                bits = [
+                    1 if (cnt[b] > 0 and esum[b] * t > tot * cnt[b]) else 0
+                    for b in range(AFP_BINS)
+                ]
+                out["doc_id"].append(int(did))
+                for k in range(AFP_BANDS):
+                    out[f"b{k}"].append(
+                        sum(
+                            bits[k * AFP_BAND_BITS + i] << i
+                            for i in range(AFP_BAND_BITS)
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    sigs = docs.mapInPandas(fp_batches, schema=PHASH_SCHEMA)
+    bands = sigs.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bidx"), F.col(f"b{i}").alias("bsig")
+                    )
+                    for i in range(AFP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("bb.bidx").alias("bidx"), F.col("bb.bsig").alias("bsig"),
+    )
+    ham = " + ".join(
+        f"bit_count(x.b{i} ^ y.b{i})" for i in range(AFP_BANDS)
+    )
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+ORACLE_SQL["mm_audio_dedup"] = f"""
+    WITH g AS (
+        SELECT doc_id, n_chars, text,
+               (doc_id % 2 + 1) * (n_chars % 50 + 10) AS total
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, n_chars, text, total, unnest(range(0, total)) AS j FROM g
+    ),
+    smp AS (
+        SELECT doc_id, total, CAST((j * {AFP_BINS}) // total AS INT) AS bin,
+               CASE WHEN n_chars = 0 THEN 0 ELSE
+                   unicode(substr(text, CAST((2 * j) % n_chars AS INT) + 1, 1))
+                   + 256 * unicode(substr(text, CAST((2 * j + 1) % n_chars AS INT) + 1, 1))
+               END AS raw
+        FROM idx
+    ),
+    s16 AS (
+        SELECT doc_id, total, bin,
+               CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM smp
+    ),
+    binsum AS (
+        SELECT doc_id, bin, CAST(SUM(v * v) AS BIGINT) AS e, COUNT(*) AS bn
+        FROM s16 GROUP BY doc_id, bin
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS tsum, COUNT(*) AS tn
+        FROM s16 GROUP BY doc_id
+    ),
+    bits AS (
+        SELECT b.doc_id, b.bin,
+               CASE WHEN b.e * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+        FROM binsum b JOIN tot t USING (doc_id)
+    ),
+    sigs AS (
+        SELECT g.doc_id,
+               CAST(COALESCE(SUM(CASE WHEN bin // {AFP_BAND_BITS} = 0
+                    THEN bit << (bin % {AFP_BAND_BITS}) END), 0) AS BIGINT) AS b0,
+               CAST(COALESCE(SUM(CASE WHEN bin // {AFP_BAND_BITS} = 1
+                    THEN bit << (bin % {AFP_BAND_BITS}) END), 0) AS BIGINT) AS b1,
+               CAST(COALESCE(SUM(CASE WHEN bin // {AFP_BAND_BITS} = 2
+                    THEN bit << (bin % {AFP_BAND_BITS}) END), 0) AS BIGINT) AS b2,
+               CAST(COALESCE(SUM(CASE WHEN bin // {AFP_BAND_BITS} = 3
+                    THEN bit << (bin % {AFP_BAND_BITS}) END), 0) AS BIGINT) AS b3
+        FROM g LEFT JOIN bits ON bits.doc_id = g.doc_id
+        GROUP BY g.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, b0, b1, b2, b3, i.i AS bidx,
+               CASE i.i WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS bsig
+        FROM sigs, (SELECT unnest(range(0, {AFP_BANDS})) AS i) i
+    )
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS INT) AS hamming
+    FROM bands x
+    JOIN bands y ON x.bidx = y.bidx AND x.bsig = y.bsig
+                AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {AFP_HAMMING_MAX}
+    ORDER BY d1, d2
+"""
+
+
+def audio_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted AUDIO near-dup pair list — fourth member of the
+    modality pair-cache family, same identity-keyed build-once contract
+    as :func:`phash_pairs_cached` (keyed by documents, ``audio``
+    namespace)."""
+    from .dedup import _pair_cache_dir
+    from ..catalog import hadoop_fs
+
+    base = _pair_cache_dir(spark, sf_dir, modality="audio")
+    fs, marker = hadoop_fs(spark, f"{base}/_PAIRS_READY")
+    if not fs.exists(marker):
+        mm_audio_dedup(spark, sf_dir).write.mode("overwrite").parquet(
+            f"{base}/pairs"
+        )
+        fs.create(marker, True).close()
+    return spark.read.parquet(f"{base}/pairs")
+
+
 def phash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IMAGE near-dup pair list — the pixel modality's twin
     of :func:`..dedup.minhash_pairs_cached`, keyed by the documents
