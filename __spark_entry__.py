@@ -116,7 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.text_quality,
         "text_fingerprint": text.text_fingerprint,
         "text_chunk": text.text_chunk,
-        "text_top_ngrams": text.text_top_ngrams,
+        "curate_diversity_sample": curate.curate_diversity_sample,
         "text_stratified_sample": curate.text_stratified_sample,
         "text_train_split": curate.text_train_split,
         "text_pack_sequences": curate.text_pack_sequences,
@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the r10 window (freshness debt noted).
         "stream_sliding_window": views_stream.stream_sliding_window,
         "stream_static_join": views_stream.stream_static_join,
+        # text_top_ngrams parks: the r8 VERDICT's independent spot-check
+        # verified it at sf0.01 (6/6 PASS), code unchanged since — its
+        # slot goes to the new curate_diversity_sample; rotates r10.
+        "text_top_ngrams": text.text_top_ngrams,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,

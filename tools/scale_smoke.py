@@ -97,6 +97,9 @@ HEAVY = [
     # r9b: audio fingerprint dedup — decode+fingerprint map-only, banded
     # join over a 2^8-per-band keyspace (the phash shape, audio modality)
     "mm_audio_dedup",
+    # r9b: cluster-balanced diversity sample — one count agg + K-row
+    # broadcast quotas + one rank window over the Lloyd labels
+    "curate_diversity_sample",
 ]
 
 

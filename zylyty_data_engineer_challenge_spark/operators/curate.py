@@ -575,6 +575,118 @@ ORACLE_SQL["curate_lang_temperature"] = f"""
 """
 
 
+DIV_TOTAL = 256  # diversity-sample budget, in vectors
+
+
+def curate_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling over the embedding space — the
+    "diversify" half of the dedup-then-diversify curation recipe (D4,
+    Tirumala et al. 2023, arXiv:2308.12284): k-means-cluster the corpus
+    (the same trained assignment :func:`..dedup.dedup_semantic` prunes
+    with), then draw a per-cluster quota proportional to sqrt(n_cluster)
+    — the T=2 temperature that over-samples small clusters so the sample
+    covers semantic space instead of mirroring its skew. Selection
+    within a cluster is the deterministic md5 shuffle; output is
+    (cid, vec_id, rk, quota), the training-subset manifest.
+
+    The quota arithmetic reuses :func:`curate_lang_temperature`'s
+    bit-exact construction: sqrt is IEEE-correctly-rounded, the
+    denominator is the explicit left-associated sum over the FIXED
+    cluster-id domain (never a float SUM aggregate), each quota one
+    floor((TOTAL * sqrt(n_c)) / denom) expression evaluated identically
+    in both engines.
+
+    Scale: one count aggregate over the label table, a K-row broadcast
+    quota table, one cluster-partitioned rank window. The Lloyd
+    assignment is the amortized training artifact (see the cluster
+    module); everything downstream is narrow.
+    """
+    from .cluster import K_CLUSTERS, kmeans_lloyd
+
+    labels = (
+        kmeans_lloyd(spark, sf_dir)
+        .select("vec_id", F.col("cluster").alias("cid"))
+        .localCheckpoint(eager=False)
+    )
+    counts = labels.groupBy("cid").agg(F.count("*").cast("long").alias("n"))
+    wide = counts.agg(
+        *[
+            F.max(F.when(F.col("cid") == i, F.col("n"))).alias(f"n{i}")
+            for i in range(K_CLUSTERS)
+        ]
+    )
+    denom = "(" * (K_CLUSTERS - 1) + " + ".join(
+        f"sqrt(CAST(coalesce(n{i}, 0) AS DOUBLE)))" if i
+        else f"sqrt(CAST(coalesce(n{i}, 0) AS DOUBLE))"
+        for i in range(K_CLUSTERS)
+    )
+    quota_structs = ", ".join(
+        f"struct(CAST({i} AS BIGINT) AS cid, CAST(floor(({DIV_TOTAL} * "
+        f"sqrt(CAST(coalesce(n{i}, 0) AS DOUBLE))) / _denom) AS INT) AS quota)"
+        for i in range(K_CLUSTERS)
+    )
+    quotas = (
+        wide.withColumn("_denom", F.expr(denom))
+        .select(F.explode(F.expr(f"array({quota_structs})")).alias("q"))
+        .select(F.col("q.cid").alias("cid"), F.col("q.quota").alias("quota"))
+    )
+    w = Window.partitionBy("cid").orderBy("h", "vec_id")
+    ranked = labels.select(
+        "cid",
+        "vec_id",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "cid")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("cid", "vec_id", "rk", "quota")
+        .orderBy("cid", "rk")
+    )
+
+
+def _diversity_oracle() -> str:
+    from .cluster import K_CLUSTERS, N_RECOMPUTE, _oracle_rounds
+
+    denom = "(" * (K_CLUSTERS - 1) + " + ".join(
+        f"sqrt(CAST(coalesce(n{i}, 0) AS DOUBLE)))" if i
+        else f"sqrt(CAST(coalesce(n{i}, 0) AS DOUBLE))"
+        for i in range(K_CLUSTERS)
+    )
+    wide_cols = ", ".join(
+        f"MAX(CASE WHEN cid = {i} THEN n END) AS n{i}" for i in range(K_CLUSTERS)
+    )
+    quota_rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS cid, CAST(floor(({DIV_TOTAL} * "
+        f"sqrt(CAST(coalesce(n{i}, 0) AS DOUBLE))) / _denom) AS INT) AS quota "
+        f"FROM dn"
+        for i in range(K_CLUSTERS)
+    )
+    return f"""
+    WITH {_oracle_rounds()},
+    labels AS (SELECT vec_id, cluster AS cid FROM a{N_RECOMPUTE}),
+    counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM labels GROUP BY cid),
+    wide AS (SELECT {wide_cols} FROM counts),
+    dn AS (SELECT *, {denom} AS _denom FROM wide),
+    quotas AS ({quota_rows}),
+    ranked AS (
+        SELECT cid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                   vec_id) AS rk
+        FROM labels
+    )
+    SELECT r.cid, r.vec_id, CAST(r.rk AS INT) AS rk, q.quota
+    FROM ranked r JOIN quotas q USING (cid)
+    WHERE r.rk <= q.quota
+    ORDER BY cid, rk
+"""
+
+
+ORACLE_SQL["curate_diversity_sample"] = _diversity_oracle()
+
+
 def pipeline_curate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline with the r8 boilerplate stage composed in —
     the full pre-training document flow: language filter -> sub-document
