@@ -180,6 +180,28 @@ def test_multimodal_cc_served_from_caches(spark, sf_dir, pair_cache):
     assert rows2 == rows1, "cache-served result must equal the warming run"
 
 
+def test_lloyd_labels_cached_equal_direct(spark, sf_dir, pair_cache):
+    """The persisted trained-assignment table must equal a live Lloyd run
+    exactly, and the accessor must be a bare parquet scan (no crossJoin
+    with the centroid table, no aggregate — training happened once)."""
+    from zylyty_data_engineer_challenge_spark.operators import cluster
+
+    direct = sorted(
+        tuple(r) for r in cluster.kmeans_lloyd(spark, sf_dir).collect()
+    )
+    cached_df = cluster.lloyd_labels_cached(spark, sf_dir)
+    cached = sorted(
+        tuple(r)
+        for r in cached_df.select("vec_id", "cluster", "dist").collect()
+    )
+    assert cached == direct
+
+    plan = _physical_plan(cached_df)
+    assert "FileScan parquet" in plan
+    for marker in ("BroadcastNestedLoop", "HashAggregate", "embeddings.parquet"):
+        assert marker not in plan, f"lloyd cache accessor re-trains ({marker})"
+
+
 def test_minhash_append_idempotent_and_equals_rebuild(spark, sf_dir, pair_cache):
     """dedup_minhash_append (r8 VERDICT item 4): the persisted base +
     appended batch must serve the EXACT full-rebuild pair set, and a

@@ -601,12 +601,10 @@ def curate_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is the amortized training artifact (see the cluster
     module); everything downstream is narrow.
     """
-    from .cluster import K_CLUSTERS, kmeans_lloyd
+    from .cluster import K_CLUSTERS, lloyd_labels_cached
 
-    labels = (
-        kmeans_lloyd(spark, sf_dir)
-        .select("vec_id", F.col("cluster").alias("cid"))
-        .localCheckpoint(eager=False)
+    labels = lloyd_labels_cached(spark, sf_dir).select(
+        "vec_id", F.col("cluster").alias("cid")
     )
     counts = labels.groupBy("cid").agg(F.count("*").cast("long").alias("n"))
     wide = counts.agg(
