@@ -122,7 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": curate.text_pack_sequences,
         "dedup_exact": dedup.dedup_exact,
         "q_revenue_filter": relational.q_revenue_filter,
-        "q_forward_fill": analytics.q_forward_fill,
+        "dedup_semantic_recall_sampled": dedup.dedup_semantic_recall_sampled,
         "q_null_semantics": advanced.q_null_semantics,
         "q_unpivot": advanced.q_unpivot,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
@@ -157,10 +157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the r10 window (freshness debt noted).
         "stream_sliding_window": views_stream.stream_sliding_window,
         "stream_static_join": views_stream.stream_static_join,
-        # text_top_ngrams parks: the r8 VERDICT's independent spot-check
-        # verified it at sf0.01 (6/6 PASS), code unchanged since — its
-        # slot goes to the new curate_diversity_sample; rotates r10.
+        # text_top_ngrams and q_forward_fill park: the r8 VERDICT's
+        # independent spot-check verified both at sf0.01 (6/6 PASS), code
+        # unchanged since — their slots go to the new
+        # curate_diversity_sample and dedup_semantic_recall_sampled;
+        # both rotate r10.
         "text_top_ngrams": text.text_top_ngrams,
+        "q_forward_fill": analytics.q_forward_fill,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,

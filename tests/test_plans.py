@@ -183,6 +183,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "text_bm25": 1,  # 1-row (n_docs, total_tokens) stats cross
     "sim_hybrid_rrf": 2,  # inherits bruteforce (1) + bm25 stats (1)
     "dedup_embedding_recall_sampled": 1,  # 1-row lsh-count cross in the gate
+    "dedup_semantic_recall_sampled": 1,  # same 1-row caught-count cross
     "dedup_edit_recall_sampled": 1,  # 1-row blocked-count cross in the gate
     # trained centroid broadcast under probe assignment; the DPP subquery
     # repeats the probes subtree in the plan text, so it counts twice

@@ -1486,6 +1486,21 @@ def dedup_embedding_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     content. Both detectors share the verify predicate, so the gate
     purely measures banding recall, same as the exhaustive form.
     """
+    lsh = (
+        dedup_embedding_lsh(spark, sf_dir)
+        .filter(_is_anchor(F.col("v1")))
+        .select("v1", "v2", F.lit(1).alias("hit"))
+    )
+    return _pair_recall_gate(_anchor_exact_pairs(spark, sf_dir), lsh, "n_lsh_sampled")
+
+
+def _anchor_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-sampled exact cosine ground truth (v1, v2): pairs at
+    cos >= 0.45 whose SMALLER id is an anchor, computed against the full
+    corpus through the blocked numpy kernel with the anchor filter
+    pushed before any pair forms — O(sample x corpus). Shared by every
+    embedding-modality recall gate so the ground-truth definition cannot
+    drift between them."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -1536,20 +1551,99 @@ def dedup_embedding_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFram
         )
         return pd.DataFrame({"v1": lids[ii], "v2": rids[jj]})
 
-    exact = (
+    return (
         anchors.unionByName(corpus)
         .groupBy("blk")
         .applyInPandas(anchor_block, schema=out_schema)
     )
-    lsh = (
-        dedup_embedding_lsh(spark, sf_dir)
+
+
+def dedup_semantic_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-ground-truth recall gate for :func:`dedup_semantic` — the
+    gate that quantifies the SemDeDup trade: a true near-dup pair whose
+    vectors land in DIFFERENT k-means clusters is invisible to the
+    within-cluster pairwise stage, exactly as banding loses cross-band
+    pairs for :func:`dedup_embedding_lsh`. Every pruned detector in this
+    repo carries a measured recall gate; this is semantic dedup's.
+
+    Ground truth is the shared anchor-sampled exact cosine pair set
+    (:func:`_anchor_exact_pairs` — O(sample x corpus), the 100 TB
+    formulation). The detector side re-runs the same per-cluster kernel
+    dedup_semantic drops from, emitting its within-cluster qualifying
+    pairs, anchor-filtered to the identical stratum. Both sides share
+    the integer cosine predicate, so the gate purely measures the
+    clustering's pair loss.
+    """
+    import pandas as pd
+
+    from .cluster import lloyd_labels_cached
+    from .similarity import _quantized
+
+    emb = _quantized(spark, sf_dir)
+    labels = lloyd_labels_cached(spark, sf_dir).select(
+        "vec_id", F.col("cluster").alias("cid")
+    )
+    members = labels.join(emb.select("vec_id", "q", "n"), "vec_id")
+
+    def pairs_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        v = pdf["vec_id"].to_numpy()[order]
+        a = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
+        n = pdf["n"].to_numpy()[order].astype(np.int64)
+        dots = a @ a.T
+        sim = (dots > 0) & (
+            COS_DEN * dots * dots >= COS_NUM * n[:, None] * n[None, :]
+        )
+        ii, jj = np.where(np.triu(sim, k=1))
+        return pd.DataFrame({"v1": v[ii], "v2": v[jj]})
+
+    caught = (
+        members.groupBy("cid")
+        .applyInPandas(pairs_in_cluster, schema="v1 bigint, v2 bigint")
         .filter(_is_anchor(F.col("v1")))
         .select("v1", "v2", F.lit(1).alias("hit"))
     )
-    return _pair_recall_gate(exact, lsh, "n_lsh_sampled")
+    return _pair_recall_gate(
+        _anchor_exact_pairs(spark, sf_dir), caught, "n_semantic_sampled"
+    )
 
 
 _V_ANCHOR_SQL = f"(v1 * {SAMPLE_KNUTH}) % {2**32} % {SAMPLE_MOD} = 0"
+
+
+def _semantic_recall_oracle() -> str:
+    # caught = anchored exact pairs whose endpoints share a trained
+    # cluster — definitionally a subset of exact, so hits == n_caught;
+    # the Spark side computes the same set by re-running the per-cluster
+    # kernel, and the differential fails if the two ever diverge
+    from .cluster import N_RECOMPUTE, _oracle_rounds
+
+    return f"""
+    WITH {_oracle_rounds()},
+    labels AS (SELECT vec_id, cluster AS cid FROM a{N_RECOMPUTE}),
+    exact AS (
+        SELECT v1, v2 FROM ({_strip_order_by(ORACLE_SQL["dedup_embedding_cosine"])})
+        WHERE {_V_ANCHOR_SQL}
+    ),
+    caught AS (
+        SELECT e.v1, e.v2
+        FROM exact e
+        JOIN labels l1 ON l1.vec_id = e.v1
+        JOIN labels l2 ON l2.vec_id = e.v2 AND l2.cid = l1.cid
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM caught) AS n_semantic_sampled,
+           CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM caught) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM exact)
+           END AS recall
+"""
+
+
+ORACLE_SQL["dedup_semantic_recall_sampled"] = _semantic_recall_oracle()
 
 ORACLE_SQL["dedup_embedding_recall_sampled"] = f"""
     WITH exact AS (
