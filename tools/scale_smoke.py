@@ -100,6 +100,8 @@ HEAVY = [
     # r9b: cluster-balanced diversity sample — one count agg + K-row
     # broadcast quotas + one rank window over the Lloyd labels
     "curate_diversity_sample",
+    # r9b: the composed D4 recipe (semantic dedup -> diversity sample)
+    "pipeline_curate_d4",
 ]
 
 

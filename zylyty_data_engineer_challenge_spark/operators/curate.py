@@ -601,11 +601,21 @@ def curate_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is the amortized training artifact (see the cluster
     module); everything downstream is narrow.
     """
-    from .cluster import K_CLUSTERS, lloyd_labels_cached
+    from .cluster import lloyd_labels_cached
 
     labels = lloyd_labels_cached(spark, sf_dir).select(
         "vec_id", F.col("cluster").alias("cid")
     )
+    return _cluster_quota_sample(labels)
+
+
+def _cluster_quota_sample(labels: DataFrame) -> DataFrame:
+    """sqrt-temperature per-cluster quota draw over a (vec_id, cid) label
+    table — the shared kernel of :func:`curate_diversity_sample` (raw
+    corpus) and :func:`pipeline_curate_d4` (post-dedup survivors). One
+    count aggregate, a K-row broadcast quota table, one rank window."""
+    from .cluster import K_CLUSTERS
+
     counts = labels.groupBy("cid").agg(F.count("*").cast("long").alias("n"))
     wide = counts.agg(
         *[
@@ -644,8 +654,38 @@ def curate_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _diversity_oracle() -> str:
-    from .cluster import K_CLUSTERS, N_RECOMPUTE, _oracle_rounds
+def pipeline_curate_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full D4 recipe (Tirumala et al. 2023): semantic-DEDUP the
+    embedding corpus, then DIVERSITY-sample the survivors — quotas are
+    recomputed on the post-dedup cluster sizes, so a cluster that lost
+    half its members to near-dup pruning draws a proportionally smaller
+    (sqrt-tempered) share. Composes :func:`..dedup.dedup_semantic`'s
+    keep-mask with :func:`_cluster_quota_sample`; output is the same
+    (cid, vec_id, rk, quota) manifest, now over deduplicated vectors
+    only.
+
+    Scale: the dedup stage reads the persisted Lloyd labels and runs its
+    bounded per-cluster kernel once; the sampling stage adds one count
+    aggregate and one rank window over the kept labels. The composition
+    is exactly the paper's pipeline order — dedup BEFORE diversify, so
+    duplicate mass cannot absorb sample budget.
+    """
+    from .dedup import dedup_semantic
+
+    kept = (
+        dedup_semantic(spark, sf_dir)
+        .filter(F.col("is_kept") == 1)
+        .select("vec_id", "cid")
+    )
+    return _cluster_quota_sample(kept)
+
+
+def _quota_sample_sql(labels_subquery: str) -> str:
+    """The sqrt-temperature quota-draw SQL over any (vec_id, cid) label
+    source — the oracle twin of :func:`_cluster_quota_sample`, shared by
+    the raw-corpus and post-dedup (D4) sampling oracles so the quota
+    arithmetic can never drift between them."""
+    from .cluster import K_CLUSTERS
 
     denom = "(" * (K_CLUSTERS - 1) + " + ".join(
         f"sqrt(CAST(coalesce(n{i}, 0) AS DOUBLE)))" if i
@@ -662,9 +702,8 @@ def _diversity_oracle() -> str:
         for i in range(K_CLUSTERS)
     )
     return f"""
-    WITH {_oracle_rounds()},
-    labels AS (SELECT vec_id, cluster AS cid FROM a{N_RECOMPUTE}),
-    counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM labels GROUP BY cid),
+    WITH lbl AS ({labels_subquery}),
+    counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM lbl GROUP BY cid),
     wide AS (SELECT {wide_cols} FROM counts),
     dn AS (SELECT *, {denom} AS _denom FROM wide),
     quotas AS ({quota_rows}),
@@ -673,7 +712,7 @@ def _diversity_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
                    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                    vec_id) AS rk
-        FROM labels
+        FROM lbl
     )
     SELECT r.cid, r.vec_id, CAST(r.rk AS INT) AS rk, q.quota
     FROM ranked r JOIN quotas q USING (cid)
@@ -682,7 +721,27 @@ def _diversity_oracle() -> str:
 """
 
 
+def _diversity_oracle() -> str:
+    from .cluster import N_RECOMPUTE, _oracle_rounds
+
+    return _quota_sample_sql(
+        f"WITH {_oracle_rounds()} "
+        f"SELECT vec_id, cluster AS cid FROM a{N_RECOMPUTE}"
+    )
+
+
+def _d4_oracle() -> str:
+    from ..oracle_utils import strip_order_by
+    from .dedup import ORACLE_SQL as _D
+
+    return _quota_sample_sql(
+        f"SELECT vec_id, cid FROM ({strip_order_by(_D['dedup_semantic'])}) "
+        f"WHERE is_kept = 1"
+    )
+
+
 ORACLE_SQL["curate_diversity_sample"] = _diversity_oracle()
+ORACLE_SQL["pipeline_curate_d4"] = _d4_oracle()
 
 
 def pipeline_curate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
