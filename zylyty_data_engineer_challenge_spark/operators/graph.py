@@ -609,6 +609,121 @@ ORACLE_SQL["graph_kcore"] = _kcore_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Label-propagation communities (r9b)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3  # synchronous rounds; unrolled identically in the oracle
+
+
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup graph by synchronous label
+    propagation (Raghavan et al. 2007, the algorithm GraphFrames ships
+    as LPA): every node starts as its own label; each round, a node
+    adopts the MOST FREQUENT label among its neighbors (ties to the
+    lowest label, isolated nodes keep their own), all nodes updating
+    simultaneously from the previous round's labels. Where
+    :func:`dedup_cc` answers "what is transitively connected", LPA
+    answers "what is densely connected" — a chain of borderline pairs
+    bridges two clusters for CC, but LPA keeps the dense cores apart
+    because frequency, not reachability, carries the label. Fixed
+    LPA_ROUNDS synchronous rounds are deterministic by construction
+    (asynchronous LPA is order-dependent — useless for a differential
+    gate), and the oracle unrolls the identical rounds as chained CTEs,
+    the same contract as the kmeans/pagerank iterations.
+
+    Scale: per round, one shuffle keyed on edge dst for the label-count
+    aggregate (map-side combinable) and one per-node top-1 window over
+    (node, label) groups — output-sized, never corpus x corpus. Edges
+    come from the persisted pair cache; lineage is checkpoint-truncated
+    per round like every iterative operator here.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    pairs = minhash_pairs_cached(spark, sf_dir).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    sym = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = docs.select("node", F.col("node").alias("lbl"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node2").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        top = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node2", F.col("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(top, labels.node == top.node2, "left")
+            .select("node", F.coalesce("nbr_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)  # truncate per-round lineage
+        )
+    rep = Window.partitionBy("lbl")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").alias("community"),
+            (F.col("node") == F.min("node").over(rep)).cast("int").alias(
+                "is_representative"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""pairs AS (
+            SELECT d1, d2 FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_minhash_lsh"])})
+        ),
+        e AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL
+            SELECT d2, d1 FROM pairs
+        ),
+        l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents)"""
+    ]
+    for i in range(LPA_ROUNDS):
+        parts.append(f"""t{i} AS (
+            SELECT node2, lbl FROM (
+                SELECT e.dst AS node2, l.lbl, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY e.dst
+                           ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+                FROM e JOIN l{i} l ON l.node = e.src
+                GROUP BY e.dst, l.lbl
+            ) WHERE rk = 1
+        ),
+        l{i + 1} AS (
+            SELECT l.node, COALESCE(t.lbl, l.lbl) AS lbl
+            FROM l{i} l LEFT JOIN t{i} t ON t.node2 = l.node
+        )""")
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT node AS doc_id, lbl AS community,
+               CAST(node = MIN(node) OVER (PARTITION BY lbl) AS INT)
+                   AS is_representative
+        FROM l{LPA_ROUNDS}
+        ORDER BY doc_id
+    """
+    )
+
+
+ORACLE_SQL["graph_communities"] = _lpa_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Cross-modality duplicate clusters (r9)
 # ---------------------------------------------------------------------------
 
