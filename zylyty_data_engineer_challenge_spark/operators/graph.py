@@ -637,19 +637,42 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the persisted pair cache; lineage is checkpoint-truncated
     per round like every iterative operator here.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
     pairs = minhash_pairs_cached(spark, sf_dir).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
-    sym = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    labels = label_propagation(docs, pairs)
+    from pyspark.sql import Window
+
+    rep = Window.partitionBy("lbl")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").alias("community"),
+            (F.col("node") == F.min("node").over(rep)).cast("int").alias(
+                "is_representative"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """(node) x (src, dst) -> (node, lbl): synchronous LPA over the
+    undirected graph — `rounds` simultaneous most-frequent-neighbor
+    updates (ties to the lowest label, isolated nodes keep their own)
+    from the identity labeling."""
+    from pyspark.sql import Window
+
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = docs.select("node", F.col("node").alias("lbl"))
-    for _ in range(LPA_ROUNDS):
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(rounds):
         cnt = (
             sym.join(labels, sym.src == labels.node)
             .groupBy(F.col("dst").alias("node2"), "lbl")
@@ -668,17 +691,7 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.coalesce("nbr_lbl", "lbl").alias("lbl"))
             .localCheckpoint(eager=False)  # truncate per-round lineage
         )
-    rep = Window.partitionBy("lbl")
-    return (
-        labels.select(
-            F.col("node").alias("doc_id"),
-            F.col("lbl").alias("community"),
-            (F.col("node") == F.min("node").over(rep)).cast("int").alias(
-                "is_representative"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return labels
 
 
 def _lpa_oracle() -> str:
