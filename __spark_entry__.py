@@ -132,7 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_filter": relational.q_revenue_filter,
         "dedup_semantic_recall_sampled": dedup.dedup_semantic_recall_sampled,
         "q_null_semantics": advanced.q_null_semantics,
-        "q_unpivot": advanced.q_unpivot,
+        "mm_scene_cuts": multimodal.mm_scene_cuts,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         "dedup_embedding_recall": dedup.dedup_embedding_recall,
         "sim_ann_pq_recall": similarity.sim_ann_pq_recall,
@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forward_fill": analytics.q_forward_fill,
         "dedup_exact": dedup.dedup_exact,
         "stream_event_summary": views_stream.stream_event_summary,
+        # q_unpivot parks for the new mm_scene_cuts: r4-green driver row,
+        # code and oracle unchanged since, trivial single-table reshape
+        # locally verified every round; rotates r10.
+        "q_unpivot": advanced.q_unpivot,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,

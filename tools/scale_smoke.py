@@ -105,6 +105,8 @@ HEAVY = [
     # r9b: synchronous LPA — per round one dst-keyed count shuffle + one
     # per-node top-1 window, edges from the warm pair cache
     "graph_communities",
+    # r9b: scene-cut detection — map-only payload walk, zero shuffles
+    "mm_scene_cuts",
 ]
 
 

@@ -884,6 +884,123 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCENE_CUT_MIN = 64  # |mean-byte delta vs previous frame| * 256 threshold
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the frame stream — the segmentation
+    primitive video curation runs after :func:`mm_frame_sample`'s
+    subsampling: each FRAME_BYTES-sized frame of the payload gets a
+    content signal (its byte sum), and a frame is a CUT when its
+    mean byte value jumps by more than SCENE_CUT_MIN/256 against the
+    previous frame (mean comparison as exact cross-multiplied integers —
+    frames differ in length at the tail, so sums alone would bias the
+    final frame). Emits (doc_id, frame_idx, frame_sum, frame_len,
+    is_cut) with frame 0 never a cut (no predecessor) — downstream
+    shot-level dedup/sampling groups on cumulative cut counts.
+
+    Arrow-batched like the audio/pixel decode paths: one mapInPandas
+    stage walks each payload once and emits frame-rows only; the oracle
+    recomputes every byte from the text via the substr/unicode identity
+    (fixture text is ASCII), the LAG window, and the same integer
+    threshold — sample-exact, like :func:`mm_audio_energy`.
+
+    Scale: map-only (no shuffle at all — the signal, the lag, and the
+    threshold are computed inside the per-document walk); output is
+    frame-count-sized. At 100 TB this is the cheapest operator in the
+    multimodal family.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_sum": [],
+                "frame_len": [],
+                "is_cut": [],
+            }
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                payload = txt.encode("utf-8")
+                n = len(payload)
+                n_frames = max(1, -(-n // FRAME_BYTES)) if n else 1
+                prev_sum = prev_len = None
+                for f in range(n_frames):
+                    chunk = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    s, ln = sum(chunk), len(chunk)
+                    if prev_sum is None or ln == 0 or prev_len == 0:
+                        cut = 0
+                    else:
+                        # |s/ln - ps/pl| > MIN/256, cross-multiplied
+                        cut = int(
+                            abs(s * prev_len - prev_sum * ln) * 256
+                            > SCENE_CUT_MIN * ln * prev_len
+                        )
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(f)
+                    out["frame_sum"].append(s)
+                    out["frame_len"].append(ln)
+                    out["is_cut"].append(cut)
+                    prev_sum, prev_len = s, ln
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_sum": pd.Series(out["frame_sum"], dtype="int64"),
+                    "frame_len": pd.Series(out["frame_len"], dtype="int64"),
+                    "is_cut": pd.Series(out["is_cut"], dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        cuts,
+        schema="doc_id bigint, frame_idx int, frame_sum bigint, "
+        "frame_len bigint, is_cut int",
+    ).orderBy("doc_id", "frame_idx")
+
+
+ORACLE_SQL["mm_scene_cuts"] = f"""
+    WITH g AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, text, n,
+               unnest(range(0, CASE WHEN n = 0 THEN 1
+                   ELSE CAST(ceil(n * 1.0 / {FRAME_BYTES}) AS BIGINT) END)) AS f
+        FROM g
+    ),
+    idx AS (
+        SELECT doc_id, f,
+               unnest(range(f * {FRAME_BYTES},
+                            CASE WHEN (f + 1) * {FRAME_BYTES} < n
+                                 THEN (f + 1) * {FRAME_BYTES} ELSE n END)) AS j
+        FROM fr
+    ),
+    sums AS (
+        SELECT i.doc_id, i.f,
+               CAST(COALESCE(SUM(unicode(substr(i.text, CAST(j AS INT) + 1, 1))), 0)
+                   AS BIGINT) AS s,
+               CAST(COUNT(j) AS BIGINT) AS ln
+        FROM fr i LEFT JOIN idx ON idx.doc_id = i.doc_id AND idx.f = i.f
+        GROUP BY i.doc_id, i.f
+    ),
+    lagged AS (
+        SELECT doc_id, f, s, ln,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps,
+               LAG(ln) OVER (PARTITION BY doc_id ORDER BY f) AS pl
+        FROM sums
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, s AS frame_sum,
+           ln AS frame_len,
+           CAST(CASE WHEN ps IS NULL OR ln = 0 OR pl = 0 THEN 0
+                WHEN abs(s * pl - ps * ln) * 256 > {SCENE_CUT_MIN} * ln * pl
+                THEN 1 ELSE 0 END AS INT) AS is_cut
+    FROM lagged
+    ORDER BY doc_id, frame_idx
+"""
+
+
 AFP_BINS = 32  # audio fingerprint: 32 energy bins -> 32 bits
 AFP_BANDS = 4  # 4 bands x 8 bits; <= 3 flipped bits can't touch all 4
 AFP_BAND_BITS = AFP_BINS // AFP_BANDS
