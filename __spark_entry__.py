@@ -72,16 +72,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every never-yet-graded pre-r9 entry (dedup_embedding_lsh,
     dedup_embedding_recall, sim_ann_pq_recall, q_sliding_window,
     q_funnel, q_retention_cohorts, sketch_hll_union, q_incremental_agg).
-    The round-9b continuation added six first-class operators — the
+    The round-9b continuation added eight first-class operators — the
     SemDeDup pair (dedup_semantic + dedup_semantic_recall_sampled), the
     pair-free exact-substring coverage (dedup_exact_substring), audio
     fingerprint dedup (mm_audio_dedup, the fourth multimodal signal),
-    cluster-balanced diversity sampling (curate_diversity_sample), and
-    the composed D4 recipe (pipeline_curate_d4) — each taking a graded
-    slot from an entry whose displacement is individually justified
-    inline at position 51+ (a mechanically-derived oracle twin, or an
-    entry the r8 VERDICT's own spot-check verified independently with
-    code unchanged since). dedup_multimodal_cc stays in-window carrying
+    cluster-balanced diversity sampling (curate_diversity_sample), the
+    composed D4 recipe (pipeline_curate_d4), label-propagation
+    communities (graph_communities), and scene-cut detection
+    (mm_scene_cuts) — each taking a graded slot from an entry whose
+    displacement is individually justified inline at position 51+ (a
+    mechanically-derived oracle twin, an entry the r8 VERDICT's own
+    spot-check verified independently with code unchanged since, or an
+    early-round-green trivial op). dedup_multimodal_cc stays in-window carrying
     the round's behavior change (four signals, per-modality pair
     caches). The r6-green relational block (q_sessionize ..
     q_local_supplier_volume) parks at 51+ and rotates back in r10.
