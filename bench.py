@@ -104,7 +104,9 @@ def headline_queries() -> dict:
         "pipeline_curate_near",
         "pipeline_curate_clean",
         "pipeline_curate_all",
+        "pipeline_curate_d4",
         "pagerank",
+        "graph_communities",
         "q_zorder_layout",
         "q_reservoir_sample",
         "q_interval_overlap",
