@@ -31,6 +31,7 @@ from zylyty_data_engineer_challenge_spark.queries import (
     advanced,
     analytics,
     relational,
+    tpch,
     views,
     warehouse,
 )
@@ -298,6 +299,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": advanced.q_salted_join,
         "q_shipping_priority": relational.q_shipping_priority,
         "q_local_supplier_volume": relational.q_local_supplier_volume,
+        # TPC-H shape completion (r9c): Q2, Q4, Q7-Q9, Q11-Q22 adapted to
+        # the reduced schema (queries/tpch.py) — with the pre-existing
+        # Q1/Q3/Q5/Q6/Q10 shapes, every TPC-H query shape is implemented
+        # and oracle-checked.
+        "q_min_cost_supplier": tpch.q_min_cost_supplier,
+        "q_order_priority_check": tpch.q_order_priority_check,
+        "q_nation_trade_volume": tpch.q_nation_trade_volume,
+        "q_market_share": tpch.q_market_share,
+        "q_product_profit": tpch.q_product_profit,
+        "q_important_parts": tpch.q_important_parts,
+        "q_late_shipment_priority": tpch.q_late_shipment_priority,
+        "q_customer_order_distribution": tpch.q_customer_order_distribution,
+        "q_promo_revenue": tpch.q_promo_revenue,
+        "q_top_supplier": tpch.q_top_supplier,
+        "q_supplier_part_counts": tpch.q_supplier_part_counts,
+        "q_small_quantity_revenue": tpch.q_small_quantity_revenue,
+        "q_large_volume_customers": tpch.q_large_volume_customers,
+        "q_disjunctive_filter": tpch.q_disjunctive_filter,
+        "q_part_promotion_suppliers": tpch.q_part_promotion_suppliers,
+        "q_waiting_suppliers": tpch.q_waiting_suppliers,
+        "q_idle_wealthy_customers": tpch.q_idle_wealthy_customers,
     }
 
 
@@ -308,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(views.ORACLE_SQL)
     out.update(cluster.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
+    out.update(tpch.ORACLE_SQL)
     out.update(advanced.ORACLE_SQL)
     out.update(analytics.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)

@@ -113,6 +113,24 @@ def headline_queries() -> dict:
         "q_salted_join",
         "q_shipping_priority",
         "q_local_supplier_volume",
+        # TPC-H shape completion (r9c)
+        "q_min_cost_supplier",
+        "q_order_priority_check",
+        "q_nation_trade_volume",
+        "q_market_share",
+        "q_product_profit",
+        "q_important_parts",
+        "q_late_shipment_priority",
+        "q_customer_order_distribution",
+        "q_promo_revenue",
+        "q_top_supplier",
+        "q_supplier_part_counts",
+        "q_small_quantity_revenue",
+        "q_large_volume_customers",
+        "q_disjunctive_filter",
+        "q_part_promotion_suppliers",
+        "q_waiting_suppliers",
+        "q_idle_wealthy_customers",
         "q_incremental_agg",
         "q_sliding_window",
         "q_funnel",

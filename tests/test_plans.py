@@ -203,6 +203,12 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # inherits the capped detector (2, twice: joined + count consumer)
     # plus the gate's own 1-row capped-count cross
     "dedup_simhash_recall_sampled": 5,
+    # TPC-H scalar subqueries (r9c): each is ONE single-row aggregate
+    # crossed back in — Q11's regional total, Q15's max revenue, Q22's
+    # positive-balance average components
+    "q_important_parts": 1,
+    "q_top_supplier": 1,
+    "q_idle_wealthy_customers": 1,
 }
 
 
