@@ -36,6 +36,7 @@ from zylyty_data_engineer_challenge_spark.queries import (
     warehouse,
 )
 from zylyty_data_engineer_challenge_spark.streaming import (
+    cdc_stream,
     dedup_stream,
     index_stream,
     join_stream,
@@ -320,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_part_promotion_suppliers": tpch.q_part_promotion_suppliers,
         "q_waiting_suppliers": tpch.q_waiting_suppliers,
         "q_idle_wealthy_customers": tpch.q_idle_wealthy_customers,
+        # streaming CDC merge (r9c): stream-of-batches == one-shot MERGE
+        "stream_cdc_apply": cdc_stream.stream_cdc_apply,
     }
 
 
@@ -348,4 +351,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup_stream.ORACLE_SQL)
     out.update(join_stream.ORACLE_SQL)
     out.update(index_stream.ORACLE_SQL)
+    out.update(cdc_stream.ORACLE_SQL)
     return out
