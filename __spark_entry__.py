@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idle_wealthy_customers": tpch.q_idle_wealthy_customers,
         # streaming CDC merge (r9c): stream-of-batches == one-shot MERGE
         "stream_cdc_apply": cdc_stream.stream_cdc_apply,
+        # multi-source BFS over the near-dup graph (r9c)
+        "graph_bfs": graph.graph_bfs,
     }
 
 

@@ -852,3 +852,106 @@ def _multimodal_cc_oracle() -> str:
 
 
 ORACLE_SQL["dedup_multimodal_cc"] = _multimodal_cc_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS: blocklist propagation radius (r9c)
+# ---------------------------------------------------------------------------
+
+BFS_SEED_SOURCE = "src0"
+BFS_MAX_HOPS = 4
+
+
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: each document's hop
+    distance to the nearest document from a blocklisted source
+    (``src0``). This is how a takedown/contamination blocklist extends
+    through near-duplicates at scale — hop 1 is "a near-dup of a flagged
+    doc", hop 2 "a near-dup of that", etc.; unreachable documents keep
+    NULL and stay in the corpus.
+
+    Algorithm: frontier expansion with a labeled-set anti join — round h
+    joins ONLY the previous frontier against the edge list (frontier-
+    sized, not corpus-sized), discards already-labeled nodes, and
+    assigns distance h. ``BFS_MAX_HOPS`` fixed rounds bound the work and
+    make the result deterministic and oracle-expressible; per-round
+    lineage is checkpoint-truncated like every iterative operator here.
+
+    Scale: each round shuffles frontier ⋈ edges on the node key — the
+    standard Pregel BFS shape; total cost is O(edges within the horizon),
+    never corpus x corpus. Edges come from the persisted pair cache
+    (:func:`..operators.dedup.minhash_pairs_cached`).
+
+    Oracle: a recursive CTE expanding (node, depth) states to the same
+    horizon, with ``MIN(depth)`` as the distance — different algorithm,
+    same fixpoint, exact hash equality.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_pairs_cached(spark, sf_dir).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    seeds = docs.filter(F.col("source") == BFS_SEED_SOURCE).select(
+        F.col("doc_id").alias("node")
+    )
+    dist = bfs_hops(seeds, pairs)
+    return (
+        docs.join(dist, docs.doc_id == dist.node, "left")
+        .select("doc_id", "hops")
+        .orderBy("doc_id")
+    )
+
+
+def bfs_hops(
+    seeds: DataFrame, edges: DataFrame, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """(node) x (src, dst) -> (node, hops): multi-source BFS distance over
+    the undirected graph, bounded at ``max_hops``; only reached nodes
+    appear. Frontier expansion with a labeled-set anti join — a node is
+    assigned the FIRST round that reaches it, which is the minimum hop
+    distance by induction."""
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select("node", F.lit(0).alias("hops"))
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=False)  # truncate per-round lineage
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist
+
+
+def _bfs_oracle() -> str:
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT d1, d2 FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_minhash_lsh"])})
+        ),
+        e AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL
+            SELECT d2, d1 FROM pairs
+        ),
+        reach(node, d) AS (
+            SELECT doc_id, 0 FROM documents WHERE source = '{BFS_SEED_SOURCE}'
+            UNION
+            SELECT e.dst, r.d + 1 FROM reach r JOIN e ON r.node = e.src
+            WHERE r.d < {BFS_MAX_HOPS}
+        )
+        SELECT doc.doc_id, CAST(MIN(r.d) AS INT) AS hops
+        FROM documents doc LEFT JOIN reach r ON doc.doc_id = r.node
+        GROUP BY doc.doc_id
+        ORDER BY doc.doc_id
+    """
+
+
+ORACLE_SQL["graph_bfs"] = _bfs_oracle()
