@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cdc_apply": cdc_stream.stream_cdc_apply,
         # multi-source BFS over the near-dup graph (r9c)
         "graph_bfs": graph.graph_bfs,
+        # hashed-feature linear quality filter (r9c)
+        "text_quality_classifier": text.text_quality_classifier,
     }
 
 

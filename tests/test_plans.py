@@ -229,6 +229,20 @@ def test_global_plan_audit_no_unsanctioned_nested_loops(spark):
     assert not offenders, offenders
 
 
+def test_quality_classifier_is_map_only(spark):
+    """text_quality_classifier (r9c): the model is a pure expression —
+    scoring must be map-only codegen work at scan speed. The only
+    exchange allowed in the plan is the output sort's range partitioning;
+    no hash-partition shuffle, no join, no Python worker."""
+    from zylyty_data_engineer_challenge_spark.operators import text
+
+    plan = physical_plan(text.text_quality_classifier(spark, SF_DIR))
+    assert count_nodes(plan, "hashpartitioning") == 0, plan
+    assert "Join" not in plan, plan
+    assert count_nodes(plan, "BatchEvalPython") == 0, plan
+    assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+
+
 def test_fuzzy_names_pattern_join_is_shuffled_not_broadcast(spark):
     """r5 regression pin: Catalyst costs the pattern self-join from the
     tiny pre-explode parquet size and would broadcast the exploded variant

@@ -786,3 +786,74 @@ ORACLE_SQL["text_rarity"] = """
     FROM per_doc
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (r9c)
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 4096  # feature-hash width (fasttext-style hashing trick)
+QC_WEIGHT_MOD = 1001  # weights land in [-500, 500]
+QC_WEIGHT_SHIFT = 500
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed bag-of-words — the fasttext
+    filter shape CCNet/RefinedWeb-style curation runs at scale: every
+    token hashes into one of ``QC_BUCKETS`` feature buckets (colliding
+    tokens SHARE a weight — the hashing trick), each bucket carries a
+    fixed integer weight, and a document's score is the sum of its
+    token-bucket weights; keep = score > 0.
+
+    The weights here are md5-derived integers standing in for trained
+    parameters (the container has no model artifacts) — the Spark-side
+    shape is the real thing: the model is a pure expression, so scoring
+    is MAP-ONLY whole-stage-codegen work at scan speed, no UDF, no
+    shuffle, no weight table to join (the "table" is a hash function).
+    At 100 TB that is the difference between a filter that runs inline
+    with ingestion and one that needs a 4096-row broadcast plus a
+    Python worker per executor.
+
+    Integer end-to-end (bucket, weight, score), so both engines agree
+    exactly; keep is an integer-compare flag, not a float threshold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = r"filter(split(text, '\\s+'), x -> x <> '')"
+    bucket = (
+        "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)"
+        f" % {QC_BUCKETS}"
+    )
+    weight = (
+        f"CAST(conv(substr(md5(concat('qw:', CAST({bucket} AS STRING))), 1, 15),"
+        f" 16, 10) AS BIGINT) % {QC_WEIGHT_MOD} - {QC_WEIGHT_SHIFT}"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({toks}, x -> {weight}),"
+            f" CAST(0 AS BIGINT), (acc, w) -> acc + w)"
+        ).alias("score"),
+    ).withColumn(
+        "keep", (F.col("score") > 0).cast("int")
+    ).orderBy("doc_id")
+
+
+_QC_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_QC_BUCKET = f"('0x' || substr(md5(x), 1, 15))::BIGINT % {QC_BUCKETS}"
+_QC_WEIGHT = (
+    f"('0x' || substr(md5('qw:' || CAST({_QC_BUCKET} AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {QC_WEIGHT_MOD} - {QC_WEIGHT_SHIFT}"
+)
+ORACLE_SQL["text_quality_classifier"] = f"""
+    SELECT doc_id,
+           CAST(len({_QC_TOKS}) AS INT) AS n_tokens,
+           CAST(COALESCE(list_aggregate(
+               list_transform({_QC_TOKS}, x -> {_QC_WEIGHT}), 'sum'
+           ), 0) AS BIGINT) AS score,
+           CAST(COALESCE(list_aggregate(
+               list_transform({_QC_TOKS}, x -> {_QC_WEIGHT}), 'sum'
+           ), 0) > 0 AS INT) AS keep
+    FROM documents
+    ORDER BY doc_id
+"""
