@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": graph.graph_bfs,
         # hashed-feature linear quality filter (r9c)
         "text_quality_classifier": text.text_quality_classifier,
+        # JL random projection + distance-preservation gate (r9c)
+        "sim_random_projection": similarity.sim_random_projection,
+        "sim_rp_distortion": similarity.sim_rp_distortion,
     }
 
 

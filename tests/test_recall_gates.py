@@ -227,3 +227,35 @@ def test_simhash_cap_lossless_on_heterogeneous_corpus(spark, nodup_dir):
     )
     capped = sorted(tuple(r) for r in dedup_simhash(spark, nodup_dir).collect())
     assert capped == uncapped
+
+
+def test_rp_distortion_gate_holds_jl_bound(spark, sf_dir):
+    """sim_rp_distortion (r9c): the JL contract must actually hold on the
+    driver corpus — every sampled pair inside the 4x band, and the
+    AGGREGATE distortion (sum d_proj over its expectation) within 30% —
+    far tighter than the per-pair band, loose enough for the anchor
+    sample's correlation (shared anchors make the ~90 pairs far fewer
+    than independent; observed 0.81 at sf0.001, 1.02 at sf0.01). A seed
+    or scaling drift in the projection matrix breaks this loudly."""
+    from pyspark.sql import functions as F
+
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        RP_EW2,
+        RP_K,
+        sim_rp_distortion,
+    )
+
+    agg = (
+        sim_rp_distortion(spark, sf_dir)
+        .agg(
+            F.sum("d_proj").alias("sp"),
+            F.sum("d_orig").alias("so"),
+            F.min("in_band").alias("all_in"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert agg["n"] > 50
+    assert agg["all_in"] == 1, "a sampled pair escaped the 4x JL band"
+    ratio = agg["sp"] / (RP_K * RP_EW2 * agg["so"])
+    assert 0.7 < ratio < 1.3, ratio

@@ -1651,3 +1651,165 @@ def sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # compaction must be probe-invisible: same oracle, fourth execution path
 ORACLE_SQL["sim_index_compact"] = ORACLE_SQL["sim_ann_ivfpq"]
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distortion gate (r9c)
+# ---------------------------------------------------------------------------
+
+RP_K = 16  # projected dimensions (64 -> 16)
+RP_MOD = 1001  # projection weights in [-500, 500]
+RP_EW2 = (RP_MOD * RP_MOD - 1) // 12  # E[w^2] of the discrete uniform = 83500
+RP_BAND_MULT = 4  # per-pair distortion band: [1/4, 4] x expectation
+RP_SAMPLE_A = 53
+RP_SAMPLE_B = 29
+
+
+def _rp_planes(spark: SparkSession) -> DataFrame:
+    """The JL projection matrix as a (p, d, w) table: md5-derived integer
+    weights (seed 'rp:' — independent of the LSH hyperplanes), uniform on
+    [-500, 500]. Dense random projections are the JL construction; the
+    sign-quantized LSH planes above are its 1-bit specialization."""
+    return (
+        spark.range(RP_K)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(N_DIMS).select(F.col("id").alias("d")))
+        .select(
+            "p",
+            "d",
+            F.expr(
+                f"CAST(conv(substr(md5(concat('rp:', p, ',', d)), 1, 15), 16, 10)"
+                f" AS BIGINT) % {RP_MOD} - {RP_MOD // 2}"
+            ).alias("w"),
+        )
+    )
+
+
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction by dense random projection (Johnson-
+    Lindenstrauss): each 64-dim quantized embedding maps to RP_K=16
+    integer components proj(v, p) = Σ_d w(p,d)·q(v,d). At 100 TB this is
+    the cheap distance-preserving sketch computed once at ingest — 4x
+    smaller vectors for clustering/dedup prefilters — as one broadcast
+    join (the 16x64 matrix) + one map-side-combinable aggregate, no UDF.
+
+    Integer end-to-end (quantized inputs x integer weights), so both
+    engines agree exactly; long format (vec_id, p, proj) keeps the
+    output array-free for the driver's canonicalizer."""
+    emb = _quantized(spark, sf_dir)
+    pos = emb.select("vec_id", F.posexplode("q").alias("d", "qd"))
+    return (
+        pos.join(F.broadcast(_rp_planes(spark)), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("qd")).alias("proj"))
+        .orderBy("vec_id", "p")
+    )
+
+
+def sim_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL acceptance gate: for a deterministic sample of vector pairs,
+    compare the exact squared L2 distance in the original space
+    (``d_orig``) against the projected space (``d_proj``). E[d_proj] =
+    RP_K · E[w²] · d_orig, so the per-pair flag is the division-free
+    integer test d_proj ∈ [1/4, 4] · RP_K·E[w²]·d_orig — the distance-
+    preservation contract a pipeline checks before trusting the sketch
+    for prefiltering (the quantile/recall-gate twin for this family).
+
+    Sampling is anchor-style (vec_id % 53 x vec_id % 29, a < b):
+    O(sample²) pairs regardless of corpus size."""
+    emb = _quantized(spark, sf_dir)
+    a = emb.filter(F.col("vec_id") % RP_SAMPLE_A == 0).select(
+        F.col("vec_id").alias("a"), F.col("q").alias("qa")
+    )
+    b = emb.filter(F.col("vec_id") % RP_SAMPLE_B == 0).select(
+        F.col("vec_id").alias("b"), F.col("q").alias("qb")
+    )
+    pairs = a.join(b, F.col("a") < F.col("b")).withColumn(
+        "d_orig",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ),
+    ).select("a", "b", "d_orig")
+    proj = sim_random_projection(spark, sf_dir)
+    pa = proj.select(F.col("vec_id").alias("a"), "p", F.col("proj").alias("proj_a"))
+    pb = proj.select(F.col("vec_id").alias("b"), "p", F.col("proj").alias("proj_b"))
+    d_proj = (
+        pa.join(pb, "p")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(
+                (F.col("proj_a") - F.col("proj_b"))
+                * (F.col("proj_a") - F.col("proj_b"))
+            ).alias("d_proj")
+        )
+    )
+    expect = F.lit(RP_K) * F.lit(RP_EW2) * F.col("d_orig")
+    return (
+        pairs.join(d_proj, ["a", "b"])
+        .select(
+            "a",
+            "b",
+            "d_orig",
+            "d_proj",
+            (
+                (F.col("d_proj") <= F.lit(RP_BAND_MULT) * expect)
+                & (F.col("d_proj") * RP_BAND_MULT >= expect)
+            ).cast("int").alias("in_band"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+_RP_CTES = f"""
+    rp_planes AS (
+        SELECT p.p, d.d,
+               ('0x' || substr(md5('rp:' || p.p || ',' || d.d), 1, 15))::BIGINT
+                   % {RP_MOD} - {RP_MOD // 2} AS w
+        FROM (SELECT unnest(generate_series(0, {RP_K - 1})) AS p) p,
+             (SELECT unnest(generate_series(0, {N_DIMS - 1})) AS d) d
+    ),
+    rp_proj AS (
+        SELECT pos.vec_id, pl.p, CAST(SUM(pl.w * pos.qd) AS BIGINT) AS proj
+        FROM pos JOIN rp_planes pl ON pos.d = pl.d
+        GROUP BY 1, 2
+    )
+"""
+
+ORACLE_SQL["sim_random_projection"] = f"""
+    WITH {_QUANT_CTE.strip().rstrip(',')}, {_RP_CTES.strip()}
+    SELECT vec_id, p, proj FROM rp_proj
+    ORDER BY vec_id, p
+"""
+
+ORACLE_SQL["sim_rp_distortion"] = f"""
+    WITH {_QUANT_CTE.strip().rstrip(',')}, {_RP_CTES.strip()},
+    sample_pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM (SELECT vec_id FROM q WHERE vec_id % {RP_SAMPLE_A} = 0) a
+        JOIN (SELECT vec_id FROM q WHERE vec_id % {RP_SAMPLE_B} = 0) b
+          ON a.vec_id < b.vec_id
+    ),
+    d_orig AS (
+        SELECT sp.a, sp.b, CAST(SUM((pa.qd - pb.qd) * (pa.qd - pb.qd)) AS BIGINT) AS d_orig
+        FROM sample_pairs sp
+        JOIN pos pa ON pa.vec_id = sp.a
+        JOIN pos pb ON pb.vec_id = sp.b AND pb.d = pa.d
+        GROUP BY 1, 2
+    ),
+    d_proj AS (
+        SELECT sp.a, sp.b,
+               CAST(SUM((pa.proj - pb.proj) * (pa.proj - pb.proj)) AS BIGINT) AS d_proj
+        FROM sample_pairs sp
+        JOIN rp_proj pa ON pa.vec_id = sp.a
+        JOIN rp_proj pb ON pb.vec_id = sp.b AND pb.p = pa.p
+        GROUP BY 1, 2
+    )
+    SELECT o.a, o.b, o.d_orig, p.d_proj,
+           CAST(p.d_proj <= {RP_BAND_MULT} * {RP_K} * {RP_EW2} * o.d_orig
+                AND p.d_proj * {RP_BAND_MULT} >= {RP_K} * {RP_EW2} * o.d_orig
+                AS INT) AS in_band
+    FROM d_orig o JOIN d_proj p ON o.a = p.a AND o.b = p.b
+    ORDER BY o.a, o.b
+"""
