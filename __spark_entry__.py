@@ -31,6 +31,7 @@ from zylyty_data_engineer_challenge_spark.queries import (
     advanced,
     analytics,
     relational,
+    timeseries,
     tpch,
     views,
     warehouse,
@@ -330,6 +331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JL random projection + distance-preservation gate (r9c)
         "sim_random_projection": similarity.sim_random_projection,
         "sim_rp_distortion": similarity.sim_rp_distortion,
+        # event-analytics trio (r9c, queries/timeseries.py): integer-exact
+        # median/MAD outliers, CUSUM drift scan, basket co-occurrence
+        "q_outlier_mad": timeseries.q_outlier_mad,
+        "q_cusum_changepoint": timeseries.q_cusum_changepoint,
+        "q_market_basket": timeseries.q_market_basket,
     }
 
 
@@ -359,4 +365,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(join_stream.ORACLE_SQL)
     out.update(index_stream.ORACLE_SQL)
     out.update(cdc_stream.ORACLE_SQL)
+    out.update(timeseries.ORACLE_SQL)
     return out

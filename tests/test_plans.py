@@ -209,6 +209,14 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "q_important_parts": 1,
     "q_top_supplier": 1,
     "q_idle_wealthy_customers": 1,
+    # event-analytics (r9c): 1-row totals crossed into the day/pair table
+    "q_cusum_changepoint": 1,
+    "q_market_basket": 1,
+    # JL projection (r9c): the constant 16x64 plane-matrix build is a
+    # range(16) x range(64) cross — same class as the LSH hyperplane table
+    "sim_random_projection": 1,
+    # plane build under both distance sides + the E[w^2] one-row cross
+    "sim_rp_distortion": 3,
 }
 
 

@@ -1,0 +1,50 @@
+"""Invariant tests for the event-analytics trio (queries/timeseries.py).
+
+The cross-engine value check lives in the full-registry oracle gate;
+these pin the *mathematical* invariants the oracle equality alone would
+not catch if both engines drifted together.
+"""
+
+from __future__ import annotations
+
+from zylyty_data_engineer_challenge_spark.queries import timeseries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cusum_telescopes_to_zero(spark):
+    # sum of (D*c_d - T) over all D days is D*T - D*T = 0, so the final
+    # cusum must be exactly 0 — any off-by-one in the window frame or a
+    # wrong total breaks this identity
+    rows = timeseries.q_cusum_changepoint(spark, SF_DIR).collect()
+    assert rows[-1]["cusum"] == 0
+    # the peak day(s) are flagged; at least one flag must fire
+    assert any(r["is_changepoint"] == 1 for r in rows)
+    # every flagged day's |cusum| reaches the threshold share of the peak
+    peak = max(abs(r["cusum"]) for r in rows)
+    for r in rows:
+        flagged = abs(r["cusum"]) * 100 >= peak * timeseries.CUSUM_FRAC_PCT
+        assert bool(r["is_changepoint"]) == flagged
+
+
+def test_outlier_mad_bounds(spark):
+    for r in timeseries.q_outlier_mad(spark, SF_DIR).collect():
+        assert 0 <= r["n_outliers"] <= r["n_events"]
+        assert r["mad_cents_x4"] >= 0
+        if r["mad_cents_x4"] > 0:
+            # strictly more than half the points sit within one MAD of the
+            # median (MAD is the median deviation), so > MAD_K MADs away
+            # can never be the majority
+            assert r["n_outliers"] * 2 < r["n_events"]
+
+
+def test_market_basket_support_bounds(spark):
+    rows = timeseries.q_market_basket(spark, SF_DIR).collect()
+    assert rows, "no co-occurring event-type pairs found"
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 1 <= r["support"] <= min(r["n_a"], r["n_b"])
+        assert max(r["n_a"], r["n_b"]) <= r["n_users"]
+        assert bool(r["positive_assoc"]) == (
+            r["support"] * r["n_users"] > r["n_a"] * r["n_b"]
+        )
