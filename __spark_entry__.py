@@ -336,6 +336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outlier_mad": timeseries.q_outlier_mad,
         "q_cusum_changepoint": timeseries.q_cusum_changepoint,
         "q_market_basket": timeseries.q_market_basket,
+        "q_event_transitions": timeseries.q_event_transitions,
+        # VERSION-AS-OF snapshot reads reconstructed from base + change
+        # log (r9c, warehouse.py) — the time-travel read-side contract
+        "q_time_travel": warehouse.q_time_travel,
     }
 
 

@@ -217,6 +217,9 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_random_projection": 1,
     # plane build under both distance sides + the E[w^2] one-row cross
     "sim_rp_distortion": 3,
+    # time travel (r9c): the constant 3-row version table broadcast under
+    # the non-equi (ts < cut) feed join and the base-side cross
+    "q_time_travel": 2,
 }
 
 

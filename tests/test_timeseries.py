@@ -48,3 +48,18 @@ def test_market_basket_support_bounds(spark):
         assert bool(r["positive_assoc"]) == (
             r["support"] * r["n_users"] > r["n_a"] * r["n_b"]
         )
+
+
+def test_time_travel_final_version_equals_cdc_apply(spark):
+    # v3's cut (2024-01-31) is past the last event, so the v3 snapshot
+    # must be EXACTLY the batch CDC merge: same alive-key count and the
+    # same key checksum — time travel at HEAD is just the merged table
+    from zylyty_data_engineer_challenge_spark.queries import warehouse
+
+    tt = {r["version"]: r for r in warehouse.q_time_travel(spark, SF_DIR).collect()}
+    cdc = warehouse.q_cdc_apply(spark, SF_DIR).collect()
+    assert tt["v3"]["n_alive"] == len(cdc)
+    assert tt["v3"]["key_checksum"] == sum(r["key"] for r in cdc)
+    # NOTE deliberately NO monotonicity assert on n_inserted/n_deleted:
+    # latest-change-wins state is not cumulative — a key deleted at v1
+    # and re-upserted before v2 counts deleted at v1 but alive at v2

@@ -257,3 +257,56 @@ ORACLE_SQL["q_market_basket"] = """
     CROSS JOIN n
     ORDER BY support DESC, type_a, type_b
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (the Markov-chain view of user
+    behavior): per user, events ordered by (ts, event_id); every adjacent
+    pair contributes one (prev_type, next_type) observation. Emits the
+    count matrix plus each row's most-likely next event as an integer
+    rank (rank 1 = argmax, count-desc then name-asc — no probability
+    ratio ever materializes).
+
+    Shape: ONE shuffle (the per-user window sort) feeds lag(), then a
+    map-side-combinable count aggregate over at most |types|^2 groups and
+    a window rank over that tiny matrix.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    rw = Window.partitionBy("prev_type").orderBy(
+        F.desc("n"), F.col("next_type")
+    )
+    return (
+        pairs.groupBy(
+            F.col("prev_type"), F.col("event_type").alias("next_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("next_rank", F.row_number().over(rw).cast("long"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE_SQL["q_event_transitions"] = """
+    WITH seq AS (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    matrix AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY prev_type
+                                   ORDER BY n DESC, next_type) AS BIGINT)
+               AS next_rank
+    FROM matrix
+    ORDER BY prev_type, next_type
+"""

@@ -889,3 +889,127 @@ ORACLE_SQL["q_jsonl_roundtrip"] = """
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
 """
+
+
+# time-travel version cuts over the 2024-01 change feed (events ts range)
+TT_VERSIONS = (("v1", "2024-01-10"), ("v2", "2024-01-20"), ("v3", "2024-01-31"))
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel without a transactional table format: the
+    customer dimension "as of" three versions, each version defined as
+    the base snapshot plus every change (events feed: key = user_id,
+    ``error`` = delete, anything else = upsert) with ``ts`` strictly
+    before the version's cut — the read side of what Delta/Iceberg call
+    VERSION AS OF, reconstructed from base + ordered change log.
+
+    Emits one row per version: how many keys are alive, how many of
+    those were inserted by the feed, how many base keys the feed
+    deleted, and an integer key checksum — so version monotonicity and
+    replay equivalence are both visible in-band.
+
+    Shape: the 3-row version table broadcast-joins (non-equi, ts < cut)
+    into the change feed — feed x versions, bounded by the version count
+    — then one window per (key, version) picks the latest change, and
+    the base side crosses the same 3-row table. A production reader
+    materializes ONE version (this query folds three into one plan to
+    make the snapshots comparable in a single result); the change-side
+    cost there is one bounded window, exactly q_cdc_apply's shape.
+    """
+    versions = spark.createDataFrame(
+        [(v, d) for v, d in TT_VERSIONS], "version string, cut_date string"
+    ).select("version", F.to_timestamp("cut_date").alias("cut"))
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("base_key")
+    )
+    ch = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("version", "user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ch.join(F.broadcast(versions), ch.ts < F.col("cut"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "version",
+            F.col("user_id").alias("feed_key"),
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+    )
+    base_v = base.crossJoin(F.broadcast(versions.select("version"))).select(
+        "version", F.col("base_key").alias("key"), F.lit(True).alias("in_base")
+    )
+    feed_v = latest.select(
+        "version", F.col("feed_key").alias("key"), "is_delete"
+    )
+    state = (
+        base_v.join(feed_v, ["version", "key"], "full_outer")
+        .withColumn("alive", ~F.coalesce("is_delete", F.lit(False)))
+        .withColumn("inserted", F.col("in_base").isNull() & F.col("alive"))
+        .withColumn(
+            "deleted",
+            F.coalesce("in_base", F.lit(False))
+            & F.coalesce("is_delete", F.lit(False)),
+        )
+    )
+    return (
+        state.groupBy("version")
+        .agg(
+            F.sum(F.when(F.col("alive"), 1).otherwise(0)).alias("n_alive"),
+            F.sum(F.when(F.col("inserted"), 1).otherwise(0)).alias("n_inserted"),
+            F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_deleted"),
+            F.sum(F.when(F.col("alive"), F.col("key")).otherwise(0)).alias(
+                "key_checksum"
+            ),
+        )
+        .orderBy("version")
+    )
+
+
+ORACLE_SQL["q_time_travel"] = """
+    WITH versions AS (
+        SELECT * FROM (VALUES ('v1', TIMESTAMP '2024-01-10'),
+                              ('v2', TIMESTAMP '2024-01-20'),
+                              ('v3', TIMESTAMP '2024-01-31'))
+            AS t(version, cut)
+    ),
+    latest AS (
+        SELECT version, user_id AS key,
+               (event_type = 'error') AS is_delete
+        FROM (
+            SELECT v.version, e.user_id, e.event_type,
+                   ROW_NUMBER() OVER (PARTITION BY v.version, e.user_id
+                                      ORDER BY e.ts DESC, e.event_id DESC)
+                       AS rn
+            FROM events e JOIN versions v ON e.ts < v.cut
+        ) WHERE rn = 1
+    ),
+    base_v AS (
+        SELECT v.version, c.c_custkey AS key, TRUE AS in_base
+        FROM customer c CROSS JOIN versions v
+    ),
+    state AS (
+        SELECT COALESCE(b.version, f.version) AS version,
+               COALESCE(b.key, f.key) AS key,
+               NOT COALESCE(f.is_delete, FALSE) AS alive,
+               (b.in_base IS NULL AND NOT COALESCE(f.is_delete, FALSE))
+                   AS inserted,
+               (COALESCE(b.in_base, FALSE) AND COALESCE(f.is_delete, FALSE))
+                   AS deleted
+        FROM base_v b
+        FULL OUTER JOIN latest f ON b.version = f.version AND b.key = f.key
+    )
+    SELECT version,
+           CAST(SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS BIGINT) AS n_alive,
+           CAST(SUM(CASE WHEN inserted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+           CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+           CAST(SUM(CASE WHEN alive THEN key ELSE 0 END) AS BIGINT)
+               AS key_checksum
+    FROM state
+    GROUP BY version
+    ORDER BY version
+"""
