@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERSION-AS-OF snapshot reads reconstructed from base + change
         # log (r9c, warehouse.py) — the time-travel read-side contract
         "q_time_travel": warehouse.q_time_travel,
+        # link prediction over the near-dup graph (r9c, graph.py):
+        # integer neighborhood-Jaccard on non-adjacent wedge pairs
+        "graph_neighbor_jaccard": graph.graph_neighbor_jaccard,
     }
 
 

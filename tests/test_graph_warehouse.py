@@ -159,3 +159,23 @@ def test_cdc_apply_actions_partition_keyspace(spark):
     assert all(r["last_event_id"] is None for r in by_action.get("keep", []))
     assert all(r["last_event_id"] is not None for r in by_action.get("update", []))
     assert all(r["last_event_id"] is not None for r in by_action.get("insert", []))
+
+
+def test_neighbor_jaccard_invariants(spark):
+    # every emitted pair is non-adjacent, shares >= NJ_MIN_COMMON
+    # neighbors, and n_union respects inclusion-exclusion bounds
+    from zylyty_data_engineer_challenge_spark.operators import dedup, graph
+
+    sf = "/root/testdata/sf0.001"
+    rows = graph.graph_neighbor_jaccard(spark, sf).collect()
+    assert rows, "name graph produced no open wedges"
+    edges = {
+        (r["n1"], r["n2"])
+        for r in dedup.dedup_edit_distance(spark, sf).collect()
+    }
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert (r["a"], r["b"]) not in edges
+        assert r["n_common"] >= graph.NJ_MIN_COMMON
+        # Jaccard <= 1: intersection can never exceed union
+        assert r["n_common"] <= r["n_union"]

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..oracle_utils import strip_order_by as _strip_order_by
 from .dedup import ORACLE_SQL as _DEDUP_ORACLE
-from .dedup import minhash_pairs_cached
+from .dedup import dedup_edit_distance, minhash_pairs_cached
 
 MAX_CC_ROUNDS = 20  # safety bound; convergence is checked every round
 
@@ -955,3 +955,108 @@ def _bfs_oracle() -> str:
 
 
 ORACLE_SQL["graph_bfs"] = _bfs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: neighborhood Jaccard over non-adjacent node pairs
+# ---------------------------------------------------------------------------
+
+# only emit candidates sharing at least this many neighbors
+NJ_MIN_COMMON = 1
+
+
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the entity-resolution NAME graph: for every
+    NON-adjacent name pair sharing >= ``NJ_MIN_COMMON`` neighbors, the
+    Jaccard of their neighborhoods as exact integers — ``n_common`` and
+    ``n_union`` (never a float ratio; rank by cross-multiplication).
+    These are the "variants of the same entity that banded Levenshtein
+    never matched directly, but that share matched variants" edges a
+    resolution pipeline reviews or auto-closes — open wedges exist here
+    because edit-distance graphs form CHAINS (abc—abd—xbd with the ends
+    at distance 2), unlike the MinHash text graph whose components are
+    cliques by construction (every member shares the duplicated content,
+    so all wedges close and this query would be vacuously empty there).
+
+    Algorithm: symmetrize the Levenshtein pair list
+    (:func:`..operators.dedup.dedup_edit_distance`), self-join on the
+    shared neighbor (the wedge join — same shape and same
+    degree-boundedness argument as :func:`graph_triangles`), count per
+    candidate pair, anti join out pairs that are already edges, and
+    derive the union size by inclusion-exclusion from broadcast degree
+    counts: |N(a) ∪ N(b)| = deg(a) + deg(b) - n_common (a, b
+    non-adjacent, so neither occurs in the other's neighborhood).
+
+    Scale: wedge volume is Σ_v deg(v)² over shared neighbors — the
+    dictionary-first projection bounds v's degree by the name-variant
+    fan-out; on a general skewed graph the production form caps or
+    degree-orients the wedge fan-out exactly as triangle_counts does.
+    """
+    pairs = dedup_edit_distance(spark, sf_dir).select(
+        F.col("n1").alias("d1"), F.col("n2").alias("d2")
+    )
+    adj = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    deg = adj.groupBy(F.col("d1").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    a1 = adj.select(F.col("d2").alias("via"), F.col("d1").alias("a"))
+    a2 = adj.select(F.col("d2").alias("via"), F.col("d1").alias("b"))
+    cand = (
+        a1.join(a2, "via")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= NJ_MIN_COMMON)
+        .join(
+            pairs,
+            (F.col("a") == F.col("d1")) & (F.col("b") == F.col("d2")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(deg.withColumnsRenamed({"node": "a", "deg": "deg_a"})), "a")
+        .join(F.broadcast(deg.withColumnsRenamed({"node": "b", "deg": "deg_b"})), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).alias(
+                "n_union"
+            ),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def _nj_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT n1 AS d1, n2 AS d2
+        FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_edit_distance"])})
+    ),
+    adj AS (
+        SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    deg AS (SELECT d1 AS node, COUNT(*) AS deg FROM adj GROUP BY 1),
+    cand AS (
+        SELECT x.d1 AS a, y.d1 AS b, COUNT(*) AS n_common
+        FROM adj x JOIN adj y ON x.d2 = y.d2 AND x.d1 < y.d1
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {NJ_MIN_COMMON}
+    )
+    SELECT c.a, c.b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(da.deg + db.deg - c.n_common AS BIGINT) AS n_union
+    FROM cand c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p WHERE p.d1 = c.a AND p.d2 = c.b
+    )
+    ORDER BY a, b
+    """
+
+
+ORACLE_SQL["graph_neighbor_jaccard"] = _nj_oracle()
