@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link prediction over the near-dup graph (r9c, graph.py):
         # integer neighborhood-Jaccard on non-adjacent wedge pairs
         "graph_neighbor_jaccard": graph.graph_neighbor_jaccard,
+        # round-robin shard manifests over the packed sequences with an
+        # exact in-band balance certificate (r9c, curate.py)
+        "curate_shard_assign": curate.curate_shard_assign,
     }
 
 

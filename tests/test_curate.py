@@ -169,3 +169,21 @@ def test_ann_index_build_is_idempotent(spark, tmp_path):
         assert tree() == before, "re-build must not rewrite the index"
     finally:
         spark.conf.unset("spark.zylyty.annIndexDir")
+
+
+def test_shard_assign_exact_balance(spark):
+    # round-robin assignment: per-shard sequence counts differ by at most
+    # one, every shard is populated, and totals reconcile with the packer
+    from zylyty_data_engineer_challenge_spark.operators import curate
+
+    sf = "/root/testdata/sf0.001"
+    rows = curate.curate_shard_assign(spark, sf).collect()
+    assert len(rows) == curate.N_SHARDS
+    counts = [r["n_seqs"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert all(r["is_balanced"] == 1 for r in rows)
+    packed = curate.text_pack_sequences(spark, sf).collect()
+    assert sum(r["n_docs"] for r in rows) == len(packed)
+    assert sum(r["total_tokens"] for r in rows) == sum(
+        p["n_tokens"] for p in packed
+    )

@@ -892,3 +892,91 @@ def _curate_all_oracle() -> str:
 
 
 ORACLE_SQL["pipeline_curate_all"] = _curate_all_oracle()
+
+
+# data-loader shards the packed sequences are distributed over
+N_SHARDS = 8
+
+
+def curate_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifests: every packed sequence (from
+    :func:`text_pack_sequences`'s (lang, seq_id) layout) is assigned to
+    one of ``N_SHARDS`` data-loader shards round-robin by the sequence's
+    global dense rank, and the manifest is emitted per shard — sequence
+    count, document count, token total, and an in-band EXACT balance
+    certificate (round-robin makes per-shard sequence counts differ by
+    at most 1; ``is_balanced`` states it from the data).
+
+    Round-robin over the rank, not hash-mod: hash assignment is
+    multinomially uneven (the slowest shard gates the training step), and
+    the rank is computed on the SEQUENCE manifest — corpus/budget rows,
+    metadata-sized at any corpus scale — not on documents, so the
+    single-partition rank window is deliberate (same argument as the
+    CUSUM day table). Documents then join their shard through the
+    broadcast seq→shard map and aggregate per shard.
+    """
+    packed = text_pack_sequences(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "seq_id"
+    )
+    seqs = packed.select("lang", "seq_id").distinct()
+    rw = Window.orderBy("lang", "seq_id")
+    seq_shard = seqs.withColumn(
+        "shard", (F.dense_rank().over(rw) % N_SHARDS).cast("long")
+    )
+    per_shard = (
+        packed.join(F.broadcast(seq_shard), ["lang", "seq_id"])
+        .groupBy("shard")
+        .agg(
+            F.count_distinct("lang", "seq_id").alias("n_seqs"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_shard.withColumn(
+            "is_balanced",
+            (
+                F.max("n_seqs").over(wall) - F.min("n_seqs").over(wall) <= 1
+            ).cast("long"),
+        )
+        .select("shard", "n_seqs", "n_docs", "total_tokens", "is_balanced")
+        .orderBy("shard")
+    )
+
+
+def _shard_assign_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip_order_by
+
+    packed = _strip_order_by(ORACLE_SQL["text_pack_sequences"])
+    return f"""
+    WITH packed AS ({packed}),
+    seqs AS (SELECT DISTINCT lang, seq_id FROM packed),
+    seq_shard AS (
+        SELECT lang, seq_id,
+               (DENSE_RANK() OVER (ORDER BY lang, seq_id)) % {N_SHARDS}
+                   AS shard
+        FROM seqs
+    ),
+    per_shard AS (
+        SELECT s.shard,
+               COUNT(DISTINCT (p.lang, p.seq_id)) AS n_seqs,
+               COUNT(*) AS n_docs,
+               SUM(p.n_tokens) AS total_tokens
+        FROM packed p JOIN seq_shard s USING (lang, seq_id)
+        GROUP BY 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_seqs AS BIGINT) AS n_seqs,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(CASE WHEN MAX(n_seqs) OVER () - MIN(n_seqs) OVER () <= 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_balanced
+    FROM per_shard
+    ORDER BY shard
+    """
+
+
+ORACLE_SQL["curate_shard_assign"] = _shard_assign_oracle()
