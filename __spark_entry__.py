@@ -346,6 +346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-robin shard manifests over the packed sequences with an
         # exact in-band balance certificate (r9c, curate.py)
         "curate_shard_assign": curate.curate_shard_assign,
+        # additive-sketch streaming law (r9c, sketch_stream.py): CMS
+        # counters SUM-merged in state == batch sketch, probed top-k
+        "stream_cms_topk": sketch_stream.stream_cms_topk,
     }
 
 

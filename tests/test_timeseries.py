@@ -63,3 +63,14 @@ def test_time_travel_final_version_equals_cdc_apply(spark):
     # NOTE deliberately NO monotonicity assert on n_inserted/n_deleted:
     # latest-change-wins state is not cumulative — a key deleted at v1
     # and re-upserted before v2 counts deleted at v1 but alive at v2
+
+
+def test_stream_cms_one_sided_error(spark):
+    # count-min estimates are never below the exact count (collisions
+    # only inflate), and the top-1 user's estimate is present
+    from zylyty_data_engineer_challenge_spark.streaming import sketch_stream
+
+    rows = sketch_stream.stream_cms_topk(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"]

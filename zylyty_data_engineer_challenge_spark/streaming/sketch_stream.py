@@ -90,3 +90,114 @@ ORACLE_SQL = {
         ORDER BY bucket
     """,
 }
+
+
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained incrementally over the event stream —
+    the SUM-merge counterpart of :func:`stream_hll_registers`'s MAX law:
+    counter sketches are additive, so cell-wise summation in streaming
+    state (micro-batch by micro-batch) equals the one-pass batch sketch
+    exactly. Each event explodes into its CMS_D (row, bucket) cells
+    inside the stream (a constant 3-way fan-out, JVM-side), the complete
+    mode aggregate keeps at most CMS_D x CMS_W counter rows in the state
+    store regardless of stream volume, and the final probe — exact top-k
+    user_ids against the min over the sketch's rows — runs batch-side on
+    the materialized counters.
+
+    The oracle computes the identical sketch + probe from the batch
+    table, so hash equality proves stream-of-batches ≡ one batch for the
+    additive sketch family too (HLL covered the idempotent-max family).
+    """
+    from ..catalog import load_table
+    from ..operators.sketches import CMS_D, CMS_TOPK, CMS_W
+
+    sink = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    cells = (
+        _stream_events(spark, sf_dir)
+        .select(F.col("user_id").cast("string").alias("token"))
+        .select(
+            "token",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(CMS_D - 1)).cast("array<bigint>")
+            ).alias("r"),
+        )
+        .select(
+            "r",
+            F.expr(
+                "CAST(conv(substr(md5(concat(r, '#', token)), 1, 15), 16, 10)"
+                f" AS BIGINT) % {CMS_W}"
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("bn"))
+    )
+    with _stream_conf(spark):
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sketch = spark.table(sink)
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(CMS_TOPK)
+    rows = spark.range(CMS_D).select(F.col("id").alias("r"))
+    return (
+        top.crossJoin(F.broadcast(rows))
+        .select(
+            "token",
+            "n",
+            "r",
+            F.expr(
+                "CAST(conv(substr(md5(concat(r, '#', token)), 1, 15), 16, 10)"
+                f" AS BIGINT) % {CMS_W}"
+            ).alias("b"),
+        )
+        .join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("token", "n")
+        .agg(F.min("bn").alias("cms_n"))
+        .select(
+            F.col("token").alias("user_id"),
+            F.col("n").alias("exact_n"),
+            "cms_n",
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+    )
+
+
+def _cms_stream_oracle() -> str:
+    from ..operators.sketches import CMS_D, CMS_TOPK, CMS_W
+
+    bucket = "('0x' || substr(md5(r || '#' || token), 1, 15))::BIGINT % {w}"
+    return f"""
+    WITH toks AS (SELECT CAST(user_id AS VARCHAR) AS token FROM events),
+    counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    hrows AS (SELECT r FROM range({CMS_D}) t(r)),
+    sketch AS (
+        SELECT r, {bucket.format(w=CMS_W)} AS b,
+               CAST(SUM(n) AS BIGINT) AS bn
+        FROM counts CROSS JOIN hrows
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT {CMS_TOPK}
+    )
+    SELECT t.token AS user_id, t.n AS exact_n, MIN(s.bn) AS cms_n
+    FROM top t
+    CROSS JOIN hrows h
+    JOIN sketch s ON s.r = h.r
+        AND s.b = ('0x' || substr(md5(h.r || '#' || t.token), 1, 15))::BIGINT
+                      % {CMS_W}
+    GROUP BY 1, 2
+    ORDER BY exact_n DESC, user_id ASC
+    """
+
+
+ORACLE_SQL["stream_cms_topk"] = _cms_stream_oracle()
