@@ -142,6 +142,14 @@ def headline_queries() -> dict:
         "q_table_profile",
         "q_orc_roundtrip",
         "q_jsonl_roundtrip",
+        # event analytics + warehouse depth (r9c)
+        "q_outlier_mad",
+        "q_cusum_changepoint",
+        "q_market_basket",
+        "q_event_transitions",
+        "q_time_travel",
+        "graph_neighbor_jaccard",
+        "graph_bfs",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_", "curate_")

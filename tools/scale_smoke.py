@@ -14,6 +14,8 @@ Corpus construction (written once to .scale/x10/, gitignored):
   replicas = genuine duplicate clusters for the cosine kernel).
 
 Usage: python tools/scale_smoke.py [--rebuild]
+Usage: python tools/scale_smoke.py [--rebuild] [query ...]
+(positional names run just that subset instead of the full HEAVY list)
 Prints one JSON line: {"sf10_wall": {query: sec, ...}, "n_rows": {...}}.
 """
 
@@ -107,6 +109,22 @@ HEAVY = [
     "graph_communities",
     # r9b: scene-cut detection — map-only payload walk, zero shuffles
     "mm_scene_cuts",
+    # r9c: TPC-H Q9 (the heaviest of the new shapes: 5-table star with
+    # two fact-sized joins) and Q18 (single-scan HAVING aggregate)
+    "q_product_profit",
+    "q_large_volume_customers",
+    # r9c: blocklist BFS (frontier joins over the warm pair cache)
+    "graph_bfs",
+    # r9c event analytics: three aggregate passes + broadcast stats
+    # (outlier_mad), per-user ordered window (event_transitions),
+    # distinct-projection self-join (market_basket)
+    "q_outlier_mad",
+    "q_event_transitions",
+    "q_market_basket",
+    # r9c: versioned snapshot reconstruction (feed x 3 versions window)
+    "q_time_travel",
+    # r9c: pack -> rank -> shard manifests (metadata-sized rank window)
+    "curate_shard_assign",
 ]
 
 
@@ -246,8 +264,9 @@ def main() -> int:
     rows = {}
     for t in ("lineitem", "documents", "events", "embeddings"):
         rows[t] = spark.read.parquet(str(OUT / f"{t}.parquet")).count()
+    subset = [a for a in sys.argv[1:] if not a.startswith("--")]
     timings = {}
-    for name in HEAVY:
+    for name in subset or HEAVY:
         t0 = time.time()
         queries[name](spark, str(OUT)).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 2)
