@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additive-sketch streaming law (r9c, sketch_stream.py): CMS
         # counters SUM-merged in state == batch sketch, probed top-k
         "stream_cms_topk": sketch_stream.stream_cms_topk,
+        # bottom-k source-vocabulary Jaccard next to the exact yardstick
+        # (r9c, sketches.py) — corpus-pair similarity from constant state
+        "sketch_vocab_jaccard": sketches.sketch_vocab_jaccard,
     }
 
 

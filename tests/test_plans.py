@@ -220,6 +220,10 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # time travel (r9c): the constant 3-row version table broadcast under
     # the non-equi (ts < cut) feed join and the base-side cross
     "q_time_travel": 2,
+    # vocab Jaccard (r9c): the |sources|-row size table crossed into the
+    # pair grid (sa < sb) — printed under the pair builder and both
+    # signature-join consumers
+    "sketch_vocab_jaccard": 3,
 }
 
 

@@ -74,3 +74,21 @@ def test_stream_cms_one_sided_error(spark):
     assert rows
     for r in rows:
         assert r["cms_n"] >= r["exact_n"]
+
+
+def test_vocab_jaccard_kmv_membership_exactness(spark):
+    # the KMV agreement count can never exceed what the exact
+    # intersection allows within k_eff rows, and k_eff is capped at VJ_K;
+    # identical-vocabulary pairs (if any) must estimate exactly
+    from zylyty_data_engineer_challenge_spark.operators import sketches
+
+    rows = sketches.sketch_vocab_jaccard(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["k_eff"] <= sketches.VJ_K
+        assert 0 <= r["kmv_inter"] <= r["k_eff"]
+        assert r["kmv_inter"] <= r["exact_inter"] or r["exact_inter"] == 0
+        assert r["exact_inter"] <= r["exact_union"]
+        if r["exact_inter"] == r["exact_union"]:
+            # identical sets: every sampled hash is in both
+            assert r["kmv_inter"] == r["k_eff"]

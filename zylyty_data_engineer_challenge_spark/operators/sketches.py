@@ -974,3 +974,174 @@ def _quantile_err_oracle() -> str:
 
 
 ORACLE_SQL["sketch_quantile_err"] = _quantile_err_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) Jaccard between source vocabularies
+# ---------------------------------------------------------------------------
+
+VJ_K = 32  # bottom-k signature size per source
+
+
+def sketch_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary similarity across document sources: for every
+    source pair, the EXACT token-set intersection/union sizes next to the
+    bottom-k (KMV) Jaccard estimator's agreement count — the "how
+    lexically similar are these two crawls" question answered from
+    constant per-source state.
+
+    Estimator: keep each source's ``VJ_K`` smallest 60-bit token hashes.
+    The k smallest hashes of A ∪ B are a subset of bottomk(A) ∪
+    bottomk(B), and any of them that belongs to A necessarily sits in
+    bottomk(A) (fewer than k union hashes are smaller, so in particular
+    fewer than k of A's) — so membership tests against the two
+    signatures are EXACT, and ``y = |bottomk(A∪B) ∩ A ∩ B|`` comes out
+    as an integer with no rescan of the corpus. Jaccard ≈ y / k_eff is
+    left as the two integers (y, k_eff); no float ever materializes.
+
+    Scale: the full (source, token) distinct projection feeds BOTH the
+    exact side (one token-keyed self-join — the yardstick; at a million
+    sources you would drop it and keep only the signatures) and the
+    per-source signature build (one window shuffle); the pair stage then
+    touches only |sources| x VJ_K signature rows — constant per source,
+    the whole point of KMV.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.split("text", r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("vocab"))
+    pairs = (
+        sizes.select(F.col("source").alias("sa"), F.col("vocab").alias("va"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("sb"), F.col("vocab").alias("vb")
+                )
+            )
+        )
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    a = st.select(F.col("source").alias("sa"), "token")
+    b = st.select(F.col("source").alias("sb"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    h = F.expr(
+        "CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"
+    ).alias("h")
+    sw = Window.partitionBy("source").orderBy("h", "token")
+    bk = (
+        st.select("source", "token", h)
+        .withColumn("rk", F.row_number().over(sw))
+        .filter(F.col("rk") <= VJ_K)
+        .select("source", "token", "h")
+    )
+    cand = (
+        pairs.select("sa", "sb")
+        .join(F.broadcast(bk), F.col("source") == F.col("sa"))
+        .select("sa", "sb", "token", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(
+            pairs.select("sa", "sb")
+            .join(F.broadcast(bk), F.col("source") == F.col("sb"))
+            .select("sa", "sb", "token", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("sa", "sb", "token", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    pw = Window.partitionBy("sa", "sb").orderBy("h", "token")
+    topk = cand.withColumn("rk", F.row_number().over(pw)).filter(
+        F.col("rk") <= VJ_K
+    )
+    est = topk.groupBy("sa", "sb").agg(
+        F.count("*").alias("k_eff"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("kmv_inter"),
+    )
+    return (
+        pairs.join(inter, ["sa", "sb"], "left")
+        .join(est, ["sa", "sb"])
+        .select(
+            "sa",
+            "sb",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            (F.col("va") + F.col("vb") - F.coalesce("exact_inter", F.lit(0))).alias(
+                "exact_union"
+            ),
+            "k_eff",
+            "kmv_inter",
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+ORACLE_SQL["sketch_vocab_jaccard"] = f"""
+    WITH st AS (
+        SELECT DISTINCT source,
+               unnest(regexp_split_to_array(text, '\\s+')) AS token
+        FROM documents
+    ),
+    st2 AS (SELECT source, token FROM st WHERE token <> ''),
+    sizes AS (SELECT source, COUNT(*) AS vocab FROM st2 GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS sa, a.vocab AS va, b.source AS sb, b.vocab AS vb
+        FROM sizes a JOIN sizes b ON a.source < b.source
+    ),
+    inter AS (
+        SELECT a.source AS sa, b.source AS sb, COUNT(*) AS exact_inter
+        FROM st2 a JOIN st2 b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    bk AS (
+        SELECT source, token, h FROM (
+            SELECT source, token,
+                   ('0x' || substr(md5(token), 1, 15))::BIGINT AS h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(token), 1, 15))::BIGINT,
+                                token
+                   ) AS rk
+            FROM st2
+        ) WHERE rk <= {VJ_K}
+    ),
+    cand AS (
+        SELECT sa, sb, token, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM (
+            SELECT p.sa, p.sb, k.token, k.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN bk k ON k.source = p.sa
+            UNION ALL
+            SELECT p.sa, p.sb, k.token, k.h, 0, 1
+            FROM pairs p JOIN bk k ON k.source = p.sb
+        )
+        GROUP BY 1, 2, 3, 4
+    ),
+    topk AS (
+        SELECT sa, sb, in_a, in_b FROM (
+            SELECT sa, sb, in_a, in_b,
+                   ROW_NUMBER() OVER (PARTITION BY sa, sb
+                                      ORDER BY h, token) AS rk
+            FROM cand
+        ) WHERE rk <= {VJ_K}
+    ),
+    est AS (
+        SELECT sa, sb, COUNT(*) AS k_eff,
+               SUM(in_a * in_b) AS kmv_inter
+        FROM topk GROUP BY 1, 2
+    )
+    SELECT p.sa, p.sb,
+           CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(p.va + p.vb - COALESCE(i.exact_inter, 0) AS BIGINT)
+               AS exact_union,
+           CAST(e.k_eff AS BIGINT) AS k_eff,
+           CAST(e.kmv_inter AS BIGINT) AS kmv_inter
+    FROM pairs p
+    LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    JOIN est e ON e.sa = p.sa AND e.sb = p.sb
+    ORDER BY p.sa, p.sb
+"""
