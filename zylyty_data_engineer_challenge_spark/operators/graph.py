@@ -995,6 +995,16 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_edit_distance(spark, sf_dir).select(
         F.col("n1").alias("d1"), F.col("n2").alias("d2")
     )
+    return neighbor_jaccard_pairs(pairs).orderBy("a", "b")
+
+
+def neighbor_jaccard_pairs(
+    pairs: DataFrame, min_common: int = NJ_MIN_COMMON
+) -> DataFrame:
+    """Kernel: (d1, d2) id-oriented edge list (d1 < d2, each undirected
+    edge once) -> (a, b, n_common, n_union) for every non-adjacent pair
+    sharing >= ``min_common`` neighbors. Pure DataFrame-in/out so the
+    property suite can drive it with arbitrary graphs."""
     adj = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     )
@@ -1008,7 +1018,7 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= NJ_MIN_COMMON)
+        .filter(F.col("n_common") >= min_common)
         .join(
             pairs,
             (F.col("a") == F.col("d1")) & (F.col("b") == F.col("d2")),
@@ -1026,7 +1036,6 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_union"
             ),
         )
-        .orderBy("a", "b")
     )
 
 

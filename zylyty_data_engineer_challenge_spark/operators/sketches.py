@@ -1014,6 +1014,14 @@ def sketch_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .distinct()
     )
+    return kmv_pair_estimates(st).orderBy("sa", "sb")
+
+
+def kmv_pair_estimates(st: DataFrame, k: int = VJ_K) -> DataFrame:
+    """Kernel: DISTINCT (source, token) set-membership table -> per
+    source pair (sa < sb) the exact intersection/union sizes and the
+    bottom-k estimator's integer agreement count. Pure DataFrame-in/out
+    so the property suite can drive it with arbitrary set families."""
     sizes = st.groupBy("source").agg(F.count("*").alias("vocab"))
     pairs = (
         sizes.select(F.col("source").alias("sa"), F.col("vocab").alias("va"))
@@ -1041,7 +1049,7 @@ def sketch_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bk = (
         st.select("source", "token", h)
         .withColumn("rk", F.row_number().over(sw))
-        .filter(F.col("rk") <= VJ_K)
+        .filter(F.col("rk") <= k)
         .select("source", "token", "h")
     )
     cand = (
@@ -1058,7 +1066,7 @@ def sketch_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pw = Window.partitionBy("sa", "sb").orderBy("h", "token")
     topk = cand.withColumn("rk", F.row_number().over(pw)).filter(
-        F.col("rk") <= VJ_K
+        F.col("rk") <= k
     )
     est = topk.groupBy("sa", "sb").agg(
         F.count("*").alias("k_eff"),
@@ -1077,7 +1085,6 @@ def sketch_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_eff",
             "kmv_inter",
         )
-        .orderBy("sa", "sb")
     )
 
 

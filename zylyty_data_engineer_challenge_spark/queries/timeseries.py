@@ -134,6 +134,24 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.count("*").alias("c"))
     )
+    return (
+        cusum_scan(daily)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("n_events"),
+            "cusum",
+            "is_changepoint",
+        )
+        .orderBy("day")
+    )
+
+
+def cusum_scan(daily: DataFrame) -> DataFrame:
+    """CUSUM kernel over a (d, c) per-bucket count table: adds the
+    integer ``cusum`` (running sum of D*c - T deviations) and the
+    ``is_changepoint`` flag (|cusum| reaches CUSUM_FRAC_PCT% of the
+    peak, cross-multiplied). Pure DataFrame-in/DataFrame-out so the
+    property suite can drive it with arbitrary count series."""
     totals = daily.agg(
         F.count("*").alias("n_days"), F.sum("c").alias("n_total")
     )
@@ -147,8 +165,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cusum", F.sum("dev").over(w))
         .withColumn("peak", F.max(F.abs(F.col("cusum"))).over(wall))
         .select(
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.col("c").alias("n_events"),
+            "d",
+            "c",
             "cusum",
             F.when(
                 F.abs(F.col("cusum")) * 100 >= F.col("peak") * CUSUM_FRAC_PCT, 1
@@ -157,7 +175,6 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("is_changepoint"),
         )
-        .orderBy("day")
     )
 
 
@@ -200,6 +217,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .distinct()
     )
+    return basket_pairs(ut).orderBy(F.desc("support"), "type_a", "type_b")
+
+
+def basket_pairs(ut: DataFrame) -> DataFrame:
+    """Co-occurrence kernel over a DISTINCT (user_id, event_type)
+    projection: (type_a, type_b, support, n_a, n_b, n_users,
+    positive_assoc) for every a < b pair. Pure DataFrame-in/out so the
+    property suite can drive it with arbitrary basket sets."""
     n_users = ut.agg(F.count_distinct("user_id").alias("n_users"))
     marg = ut.groupBy("event_type").agg(F.count("*").alias("n_type"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
@@ -232,7 +257,6 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("positive_assoc"),
         )
-        .orderBy(F.desc("support"), "type_a", "type_b")
     )
 
 
