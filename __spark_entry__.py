@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bottom-k source-vocabulary Jaccard next to the exact yardstick
         # (r9c, sketches.py) — corpus-pair similarity from constant state
         "sketch_vocab_jaccard": sketches.sketch_vocab_jaccard,
+        # join-key skew diagnostics feeding the salting/AQE decisions
+        # (r9c, warehouse.py)
+        "q_skew_profile": warehouse.q_skew_profile,
     }
 
 

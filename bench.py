@@ -150,6 +150,7 @@ def headline_queries() -> dict:
         "q_time_travel",
         "graph_neighbor_jaccard",
         "graph_bfs",
+        "q_skew_profile",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_", "curate_")

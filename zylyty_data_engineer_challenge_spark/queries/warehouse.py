@@ -1013,3 +1013,91 @@ ORACLE_SQL["q_time_travel"] = """
     GROUP BY version
     ORDER BY version
 """
+
+
+# join keys the engine's own operators shuffle on — the skew watchlist
+SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("documents", "source"),
+)
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for every key the engine shuffles on —
+    the profile you read BEFORE choosing a mitigation (broadcast, AQE
+    skew split, or the manual salting of q_salted_join/q_salted_agg):
+    per (table, key): distinct keys, total rows, the heaviest key's row
+    count, the exact median per-key count (x2-scaled integer, same
+    trick as q_outlier_mad), and the division-free hot-key ratio flag
+    ``max_count * 10 > total`` (one key holding >10% of the rows is a
+    skew-split candidate).
+
+    Shape: one map-side-combinable count per (table, key), then one
+    tiny aggregate over the per-key counts; the four profiles union
+    into a single result. At 100 TB each profile is exactly the
+    pre-shuffle statistics pass AQE's runtime stats would gather —
+    materialized as a queryable table.
+    """
+    profiles = []
+    for table, key in SKEW_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count("*").alias("c"))
+        )
+        profiles.append(
+            counts.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("key_name"),
+                F.count("*").alias("n_keys"),
+                F.sum("c").alias("n_rows"),
+                F.max("c").alias("max_count"),
+                F.expr("CAST(2 * percentile(c, 0.5) AS BIGINT)").alias(
+                    "med_count_x2"
+                ),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "table_name",
+        "key_name",
+        "n_keys",
+        "n_rows",
+        "max_count",
+        "med_count_x2",
+        F.when(F.col("max_count") * 10 > F.col("n_rows"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("hot_key_flag"),
+    ).orderBy("table_name", "key_name")
+
+
+def _skew_profile_oracle() -> str:
+    parts = []
+    for table, key in SKEW_KEYS:
+        parts.append(f"""
+        SELECT '{table}' AS table_name, '{key}' AS key_name,
+               COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS max_count,
+               CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med_count_x2
+        FROM (SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS c
+              FROM {table} GROUP BY 1)
+        """)
+    union = " UNION ALL ".join(parts)
+    return f"""
+    SELECT table_name, key_name,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_count AS BIGINT) AS max_count,
+           med_count_x2,
+           CAST(CASE WHEN max_count * 10 > n_rows THEN 1 ELSE 0 END
+                AS BIGINT) AS hot_key_flag
+    FROM ({union})
+    ORDER BY table_name, key_name
+    """
+
+
+ORACLE_SQL["q_skew_profile"] = _skew_profile_oracle()
