@@ -90,9 +90,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round's behavior change (four signals, per-modality pair
     caches). The r6-green relational block (q_sessionize ..
     q_local_supplier_volume) parks at 51+ and rotates back in r10.
-    Every registered query is verified locally every round by
-    tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
-    regardless of grading position.
+    The round-9c continuation (the 17-query TPC-H completion,
+    stream_cdc_apply, graph_bfs, text_quality_classifier, the JL
+    projection pair, the event-analytics trio + q_event_transitions,
+    q_time_travel, graph_neighbor_jaccard, curate_shard_assign,
+    stream_cms_topk, sketch_vocab_jaccard, q_skew_profile) landed after
+    this window was frozen and parks at position 51+ — each passed the
+    full three-scale local differential (COVERAGE.md) and is first in
+    line for the r10 window. Every registered query is verified locally
+    every round by tools/oracle_check.py (and the
+    tests/test_oracle_gate.py suite gate) regardless of grading
+    position.
     """
     return {
         # --- graded window (first 50) ---
