@@ -412,3 +412,48 @@ def test_orc_roundtrip_pushes_filter_into_orc_scan(spark, tmp_path):
     # carrying the predicate belongs to it
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("l_quantity" in p for p in pushed), plan
+
+
+def test_outlier_mad_broadcast_stats_and_pruned_scan(spark):
+    # the two per-type stat tables broadcast back onto the fact (never a
+    # sort-merge on event_type), and the events scan reads only the two
+    # columns the query touches
+    from zylyty_data_engineer_challenge_spark.queries import timeseries
+
+    df = timeseries.q_outlier_mad(spark, SF_DIR)
+    phys = physical_plan(df)
+    assert count_nodes(phys, "BroadcastHashJoin") >= 2, phys
+    assert count_nodes(phys, "SortMergeJoin") == 0
+    fmt = formatted_plan(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fmt)
+    assert schemas and all(
+        set(s.split(",")) <= {"event_type:string", "value:double"}
+        for s in schemas
+    ), schemas
+
+
+def test_market_basket_hash_join_and_broadcast_marginals(spark):
+    # the distinct-projection self-join is a hash join on user_id; the
+    # tiny marginal and total tables broadcast
+    from zylyty_data_engineer_challenge_spark.queries import timeseries
+
+    phys = physical_plan(timeseries.q_market_basket(spark, SF_DIR))
+    assert (
+        count_nodes(phys, "BroadcastHashJoin")
+        + count_nodes(phys, "ShuffledHashJoin")
+        + count_nodes(phys, "SortMergeJoin")
+    ) >= 3, phys
+    assert count_nodes(phys, "BroadcastHashJoin") >= 2, phys
+
+
+def test_skew_profile_scans_prune_to_key_column(spark):
+    # each watched table is scanned exactly once, reading only its key
+    from zylyty_data_engineer_challenge_spark.queries import warehouse as wh
+
+    fmt = formatted_plan(wh.q_skew_profile(spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fmt)
+    assert len(schemas) == len(wh.SKEW_KEYS), schemas
+    keys = {k for _, k in wh.SKEW_KEYS}
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert len(cols) == 1 and cols <= keys, schemas
