@@ -363,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join-key skew diagnostics feeding the salting/AQE decisions
         # (r9c, warehouse.py)
         "q_skew_profile": warehouse.q_skew_profile,
+        # query-side image search against the aHash band table (r9c,
+        # multimodal.py) — the image analog of sim_index_probe
+        "mm_phash_probe": multimodal.mm_phash_probe,
     }
 
 

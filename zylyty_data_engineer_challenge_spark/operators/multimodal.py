@@ -825,6 +825,34 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike text, the synthetic image corpus derives dims from doc_id so
     buckets stay populated-but-bounded).
     """
+    bands = _phash_bands_table(spark, sf_dir)
+    ham = " + ".join(
+        f"bit_count(x.b{i} ^ y.b{i})" for i in range(PHASH_BANDS)
+    )
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+def _phash_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aHash band table (doc_id, b0..b3, bidx, bsig) every phash
+    consumer joins on — decode + hash is one map-only Arrow stage; at
+    production scale this is the persisted image index (same
+    identity-keyed artifact contract as the MinHash band store)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -862,26 +890,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "b0", "b1", "b2", "b3",
         F.col("bb.bidx").alias("bidx"), F.col("bb.bsig").alias("bsig"),
     )
-    ham = " + ".join(
-        f"bit_count(x.b{i} ^ y.b{i})" for i in range(PHASH_BANDS)
-    )
-    return (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.bidx") == F.col("y.bidx"))
-            & (F.col("x.bsig") == F.col("y.bsig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
-            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .distinct()
-        .orderBy("d1", "d2")
-    )
+    return bands
 
 
 SCENE_CUT_MIN = 64  # |mean-byte delta vs previous frame| * 256 threshold
@@ -1285,3 +1294,71 @@ ORACLE_SQL["mm_phash_dedup"] = f"""
         <= {PHASH_HAMMING_MAX}
     ORDER BY d1, d2
 """
+
+
+PHASH_PROBE_MOD = 2  # query-image sample: every even doc_id
+
+
+def mm_phash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side image search — "find the near-duplicates OF THESE
+    images": a deterministic query sample (doc_id % PHASH_PROBE_MOD == 0 — half the corpus, so the sample intersects the sparse duplicate set at every fixture scale)
+    probes the aHash band table for corpus images within
+    PHASH_HAMMING_MAX, excluding self-matches. The serving twin of
+    :func:`mm_phash_dedup` (which enumerates all pairs): band equality
+    routes each query to its buckets, so a probe touches only
+    bucket-matching corpus rows — against the persisted band index at
+    production scale, this is the image analog of
+    :func:`..similarity.sim_index_probe`.
+
+    Output keeps BOTH directions' matches for a query (match ids above
+    and below the query id), which is the search contract — unlike the
+    dedup pair list's d1 < d2 canonicalization.
+    """
+    bands = _phash_bands_table(spark, sf_dir)
+    q = bands.filter(F.col("doc_id") % PHASH_PROBE_MOD == 0)
+    ham = " + ".join(
+        f"bit_count(x.b{i} ^ y.b{i})" for i in range(PHASH_BANDS)
+    )
+    return (
+        q.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("q_doc"),
+            F.col("y.doc_id").alias("match_doc"),
+            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("q_doc", "match_doc")
+    )
+
+
+def _phash_probe_oracle() -> str:
+    # splice the probe SELECT onto mm_phash_dedup's band-building CTEs so
+    # the two oracles can never drift apart
+    anchor = "SELECT DISTINCT x.doc_id AS d1"
+    dedup_sql = ORACLE_SQL["mm_phash_dedup"]
+    assert dedup_sql.count(anchor) == 1, "phash oracle anchor drifted"
+    prefix = dedup_sql.split(anchor)[0]
+    return f"""{prefix}
+    SELECT DISTINCT x.doc_id AS q_doc, y.doc_id AS match_doc,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS INT) AS hamming
+    FROM bands x
+    JOIN bands y ON x.bidx = y.bidx AND x.bsig = y.bsig
+                AND x.doc_id <> y.doc_id
+    WHERE x.doc_id % {PHASH_PROBE_MOD} = 0
+      AND bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {PHASH_HAMMING_MAX}
+    ORDER BY q_doc, match_doc
+"""
+
+
+ORACLE_SQL["mm_phash_probe"] = _phash_probe_oracle()
