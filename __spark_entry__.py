@@ -366,6 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query-side image search against the aHash band table (r9c,
         # multimodal.py) — the image analog of sim_index_probe
         "mm_phash_probe": multimodal.mm_phash_probe,
+        # deterministic per-epoch training order over the packed
+        # sequences (r9c, curate.py) — the permutation IS a hash
+        "curate_epoch_shuffle": curate.curate_epoch_shuffle,
     }
 
 

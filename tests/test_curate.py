@@ -187,3 +187,30 @@ def test_shard_assign_exact_balance(spark):
     assert sum(r["total_tokens"] for r in rows) == sum(
         p["n_tokens"] for p in packed
     )
+
+
+def test_epoch_shuffle_is_permutation_and_epochs_differ(spark):
+    from zylyty_data_engineer_challenge_spark.operators import curate
+
+    sf = "/root/testdata/sf0.001"
+    rows = curate.curate_epoch_shuffle(spark, sf).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == set(range(curate.N_EPOCHS))
+    orders = []
+    for epoch, es in by_epoch.items():
+        # positions are a permutation of 1..n
+        assert sorted(r["position"] for r in es) == list(range(1, len(es) + 1))
+        orders.append(
+            tuple(
+                (r["lang"], r["seq_id"])
+                for r in sorted(es, key=lambda r: r["position"])
+            )
+        )
+        # same sequence set in every epoch
+        assert {(r["lang"], r["seq_id"]) for r in es} == {
+            (r["lang"], r["seq_id"]) for r in by_epoch[0]
+        }
+    # the reshuffle is real: epoch orders differ
+    assert orders[0] != orders[1]

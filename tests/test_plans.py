@@ -224,6 +224,9 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # pair grid (sa < sb) — printed under the pair builder and both
     # signature-join consumers
     "sketch_vocab_jaccard": 3,
+    # epoch shuffle (r9c): the constant N_EPOCHS-row table crossed into
+    # the sequence manifest
+    "curate_epoch_shuffle": 1,
 }
 
 

@@ -980,3 +980,70 @@ def _shard_assign_oracle() -> str:
 
 
 ORACLE_SQL["curate_shard_assign"] = _shard_assign_oracle()
+
+
+N_EPOCHS = 2  # epochs materialized by the ordering query
+
+
+def curate_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: every packed sequence gets
+    a position in each epoch by ranking on md5(epoch, lang, seq_id) — a
+    different but REPRODUCIBLE global permutation per epoch, which is how
+    a data loader reshuffles 100 TB between epochs without coordinated
+    RNG state: the permutation IS a hash, so any worker can recompute any
+    sequence's position from the key alone.
+
+    Completes the loader chain: text_train_split (membership) →
+    text_pack_sequences (layout) → curate_shard_assign (placement) →
+    epoch order (this). The rank window runs over the metadata-sized
+    sequence manifest x N_EPOCHS (same single-partition argument as the
+    shard assigner); per-epoch positions are a permutation of 1..n_seqs
+    by construction — pinned by pytest, visible to the oracle through
+    exact hash equality of every (epoch, seq, position) row.
+    """
+    packed = text_pack_sequences(spark, sf_dir).select("lang", "seq_id")
+    seqs = packed.distinct()
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = seqs.crossJoin(F.broadcast(epochs)).withColumn(
+        "h",
+        F.expr(
+            "CAST(conv(substr(md5(concat(epoch, ':', lang, ':', seq_id)),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "lang", "seq_id")
+    return (
+        keyed.select(
+            "epoch",
+            "lang",
+            "seq_id",
+            F.row_number().over(w).cast("long").alias("position"),
+        )
+        .orderBy("epoch", "position")
+    )
+
+
+def _epoch_shuffle_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip
+
+    packed = _strip(ORACLE_SQL["text_pack_sequences"])
+    return f"""
+    WITH packed AS ({packed}),
+    seqs AS (SELECT DISTINCT lang, seq_id FROM packed),
+    epochs AS (SELECT unnest(range(0, {N_EPOCHS})) AS epoch),
+    keyed AS (
+        SELECT e.epoch, s.lang, s.seq_id,
+               ('0x' || substr(md5(e.epoch || ':' || s.lang || ':'
+                                   || s.seq_id), 1, 15))::BIGINT AS h
+        FROM seqs s CROSS JOIN epochs e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, lang, seq_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                   ORDER BY h, lang, seq_id) AS BIGINT)
+               AS position
+    FROM keyed
+    ORDER BY epoch, position
+    """
+
+
+ORACLE_SQL["curate_epoch_shuffle"] = _epoch_shuffle_oracle()
