@@ -125,6 +125,14 @@ HEAVY = [
     "q_time_travel",
     # r9c: pack -> rank -> shard manifests (metadata-sized rank window)
     "curate_shard_assign",
+    # r9c: KMV source-vocab Jaccard (distinct projection + tiny pair grid)
+    "sketch_vocab_jaccard",
+    # r9c: per-key skew stats over the four watched shuffle keys
+    "q_skew_profile",
+    # r9c: image search probe (51k decodes map-only + bucketed band join)
+    "mm_phash_probe",
+    # r9c: per-epoch hash-rank ordering over the sequence manifest
+    "curate_epoch_shuffle",
 ]
 
 
