@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic per-epoch training order over the packed
         # sequences (r9c, curate.py) — the permutation IS a hash
         "curate_epoch_shuffle": curate.curate_epoch_shuffle,
+        # audio search probe (r9c, multimodal.py) — probe parity across
+        # all four modalities
+        "mm_audio_probe": multimodal.mm_audio_probe,
     }
 
 

@@ -1041,6 +1041,34 @@ def mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio corpus concentrates bands (documented, not built — profile
     diversity here tracks text diversity).
     """
+    bands = _afp_bands_table(spark, sf_dir)
+    ham = " + ".join(
+        f"bit_count(x.b{i} ^ y.b{i})" for i in range(AFP_BANDS)
+    )
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+def _afp_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio-fingerprint band table (doc_id, b0..b3, bidx, bsig) —
+    decode + fingerprint in one map-only Arrow stage; the audio analog
+    of :func:`_phash_bands_table`, persisted as an identity-keyed index
+    at production scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
 
     def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1095,26 +1123,7 @@ def mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "b0", "b1", "b2", "b3",
         F.col("bb.bidx").alias("bidx"), F.col("bb.bsig").alias("bsig"),
     )
-    ham = " + ".join(
-        f"bit_count(x.b{i} ^ y.b{i})" for i in range(AFP_BANDS)
-    )
-    return (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.bidx") == F.col("y.bidx"))
-            & (F.col("x.bsig") == F.col("y.bsig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
-            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
-        .distinct()
-        .orderBy("d1", "d2")
-    )
+    return bands
 
 
 ORACLE_SQL["mm_audio_dedup"] = f"""
@@ -1362,3 +1371,66 @@ def _phash_probe_oracle() -> str:
 
 
 ORACLE_SQL["mm_phash_probe"] = _phash_probe_oracle()
+
+
+AFP_PROBE_MOD = 2  # query-clip sample: every even doc_id
+
+
+def mm_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side audio search — "find the near-duplicate clips OF THESE
+    clips": the even-doc_id query sample probes the audio-fingerprint
+    band table for corpus clips within AFP_HAMMING_MAX, self-matches
+    excluded. Completes probe parity across modalities: text has the
+    incremental band-store probe (dedup_minhash_append), embeddings the
+    partition-pruned index probe (sim_index_probe), images
+    mm_phash_probe — this is the audio member, same banded
+    bucket-bounded join, same (query, match, hamming) search contract.
+    """
+    bands = _afp_bands_table(spark, sf_dir)
+    q = bands.filter(F.col("doc_id") % AFP_PROBE_MOD == 0)
+    ham = " + ".join(
+        f"bit_count(x.b{i} ^ y.b{i})" for i in range(AFP_BANDS)
+    )
+    return (
+        q.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("q_doc"),
+            F.col("y.doc_id").alias("match_doc"),
+            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
+        .distinct()
+        .orderBy("q_doc", "match_doc")
+    )
+
+
+def _afp_probe_oracle() -> str:
+    # same splice discipline as the image probe: reuse the audio dedup
+    # oracle's band-building CTEs through a uniqueness-asserted anchor
+    anchor = "SELECT DISTINCT x.doc_id AS d1"
+    dedup_sql = ORACLE_SQL["mm_audio_dedup"]
+    assert dedup_sql.count(anchor) == 1, "audio oracle anchor drifted"
+    prefix = dedup_sql.split(anchor)[0]
+    return f"""{prefix}
+    SELECT DISTINCT x.doc_id AS q_doc, y.doc_id AS match_doc,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS INT) AS hamming
+    FROM bands x
+    JOIN bands y ON x.bidx = y.bidx AND x.bsig = y.bsig
+                AND x.doc_id <> y.doc_id
+    WHERE x.doc_id % {AFP_PROBE_MOD} = 0
+      AND bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {AFP_HAMMING_MAX}
+    ORDER BY q_doc, match_doc
+"""
+
+
+ORACLE_SQL["mm_audio_probe"] = _afp_probe_oracle()
