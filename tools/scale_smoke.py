@@ -13,7 +13,6 @@ Corpus construction (written once to .scale/x10/, gitignored):
 * embeddings: 10 replicas with offset vec_ids (identical vectors across
   replicas = genuine duplicate clusters for the cosine kernel).
 
-Usage: python tools/scale_smoke.py [--rebuild]
 Usage: python tools/scale_smoke.py [--rebuild] [query ...]
 (positional names run just that subset instead of the full HEAVY list)
 Prints one JSON line: {"sf10_wall": {query: sec, ...}, "n_rows": {...}}.
@@ -131,6 +130,8 @@ HEAVY = [
     "q_skew_profile",
     # r9c: image search probe (51k decodes map-only + bucketed band join)
     "mm_phash_probe",
+    # r9c: audio search probe (same shape, WAV decode + 2^8 bands)
+    "mm_audio_probe",
     # r9c: per-epoch hash-rank ordering over the sequence manifest
     "curate_epoch_shuffle",
 ]
