@@ -151,10 +151,38 @@ def headline_queries() -> dict:
         "graph_neighbor_jaccard",
         "graph_bfs",
         "q_skew_profile",
+        # r9 VERDICT item 6: the cheap batch tail, benched so EVERY
+        # registered batch query has a bench line
+        "t1_union_pages",
+        "t4_numeric_coercion",
+        "d2_completion_counts",
+        "q_forward_fill",
+        "q_table_profile_approx",
+        "q_json_map_ops",
+        "q_salted_agg",
+        "q_rollup_sales",
+        "q_approx_quantile",
+        "q_histogram",
+        "q_scalar_functions",
+        "q_set_ops",
+        "q_pivot_events",
     ]
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_", "curate_")
     names += [n for n in all_q if n.startswith(extended_prefixes)]
+    # EXCLUSION LIST (documented, not silent): the stream_* family (14
+    # ops) is excluded by construction — each executes a bounded
+    # micro-batch replay with checkpoint/sink setup per call, so a
+    # best-of-2 wall clock measures the replay harness, not a query
+    # plan; their latency characteristics are covered by their own
+    # module tests and the driver's correctness rows instead. Every
+    # non-stream registered query is benched (asserted here so a future
+    # addition cannot silently drop out of the bench).
+    missing = [
+        n for n in all_q if n not in set(names) and not n.startswith("stream_")
+    ]
+    if missing:
+        raise RuntimeError(f"unbenched non-stream queries: {missing}")
     return {n: all_q[n] for n in names if n in all_q}
 
 

@@ -261,19 +261,30 @@ def build(spark) -> None:
 
 
 def main() -> int:
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    subset = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # validate up front: a typo'd name must fail BEFORE the (expensive)
+    # 10x corpus build/read has run, with the offenders listed
+    unknown = [n for n in subset if n not in queries]
+    if unknown:
+        print(
+            f"unknown query name(s): {', '.join(unknown)} — "
+            f"valid names are the keys of __spark_entry__.queries()",
+            file=sys.stderr,
+        )
+        return 2
+
     spark = get_spark("scale-smoke")
     if "--rebuild" in sys.argv or not (OUT / "lineitem.parquet").exists():
         t0 = time.time()
         build(spark)
         print(f"# built {OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
 
-    import __spark_entry__ as entry_mod
-
-    queries = entry_mod.queries()
     rows = {}
     for t in ("lineitem", "documents", "events", "embeddings"):
         rows[t] = spark.read.parquet(str(OUT / f"{t}.parquet")).count()
-    subset = [a for a in sys.argv[1:] if not a.startswith("--")]
     timings = {}
     for name in subset or HEAVY:
         t0 = time.time()

@@ -92,9 +92,36 @@ HOT_SHINGLE_MIN_DF = 50  # absolute floor for the document-frequency cap
 HOT_SHINGLE_PCT = 100  # cap = max(floor, n_docs div 100) i.e. 1% of corpus
 
 
+# Exhaustive-yardstick fence (r9 VERDICT item 8): three registered
+# operators are DELIBERATELY quadratic — they exist as small-scale exact
+# ground truth beside their banded/anchor-sampled scale twins
+# (dedup_ngram_jaccard vs dedup_minhash_lsh; dedup_lsh_recall and
+# dedup_embedding_recall vs their *_sampled forms). Pointing one at real
+# data would be a silent scale-killer, so each refuses loudly above this
+# input size instead of grinding: the bench corpus (sf0.1: 5k docs / 2k
+# vectors) passes, the 10x smoke corpus (51k docs / 20k vectors) trips.
+YARDSTICK_MAX_ROWS = 10_000
+
+
+def _yardstick_guard(df: DataFrame, name: str, what: str) -> None:
+    """Hard input-size fence for the exhaustive yardsticks — one scalar
+    count (driver-side control flow on an aggregate, like graph.py's
+    convergence check), then a loud RuntimeError above the bound."""
+    n = df.agg(F.count("*").alias("n")).first()["n"]
+    if n > YARDSTICK_MAX_ROWS:
+        raise RuntimeError(
+            f"{name} is an exhaustive yardstick (quadratic {what}); refusing "
+            f"{n} input rows > YARDSTICK_MAX_ROWS={YARDSTICK_MAX_ROWS}. Use "
+            f"its banded/anchor-sampled scale twin instead."
+        )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs 3-gram Jaccard near-dup pairs at j >= 0.5, over the
-    document-frequency-capped shingle universe.
+    """YARDSTICK — exact all-pairs 3-gram Jaccard near-dup pairs at
+    j >= 0.5, over the document-frequency-capped shingle universe; the
+    small-scale ground truth beside :func:`dedup_minhash_lsh` (the 100 TB
+    path), fenced by :func:`_yardstick_guard` so it can never silently
+    run against a real corpus.
 
     Integer-only decision: j = c/(s1+s2-c) >= 1/2  ⟺  3c >= s1+s2.
     This is the exact verification kernel; the scale path prunes pairs with
@@ -118,6 +145,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     session state, and the self-join needed the s-shuffle anyway.
     """
     docs = load_table(spark, sf_dir, "documents")
+    _yardstick_guard(docs, "dedup_ngram_jaccard", "shingle self-join")
     return _ngram_jaccard_pairs(docs)
 
 
@@ -347,6 +375,31 @@ def _pair_cache_dir(
 APPEND_MOD = 10  # doc_id % 10 == 0 plays the arriving "daily batch"
 
 
+def _append_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The incremental band/pair store's directory (the artifact
+    :func:`dedup_minhash_append` builds and appends into, and
+    :func:`dedup_pairs_compact` maintains) — identity-keyed like
+    :func:`_pair_cache_dir` under its own ``append-base`` namespace,
+    byte-identical to the pre-r10 inline key so existing builds stay
+    valid."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import source_identity
+
+    root = spark.conf.get("spark.zylyty.pairCacheDir", None)
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_PAIR_CACHE_DIR") or os.path.join(
+            tempfile.gettempdir(), "zylyty_pair_cache"
+        )
+    ident = source_identity(spark, f"{sf_dir}/documents.parquet")
+    key = hashlib.sha1(
+        f"append-base-v{NEARDUP_PAIRS_VERSION}:{ident}".encode()
+    ).hexdigest()[:16]
+    return f"{root}/{key}"
+
+
 def dedup_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup — the shape a training-data pipeline runs
     daily (the dedup analog of ``sim_index_append``): encode a NEW
@@ -372,28 +425,14 @@ def dedup_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     append and the pair append are marker-idempotent: re-running emits
     the same result without duplicating stored rows.
     """
-    import hashlib
-    import os
-    import tempfile
-
-    from ..catalog import hadoop_fs, source_identity
+    from ..catalog import hadoop_fs
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % APPEND_MOD == 0
     base_docs = docs.filter(~is_new)
     new_docs = docs.filter(is_new)
 
-    root = spark.conf.get("spark.zylyty.pairCacheDir", None)
-    if not root:
-        root = os.environ.get("SPARK_GRAFT_PAIR_CACHE_DIR") or os.path.join(
-            tempfile.gettempdir(), "zylyty_pair_cache"
-        )
-    ident = source_identity(spark, f"{sf_dir}/documents.parquet")
-    key = hashlib.sha1(
-        f"append-base-v{NEARDUP_PAIRS_VERSION}:{ident}".encode()
-    ).hexdigest()[:16]
-    base = f"{root}/{key}"
-
+    base = _append_store_dir(spark, sf_dir)
     fs, base_marker = hadoop_fs(spark, f"{base}/_BASE_READY")
     if not fs.exists(base_marker):
         _minhash_bands(base_docs).write.mode("overwrite").parquet(f"{base}/bands")
@@ -976,6 +1015,63 @@ ORACLE_SQL = {
 ORACLE_SQL["dedup_minhash_append"] = ORACLE_SQL["dedup_minhash_lsh"]
 
 
+PAIR_COMPACT_BUCKETS = 8  # one parquet file per bucket after compaction
+
+
+def dedup_pairs_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-store maintenance, final lifecycle stage: COMPACTION (the
+    dedup twin of :func:`..similarity.sim_index_compact`). Incremental
+    appends — :func:`dedup_minhash_append` per daily batch,
+    :func:`..streaming.dedup_stream.stream_dedup_pairs` per micro-batch
+    — accumulate one small parquet file per append in the pair store; at
+    production cadence a year of appends makes every consumer's scan
+    open thousands of files, and small-file overhead (footer reads, task
+    scheduling) erodes the columnar-scan advantage the cache exists for.
+    This op rewrites the appended pair tree into ``pairs_compact`` with
+    EXACTLY ONE file per hash bucket (``pmod(hash(d1, d2), B)`` —
+    hash-repartition puts each bucket's rows in one task; partitionBy
+    then emits one file per bucket), marker-idempotent per source
+    identity, and serves the pairs from the compacted layout.
+
+    Compaction must be consumer-invisible: the oracle is the full-rebuild
+    :func:`dedup_minhash_lsh` SQL verbatim — one oracle, THREE execution
+    paths now (in-plan build / base+append / compacted) — and
+    tests/test_pair_cache.py additionally pins the one-file-per-bucket
+    invariant and row equality against the uncompacted store.
+
+    Scale: one shuffle of the output-sized pair list (5 small columns),
+    then bucket-parallel writes; a background maintenance job off the
+    serving path, the same shape as any LSM/lakehouse compactor.
+    """
+    from ..catalog import hadoop_fs
+
+    base = _append_store_dir(spark, sf_dir)
+    dedup_minhash_append(spark, sf_dir)  # ensure base + append exist
+    fs, marker = hadoop_fs(spark, f"{base}/_PAIRS_COMPACT_READY")
+    dest = f"{base}/pairs_compact"
+    if not fs.exists(marker):
+        (
+            spark.read.parquet(f"{base}/pairs")
+            .withColumn(
+                "bucket", F.expr(f"pmod(hash(d1, d2), {PAIR_COMPACT_BUCKETS})")
+            )
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dest)
+        )
+        fs.create(marker, True).close()
+    return (
+        spark.read.parquet(dest)
+        .select("d1", "d2", "common", "s1", "s2")
+        .orderBy("d1", "d2")
+    )
+
+
+# compaction is a pure layout change: same oracle, third execution path
+ORACLE_SQL["dedup_pairs_compact"] = ORACLE_SQL["dedup_minhash_lsh"]
+
+
 K_SPAN = 8  # exact-substring span length, in whitespace tokens
 
 
@@ -1227,7 +1323,9 @@ def _pair_recall_gate(exact, lsh, n_lsh_alias: str):
 
 
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Acceptance evaluation of the MinHash-LSH detector against the exact
+    """YARDSTICK (fenced via its exhaustive exact side — the scale path
+    is :func:`dedup_lsh_recall_sampled`): acceptance evaluation of the
+    MinHash-LSH detector against the exact
     n-gram Jaccard ground truth: one row with the exact pair count, the
     LSH pair count, how many LSH found (hits), and recall — the number a
     pipeline checks before trusting LSH-pruned dedup at full scale
@@ -1423,7 +1521,8 @@ ORACLE_SQL["dedup_embedding_lsh"] = _embedding_lsh_oracle()
 
 
 def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Acceptance gate for :func:`dedup_embedding_lsh` against the
+    """YARDSTICK (fenced; :func:`dedup_embedding_recall_sampled` is the
+    scale path): acceptance gate for :func:`dedup_embedding_lsh` against the
     exhaustive :func:`dedup_embedding_cosine` ground truth — the embedding
     analog of :func:`dedup_lsh_recall`, closing the
     detector-plus-recall-gate pattern across both dedup modalities
@@ -1440,6 +1539,11 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is an sf0.1-class gate — :func:`dedup_embedding_recall_sampled`
     is the registered anchor-sampled twin that runs at 100 TB.
     """
+    _yardstick_guard(
+        load_table(spark, sf_dir, "embeddings"),
+        "dedup_embedding_recall",
+        "exact cosine ground truth",
+    )
     exact = dedup_embedding_cosine(spark, sf_dir).select("v1", "v2")
     lsh = dedup_embedding_lsh(spark, sf_dir).select(
         "v1", "v2", F.lit(1).alias("hit")

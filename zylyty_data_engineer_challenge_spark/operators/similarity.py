@@ -1467,7 +1467,8 @@ def _filtered_ann_oracle() -> str:
     fail-loud anchor assert), so the two can never drift apart."""
     anchor = "JOIN corpus_assign a USING (cid)"
     sql = _ivf_kmeans_oracle()
-    assert sql.count(anchor) == 1, "filtered-ANN oracle anchor drifted"
+    if sql.count(anchor) != 1:  # explicit: survives `python -O`
+        raise RuntimeError("filtered-ANN oracle anchor drifted")
     return sql.replace(
         anchor,
         anchor
@@ -1567,7 +1568,8 @@ def _rerank_oracle() -> str:
         f"    ORDER BY query_id, rank"
     )
     sql = _ivfpq_oracle()
-    assert sql.count(anchor) == 1, "rerank oracle anchor drifted"
+    if sql.count(anchor) != 1:  # explicit: survives `python -O`
+        raise RuntimeError("rerank oracle anchor drifted")
     rerank_tail = f""", shortlist AS (
         SELECT query_id, vec_id FROM ranked WHERE rank <= {RERANK_SHORTLIST}
     ),

@@ -495,7 +495,6 @@ ORACLE_SQL["q_interval_overlap"] = f"""
 # Salted skew join
 # ---------------------------------------------------------------------------
 
-SALT_JOIN_SHARDS = 8
 # fold every suppkey divisible by 10 onto one hot key: ~10% of lineitem
 # lands on skew_key 0, a realistic power-law hot spot
 _SKEW_KEY = "CASE WHEN l_suppkey % 10 = 0 THEN 0 ELSE l_suppkey END"
@@ -504,20 +503,37 @@ _SKEW_KEY = "CASE WHEN l_suppkey % 10 = 0 THEN 0 ELSE l_suppkey END"
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated fact-dimension join: the fact side's hot key is
     sharded with a deterministic salt and the dimension side is replicated
-    across all SALT_JOIN_SHARDS shards, so the hot key's rows spread over
-    SALT_JOIN_SHARDS reducers instead of one straggler — the manual
-    technique AQE's skew-join automates, expressed as a plan. The oracle
-    runs the PLAIN unsalted join: salting must be semantically invisible,
-    and the differential check proves it.
+    across all shards, so the hot key's rows spread over several reducers
+    instead of one straggler — the manual technique AQE's skew-join
+    automates, expressed as a plan. The oracle runs the PLAIN unsalted
+    join: salting must be semantically invisible, and the differential
+    check proves it.
+
+    The shard count is NOT a constant: the skew-profile statistics pass
+    (:func:`..warehouse.key_skew_stats` — the q_skew_profile shape
+    reduced to the two numbers that matter) measures the fact side's
+    hottest key, and :func:`..warehouse.decide_salt_shards` converts it
+    into exactly enough shards to flatten that key to an average
+    reducer's load (1 = no salting on a skew-free key). The stats pass
+    demonstrably DECIDES the plan; tests/test_skew_decision.py pins that
+    a synthetic hot key changes the decision while rows never change.
 
     Scale shape: fan-out is dimension-side only (|dim| x shards rows),
     fact rows are mapped once; the join is a pure (key, salt) equi-join.
+    At 100 TB the stats come from the maintained q_skew_profile table
+    rather than an inline pass.
     """
+    from .warehouse import decide_salt_shards, key_skew_stats
+
+    li_keys = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(_SKEW_KEY).alias("skew_key")
+    )
+    shards = decide_salt_shards(*key_skew_stats(li_keys, "skew_key"))
     li = load_table(spark, sf_dir, "lineitem").select(
         F.expr(_SKEW_KEY).alias("skew_key"),
         # deterministic shard from line identity — NOT rand(): reruns and
         # retried tasks must land rows on the same shard
-        F.expr(f"(l_orderkey * 7 + l_linenumber) % {SALT_JOIN_SHARDS}").alias("salt"),
+        F.expr(f"(l_orderkey * 7 + l_linenumber) % {shards}").alias("salt"),
         "l_extendedprice",
     )
     supp = load_table(spark, sf_dir, "supplier").select(
@@ -527,9 +543,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
     )
     dim = supp.distinct().crossJoin(
-        F.broadcast(
-            spark.range(SALT_JOIN_SHARDS).select(F.col("id").alias("salt"))
-        )
+        F.broadcast(spark.range(shards).select(F.col("id").alias("salt")))
     )
     return (
         li.join(dim, ["skew_key", "salt"])

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import money_cents
 
 ORACLE_SQL: dict[str, str] = {}
 
@@ -60,7 +61,7 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+        money_cents(F.col("value")).alias("v"),
     )
     med = ev.groupBy("event_type").agg(
         F.expr("CAST(2 * percentile(v, 0.5) AS BIGINT)").alias("m2")

@@ -1076,6 +1076,54 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name", "key_name")
 
 
+# --- skew-profile-driven mitigation (r9 VERDICT item 7) ---------------
+# q_skew_profile is the statistics pass; these two kernels are the
+# DECISION it feeds: how many salt shards a join key needs so its
+# hottest key spreads across ordinary-reducer-sized slices. Consumed by
+# queries.advanced.q_salted_join (whose oracle is the plain unsalted
+# join, so any shard choice is semantically invisible — the decision
+# changes the plan, never the rows).
+
+SALT_TARGET_PARALLELISM = 32  # reducer slots the hot key should spread over
+SALT_SHARDS_CAP = 64  # dimension fan-out bound: |dim| x shards rows
+
+
+def decide_salt_shards(
+    n_rows: int,
+    max_count: int,
+    parallelism: int = SALT_TARGET_PARALLELISM,
+    cap: int = SALT_SHARDS_CAP,
+) -> int:
+    """Salt-shard count from the two skew-profile numbers: the hottest
+    key holds ``max_count`` of ``n_rows`` fact rows; an even reducer at
+    ``parallelism``-way shuffle handles ``n_rows / parallelism``. Shards
+    = ceil(max_count / even_load) — exactly enough that the hot key's
+    largest shard is no worse than an average reducer — clamped to
+    [1, cap]. A skew-free key (max_count <= n_rows/parallelism) decides
+    1: no salting, no dimension fan-out, the plain join."""
+    if n_rows <= 0:
+        return 1
+    return max(1, min(cap, -(-max_count * parallelism // n_rows)))
+
+
+def key_skew_stats(df: DataFrame, key_col: str) -> tuple[int, int]:
+    """(n_rows, max_count) for a join key — :func:`q_skew_profile`'s
+    statistics pass reduced to the two numbers
+    :func:`decide_salt_shards` needs: one map-side-combinable per-key
+    count, one 2-value aggregate, one driver-side scalar read
+    (control-flow-on-an-aggregate, the sanctioned class — this is the
+    same pre-shuffle stat AQE gathers at runtime). At 100 TB the profile
+    is a maintained table (the q_skew_profile output) read here instead
+    of recomputed per query."""
+    row = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("n_rows"), F.max("c").alias("max_count"))
+        .first()
+    )
+    return int(row["n_rows"]), int(row["max_count"])
+
+
 def _skew_profile_oracle() -> str:
     parts = []
     for table, key in SKEW_KEYS:
