@@ -42,6 +42,7 @@ from zylyty_data_engineer_challenge_spark.streaming import (
     index_stream,
     join_stream,
     late_stream,
+    mm_stream,
     sessionize,
     sketch_stream,
     views_stream,
@@ -314,6 +315,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_check": text.text_contamination_check,
         "q_shipping_priority": relational.q_shipping_priority,
         "q_local_supplier_volume": relational.q_local_supplier_volume,
+        # new in r10 (late): streaming signature-store maintenance for
+        # the image/audio modalities — streaming-append parity across
+        # all four modalities; landed after the r10 window was frozen,
+        # three-scale-checked locally, first in line for r11 together
+        # with sim_ann_rerank_recall and the r6 relational block.
+        "stream_phash_append": mm_stream.stream_phash_append,
+        "stream_afp_append": mm_stream.stream_afp_append,
     }
 
 
@@ -343,5 +351,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(join_stream.ORACLE_SQL)
     out.update(index_stream.ORACLE_SQL)
     out.update(cdc_stream.ORACLE_SQL)
+    out.update(mm_stream.ORACLE_SQL)
     out.update(timeseries.ORACLE_SQL)
     return out

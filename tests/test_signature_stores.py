@@ -147,3 +147,30 @@ def test_pairs_compact_one_file_per_bucket_and_equal(spark, sf_dir, pair_cache):
     # marker idempotency: a second call reads, never rewrites
     again = sorted(tuple(r) for r in dedup.dedup_pairs_compact(spark, sf_dir).collect())
     assert again == after
+
+
+@pytest.mark.parametrize(
+    "stream_fn, dedup_fn, modality",
+    [
+        ("stream_phash_append", "mm_phash_dedup", "phash"),
+        ("stream_afp_append", "mm_audio_dedup", "audio"),
+    ],
+)
+def test_mm_stream_append_equals_rebuild_and_exactly_once(
+    spark, sf_dir, pair_cache, stream_fn, dedup_fn, modality
+):
+    """The streamed signature store (assembled across THREE micro-
+    batches) must hash-equal the full rebuild, and a re-trigger must
+    process zero batches (checkpoint exactly-once) — the mm members of
+    the streaming-append family's shared contract."""
+    from zylyty_data_engineer_challenge_spark.streaming import mm_stream
+
+    sfn = getattr(mm_stream, stream_fn)
+    dfn = getattr(multimodal, dedup_fn)
+
+    rebuild = sorted(tuple(r) for r in dfn(spark, sf_dir).collect())
+    first = sorted(tuple(r) for r in sfn(spark, sf_dir).collect())
+    assert first == rebuild, f"{modality}: streamed store != full rebuild"
+
+    second = sorted(tuple(r) for r in sfn(spark, sf_dir).collect())
+    assert second == first, f"{modality}: re-trigger duplicated pairs"

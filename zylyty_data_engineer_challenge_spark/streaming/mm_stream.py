@@ -1,0 +1,167 @@
+"""Streaming maintenance of the image/audio signature stores (r10).
+
+[EXTENDED] — completes streaming-append parity across all four
+modalities: text has :func:`.dedup_stream.stream_dedup_pairs`,
+embeddings :func:`.index_stream.stream_index_append`; this module adds
+the image (`stream_phash_append`) and audio (`stream_afp_append`)
+members. Documents arrive as a file stream; every micro-batch decodes
+and fingerprints ONLY its own rows, bucket-joins batch-vs-(stored ∪
+batch) candidates, and parquet-appends the surviving pairs and the
+batch's signatures into the durable store.
+
+Split-invariance is exercised for real: the incoming corpus is staged as
+THREE parquet files and streamed with maxFilesPerTrigger=1, so the store
+is assembled across three micro-batches — and signature determinism is
+per-document (an image's aHash depends only on its own pixels), so the
+streamed store's pair set is EXACTLY the full rebuild's no matter how
+the stream was batched. The oracle is the full-rebuild dedup SQL
+verbatim, and hash-equality proves it: a dropped batch, a doubled batch,
+or cross-batch pair loss all break the differential.
+
+The no-duplicates argument, batch by batch: batch_j emits only pairs
+touching batch_j's docs; a pair {a, b} with a in batch_i, b in batch_j
+(i < j) is emitted exactly once, during batch_j (a is stored by then);
+within-batch pairs are emitted during their own batch (both join
+orientations collapse under distinct). The union over batches is
+therefore the full pair set with no repeats.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multimodal import (
+    AFP_BANDS,
+    AFP_HAMMING_MAX,
+    PHASH_BANDS,
+    PHASH_HAMMING_MAX,
+    _afp_sig_compute,
+    _banded_pairs,
+    _explode_bands,
+    _phash_sig_compute,
+)
+
+MM_STREAM_VERSION = 1
+
+
+def _store_root(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    root = spark.conf.get("spark.zylyty.pairCacheDir", None)
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_PAIR_CACHE_DIR") or os.path.join(
+            tempfile.gettempdir(), "zylyty_pair_cache"
+        )
+    return root
+
+
+def _mm_stream_append(
+    spark: SparkSession,
+    sf_dir: str,
+    modality: str,
+    sig_compute,
+    n_bands: int,
+    ham_max: int,
+) -> DataFrame:
+    """Shared streaming kernel for the banded-signature modalities.
+
+    Exactly-once: the file-stream checkpoint lives under the
+    identity-keyed store dir (regenerated data gets a fresh log);
+    re-triggering finds no new files, runs zero batches, appends nothing
+    — pinned by tests/test_signature_stores.py alongside the batch
+    appends. (A crash BETWEEN a batch's two appends could double-write
+    on retry; production would write both tables under a batch_id
+    partition and replace it — same honesty note as the text twin.)
+
+    Scale: per-batch cost is O(batch) decode+hash + a batch-vs-store
+    bucket join with output-bounded verify — continuous media ingestion
+    at whatever cadence the trigger sets, never corpus x corpus.
+    """
+    from ..catalog import hadoop_fs, source_identity
+    from ..schemas import DOCUMENTS
+    from .views_stream import _stream_conf
+
+    ident = source_identity(spark, f"{sf_dir}/documents.parquet")
+    key = hashlib.sha1(
+        f"stream-{modality}-v{MM_STREAM_VERSION}:{ident}".encode()
+    ).hexdigest()[:16]
+    base = f"{_store_root(spark)}/{key}"
+    fs, sigs_dir = hadoop_fs(spark, f"{base}/sigs")
+
+    # stage the corpus as THREE files once per identity, so the stream
+    # genuinely runs three micro-batches (split-invariance is the claim)
+    _, staged = hadoop_fs(spark, f"{base}/_INCOMING_READY")
+    if not fs.exists(staged):
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(f"{base}/incoming")
+        )
+        fs.create(staged, True).close()
+
+    def absorb_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_sigs = sig_compute(batch_df)
+        nb = _explode_bands(new_sigs, n_bands)
+        if fs.exists(sigs_dir):
+            all_sigs = spark.read.parquet(f"{base}/sigs").unionByName(new_sigs)
+        else:
+            all_sigs = new_sigs
+        ab = _explode_bands(all_sigs, n_bands)
+        pairs = (
+            _banded_pairs(nb, ab, n_bands, ham_max)
+            .unionByName(_banded_pairs(ab, nb, n_bands, ham_max))
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(f"{base}/pairs")
+        new_sigs.write.mode("append").parquet(f"{base}/sigs")
+
+    with _stream_conf(spark):
+        stream = (
+            spark.readStream.schema(DOCUMENTS)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/incoming")
+        )
+        q = (
+            stream.writeStream.foreachBatch(absorb_batch)
+            .option("checkpointLocation", f"{base}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{base}/pairs").orderBy("d1", "d2")
+
+
+def stream_phash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image-signature-store maintenance: the image member of
+    the streaming-append family (text stream_dedup_pairs, embeddings
+    stream_index_append, audio stream_afp_append). Streamed store
+    hash-equal to :func:`..operators.multimodal.mm_phash_dedup`'s full
+    rebuild across a 3-way batch split."""
+    return _mm_stream_append(
+        spark, sf_dir, "phash", _phash_sig_compute, PHASH_BANDS, PHASH_HAMMING_MAX
+    )
+
+
+def stream_afp_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming audio twin of :func:`stream_phash_append`."""
+    return _mm_stream_append(
+        spark, sf_dir, "audio", _afp_sig_compute, AFP_BANDS, AFP_HAMMING_MAX
+    )
+
+
+def _oracles() -> dict[str, str]:
+    from ..operators.multimodal import ORACLE_SQL as _MM
+
+    # streamed store == full rebuild, exactly (per-doc signature
+    # determinism) — same oracle, one more execution path per modality
+    return {
+        "stream_phash_append": _MM["mm_phash_dedup"],
+        "stream_afp_append": _MM["mm_audio_dedup"],
+    }
+
+
+ORACLE_SQL = _oracles()
