@@ -134,6 +134,15 @@ HEAVY = [
     "mm_audio_probe",
     # r9c: per-epoch hash-rank ordering over the sequence manifest
     "curate_epoch_shuffle",
+    # r10: the probes above now serve from the persisted signature
+    # stores (first run builds, warm runs are join/output-bound); the
+    # incremental modality appends are batch-vs-store only, and the
+    # pair-store compaction is one output-sized shuffle + bucket writes
+    "mm_phash_append",
+    "mm_audio_append",
+    "dedup_pairs_compact",
+    # r10: skew-stats-decided salting (inline stats pass over 6M rows)
+    "q_salted_join",
 ]
 
 
