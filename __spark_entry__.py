@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with sim_ann_rerank_recall and the r6 relational block.
         "stream_phash_append": mm_stream.stream_phash_append,
         "stream_afp_append": mm_stream.stream_afp_append,
+        # new in r10 (late): bigram-LM fluency scoring — the perplexity-
+        # filter shape (train on corpus, score every doc), integer-exact
+        "text_lm_score": text.text_lm_score,
     }
 
 

@@ -143,6 +143,8 @@ HEAVY = [
     "dedup_pairs_compact",
     # r10: skew-stats-decided salting (inline stats pass over 6M rows)
     "q_salted_join",
+    # r10: bigram-LM fluency scoring (6M-bigram model train + score)
+    "text_lm_score",
 ]
 
 

@@ -857,3 +857,142 @@ ORACLE_SQL["text_quality_classifier"] = f"""
     FROM documents
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency scoring (r10): the perplexity-filter shape
+# ---------------------------------------------------------------------------
+
+# smoothed transition probabilities quantized to parts-per-million:
+# p_q(w1 -> w2) = floor(c(w1,w2) * LM_Q / (c(w1) + V)) with V = context
+# vocabulary size (add-one smoothing's denominator) — pure BIGINT
+# division, so Spark and DuckDB agree bit-for-bit (a float log-prob
+# would not). The smoothing is load-bearing, not cosmetic: unsmoothed,
+# a hapax context has conditional probability exactly 1 (one observed
+# continuation), so GIBBERISH scores maximal — the classic unseen-
+# context artifact every deployed n-gram filter smooths away.
+LM_Q = 1_000_000
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring — the *perplexity filter* shape every
+    production curation pipeline runs (train an n-gram LM on in-domain
+    text, drop documents the model finds improbable: CCNet/KenLM style),
+    expressed exactly: a bigram model is trained ON the corpus (context
+    counts c(w1), transition counts c(w1,w2), and the context vocabulary
+    size V — map-side-combinable aggregates) and every document is
+    scored by its own transitions' add-one-smoothed quantized
+    probabilities p_q = floor(c(w1,w2)·10^6 / (c(w1) + V)). Emits per
+    document the transition count, total/mean/min p_q — gibberish and
+    boilerplate-noise documents score low (their transitions are rare in
+    the corpus and their contexts unsupported), formulaic text scores
+    high; a filter thresholds ``mean_pq`` (pytest pins fluent > gibberish
+    on a hand corpus). Integer end-to-end, so the oracle hash-matches
+    without any float-log drift (sum-of-quantized-probabilities replaces
+    log-perplexity as the documented metric; it orders documents the
+    same way for thresholding purposes and stays cross-engine exact).
+
+    Documents with fewer than two tokens have no transitions and are
+    excluded (a real filter passes them to a length rule instead — that
+    rule is :func:`text_quality`'s short-doc flag).
+
+    Plan/scale: bigrams come from the token array by position (one
+    explode, no window); the model tables are vocabulary-sized
+    aggregates; scoring joins them back on (w1, w2) and w1 — well-spread
+    token keys, AQE broadcasting the count tables while they fit and
+    falling back to shuffle joins at web-scale vocabularies (the same
+    deliberate not-force-broadcast stance as :func:`text_rarity`). At
+    100 TB the two count tables ARE the trained model: persist them once
+    per corpus identity (the established identity-keyed artifact
+    contract) and scoring becomes two joins against a frozen parquet —
+    the exact KenLM-deployment shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # one explicit exchange materializes the bigram table for all four
+    # consumers (c12, c1, V, and the scoring probe) via runtime exchange
+    # reuse — the same no-.cache() materialization stance as the shingle
+    # kernel (see dedup._shingle_pair_table); measured 24.9 -> 20.2 s at
+    # the 10x corpus (the remaining cost is the two model joins over 6M
+    # bigram rows, which is the operator's work, not recompute)
+    bg = (
+        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, size(toks) - 2)")).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.expr("toks[i]").alias("w1"),
+            F.expr("toks[i + 1]").alias("w2"),
+        )
+        .repartition("w1")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    # V: context vocabulary size — one 1-row aggregate crossed in (the
+    # same constant-broadcast class as text_bm25's stats cross)
+    v = bg.agg(F.count_distinct("w1").cast("bigint").alias("v"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id", F.expr(f"c12 * {LM_Q} div (c1 + v)").alias("p_q")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.sum("p_q").cast("bigint").alias("sum_pq"),
+            F.min("p_q").alias("min_pq"),
+        )
+        .select(
+            "doc_id",
+            "n_transitions",
+            "sum_pq",
+            F.expr("sum_pq div n_transitions").alias("mean_pq"),
+            "min_pq",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["text_lm_score"] = f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+        FROM documents
+        WHERE len(regexp_split_to_array(text, '\\s+')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               toks[i + 1] AS w1,
+               toks[i + 2] AS w2
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 2)) AS i
+              FROM t)
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM bg GROUP BY w1
+    ),
+    v AS (
+        SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM bg
+    ),
+    scored AS (
+        SELECT bg.doc_id, (c12.c12 * {LM_Q}) // (c1.c1 + v.v) AS p_q
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(p_q) AS BIGINT) AS sum_pq,
+           CAST(SUM(p_q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_pq,
+           CAST(MIN(p_q) AS BIGINT) AS min_pq
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
