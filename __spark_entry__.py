@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r10 (late): bigram-LM fluency scoring — the perplexity-
         # filter shape (train on corpus, score every doc), integer-exact
         "text_lm_score": text.text_lm_score,
+        # new in r10 (late): label-ground-truth MRR of both serving paths
+        # side by side — the external-relevance eval beside the recall@k
+        # (cosine-agreement) gates
+        "sim_eval_mrr": similarity.sim_eval_mrr,
     }
 
 

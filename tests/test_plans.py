@@ -201,6 +201,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "dedup_simhash": 2,
     "sim_ann_rerank": 2,  # inherits sim_ann_ivfpq's trained-centroid crosses
     "sim_ann_rerank_recall": 3,  # rerank (2) + bruteforce ground truth (1)
+    "sim_eval_mrr": 4,  # inherits ivfpq (2) + rerank (2) trained-centroid crosses
     # inherits the capped detector (2, twice: joined + count consumer)
     # plus the gate's own 1-row capped-count cross
     "dedup_simhash_recall_sampled": 5,

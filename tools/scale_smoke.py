@@ -145,6 +145,8 @@ HEAVY = [
     "q_salted_join",
     # r10: bigram-LM fluency scoring (6M-bigram model train + score)
     "text_lm_score",
+    # r10: label-MRR eval of both serving paths (runs ivfpq + rerank)
+    "sim_eval_mrr",
 ]
 
 
