@@ -332,6 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # side by side — the external-relevance eval beside the recall@k
         # (cosine-agreement) gates
         "sim_eval_mrr": similarity.sim_eval_mrr,
+        # new in r10 (late): the LM model tables as a persisted,
+        # incrementally-maintained artifact — batch counts appended and
+        # sum-merged; append == full retrain exactly (additive counts)
+        "text_lm_append": text.text_lm_append,
     }
 
 

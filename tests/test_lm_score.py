@@ -71,3 +71,24 @@ def test_lm_score_all_integer_schema(spark, sf_dir):
         "mean_pq": "bigint",
         "min_pq": "bigint",
     }
+
+
+def test_lm_append_equals_retrain_and_idempotent(spark, sf_dir, tmp_path):
+    """text_lm_append: the merged persisted model must serve scores
+    hash-equal to the in-plan full retrain, and a re-run must append
+    nothing (marker idempotency)."""
+    spark.conf.set("spark.zylyty.pairCacheDir", str(tmp_path / "pc"))
+    try:
+        retrain = sorted(
+            tuple(r) for r in text.text_lm_score(spark, sf_dir).collect()
+        )
+        first = sorted(
+            tuple(r) for r in text.text_lm_append(spark, sf_dir).collect()
+        )
+        assert first == retrain, "append must equal full retrain"
+        second = sorted(
+            tuple(r) for r in text.text_lm_append(spark, sf_dir).collect()
+        )
+        assert second == first, "re-run must be a no-op read"
+    finally:
+        spark.conf.unset("spark.zylyty.pairCacheDir")

@@ -182,6 +182,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_ann_ivfpq_recall": 3,  # inherits bruteforce (1) + ivfpq (2)
     "text_bm25": 1,  # 1-row (n_docs, total_tokens) stats cross
     "text_lm_score": 1,  # 1-row context-vocab-size (V) smoothing cross
+    "text_lm_append": 1,  # same V cross over the merged stored model
     "sim_hybrid_rrf": 2,  # inherits bruteforce (1) + bm25 stats (1)
     "dedup_embedding_recall_sampled": 1,  # 1-row lsh-count cross in the gate
     "dedup_semantic_recall_sampled": 1,  # same 1-row caught-count cross

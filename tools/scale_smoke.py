@@ -147,6 +147,8 @@ HEAVY = [
     "text_lm_score",
     # r10: label-MRR eval of both serving paths (runs ivfpq + rerank)
     "sim_eval_mrr",
+    # r10: incremental LM model (batch counts + read-time sum-merge)
+    "text_lm_append",
 ]
 
 
