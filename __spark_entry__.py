@@ -336,6 +336,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incrementally-maintained artifact — batch counts appended and
         # sum-merged; append == full retrain exactly (additive counts)
         "text_lm_append": text.text_lm_append,
+        # new in r10 (late): LM model-store compaction — partial counts
+        # sum-merged and rewritten one-file-per-bucket, score-invisible
+        "text_lm_compact": text.text_lm_compact,
+        # new in r10 (late): index DELETION — tombstones excluded before
+        # ranking (oracle re-closes ranks over survivors), physical
+        # purge rewrite probe-equal to the logical anti-join path
+        "sim_index_delete": similarity.sim_index_delete,
     }
 
 

@@ -239,3 +239,41 @@ def test_index_compaction_one_file_per_cid_and_probe_invariant(
             assert len(files) == 1, f"{cid_dir}: {len(files)} files (want 1)"
     finally:
         spark.conf.unset("spark.zylyty.annIndexDir")
+
+
+def test_index_delete_logical_equals_physical(spark, sf_dir, tmp_path):
+    """sim_index_delete (r10): the logical path (tombstone anti join over
+    the un-purged codes) and the physical path (purged rewrite) must
+    serve identical rows; no tombstoned vector may appear in any top-k;
+    and the purged tree must physically lack the deleted vectors."""
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        DEL_MOD,
+        DEL_REM,
+        _ann_index_dir,
+        sim_index_delete,
+        sim_index_probe_deleted,
+    )
+
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        physical = sorted(tuple(r) for r in sim_index_delete(spark, sf_dir).collect())
+        logical = sorted(
+            tuple(r) for r in sim_index_probe_deleted(spark, sf_dir).collect()
+        )
+        assert logical == physical, "logical and physical delete must agree"
+        assert physical, "probe over purged index must return rows"
+        for _, _, vec_id, _, _ in physical:
+            assert vec_id % DEL_MOD != DEL_REM, (
+                f"tombstoned vector {vec_id} leaked into a top-k"
+            )
+
+        base = _ann_index_dir(spark, sf_dir)
+        purged = spark.read.parquet(f"{base}/codes_purged")
+        assert purged.filter(
+            (purged.vec_id % DEL_MOD) == DEL_REM
+        ).count() == 0, "purge must physically remove tombstoned rows"
+        # marker idempotency: second call reads, never rewrites
+        again = sorted(tuple(r) for r in sim_index_delete(spark, sf_dir).collect())
+        assert again == physical
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")

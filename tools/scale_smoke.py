@@ -149,6 +149,10 @@ HEAVY = [
     "sim_eval_mrr",
     # r10: incremental LM model (batch counts + read-time sum-merge)
     "text_lm_append",
+    # r10: LM model compaction (merge materialized, bucket rewrite)
+    "text_lm_compact",
+    # r10: index deletion (tombstones + purged-tree probe)
+    "sim_index_delete",
 ]
 
 

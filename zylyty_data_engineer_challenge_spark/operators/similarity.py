@@ -1942,3 +1942,101 @@ def _eval_mrr_oracle() -> str:
 
 
 ORACLE_SQL["sim_eval_mrr"] = _eval_mrr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Index deletion: tombstones + physical purge (r10)
+# ---------------------------------------------------------------------------
+
+DEL_MOD = 17  # deterministic deleted set: corpus vec_id % 17 == 3
+DEL_REM = 3
+
+
+def sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION support — the index lifecycle stage build/probe/append/
+    compact were still missing, and the one a production vector store
+    cannot ship without (right-to-erasure takedowns, revoked-license
+    content): a deterministic deleted set (corpus ``vec_id % 17 == 3``)
+    is written ONCE as a tombstone table beside the index; probes
+    exclude tombstoned vectors by an anti join on the candidate set
+    (logical delete — output-sized cost, nothing rewritten); and a
+    background purge rewrites the code table without the tombstoned
+    rows, one file per cid partition (physical delete — the same
+    repartition+partitionBy shape as :func:`sim_index_compact`), after
+    which probes need no anti join at all. This op returns the probe
+    over the PURGED table; tests/test_file_sinks.py pins that the
+    logical path (anti join over the un-purged codes) serves the
+    identical rows, so the purge is probe-invisible by construction.
+
+    The oracle is :func:`sim_ann_ivfpq`'s SQL with the deleted set
+    excluded BEFORE ranking (spliced through a uniqueness-checked
+    anchor, the probe-oracle discipline) — ranks re-close over the
+    survivors, exactly what a post-delete top-k must do; a deleted
+    vector leaking into any top-k breaks the hash.
+
+    Scale: tombstone write is O(deleted); the logical probe adds one
+    broadcast anti join on candidates; the purge is one bounded rewrite
+    off the serving path. No raw vector is read anywhere.
+    """
+    base = build_ann_index(spark, sf_dir)
+    fs, marker = _hadoop_fs(spark, f"{base}/_TOMBSTONES_READY")
+    if not fs.exists(marker):
+        (
+            _quantized(spark, sf_dir)
+            .filter(
+                (F.col("vec_id") >= N_QUERIES)
+                & (F.col("vec_id") % DEL_MOD == DEL_REM)
+            )
+            .select("vec_id")
+            .write.mode("overwrite")
+            .parquet(f"{base}/tombstones")
+        )
+        fs.create(marker, True).close()
+
+    _, purge_marker = _hadoop_fs(spark, f"{base}/_PURGE_READY")
+    dest = f"{base}/codes_purged"
+    if not fs.exists(purge_marker):
+        codes = spark.read.parquet(f"{base}/codes")
+        tombs = spark.read.parquet(f"{base}/tombstones")
+        (
+            codes.join(F.broadcast(tombs), "vec_id", "left_anti")
+            .repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(dest)
+        )
+        fs.create(purge_marker, True).close()
+    return _probe_stored(spark, sf_dir, base, spark.read.parquet(dest))
+
+
+def sim_index_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOGICAL-delete probe: candidates anti-joined against the
+    tombstone table over the UN-purged code tree — what serving runs
+    between a takedown and the next purge cycle. Not separately
+    registered (same oracle as :func:`sim_index_delete`); pinned
+    hash-equal to the purged probe by pytest."""
+    base = build_ann_index(spark, sf_dir)
+    sim_index_delete(spark, sf_dir)  # ensure tombstones exist
+    codes = spark.read.parquet(f"{base}/codes")
+    tombs = spark.read.parquet(f"{base}/tombstones")
+    live = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
+    return _probe_stored(spark, sf_dir, base, live)
+
+
+def _delete_oracle() -> str:
+    # splice the deleted-set exclusion into ivfpq's oracle BEFORE the
+    # rank window, through a uniqueness-checked anchor (the probe-oracle
+    # discipline); explicit raise so `python -O` cannot strip the check
+    anchor = "\n        FROM scored\n    )"
+    sql = ORACLE_SQL["sim_ann_ivfpq"]
+    if sql.count(anchor) != 1:
+        raise RuntimeError("ivfpq oracle rank anchor drifted")
+    return sql.replace(
+        anchor,
+        f"\n        FROM scored\n"
+        f"        WHERE vec_id % {DEL_MOD} <> {DEL_REM}\n    )",
+        1,
+    )
+
+
+ORACLE_SQL["sim_index_delete"] = _delete_oracle()

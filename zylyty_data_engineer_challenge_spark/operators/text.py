@@ -1071,3 +1071,54 @@ def text_lm_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # append ≡ full retrain (additive counts): same oracle, second path
 ORACLE_SQL["text_lm_append"] = ORACLE_SQL["text_lm_score"]
+
+
+LM_COMPACT_BUCKETS = 8  # one parquet file per bucket after compaction
+
+
+def text_lm_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM model-store maintenance: COMPACTION of the partial-count tree
+    :func:`text_lm_append` accumulates (one small file per appended
+    batch, with read-time sum-merge cost growing per append). The
+    compactor MATERIALIZES the merge — partial counts are summed into
+    final per-bigram rows and rewritten with exactly one file per hash
+    bucket (``pmod(hash(w1), B)``; repartition + partitionBy, the
+    :func:`..dedup.dedup_pairs_compact` shape) — so post-compaction
+    reads pay neither small-file overhead nor the merge aggregate.
+    Marker-idempotent per source identity; scoring over the compacted
+    model must be hash-equal to the in-plan retrain (same oracle, third
+    execution path) and pytest pins the one-file-per-bucket invariant.
+
+    Completes the LM lifecycle: train (:func:`text_lm_score`) → append
+    (:func:`text_lm_append`) → compact — the same
+    build/append/compact arc the ANN index and the pair stores carry.
+    """
+    from ..catalog import hadoop_fs
+    from .dedup import _pair_cache_dir
+
+    base = _pair_cache_dir(spark, sf_dir, modality="lm-append")
+    text_lm_append(spark, sf_dir)  # ensure base + append exist
+    fs, marker = hadoop_fs(spark, f"{base}/_C12_COMPACT_READY")
+    dest = f"{base}/c12_compact"
+    if not fs.exists(marker):
+        (
+            spark.read.parquet(f"{base}/c12")
+            .groupBy("w1", "w2")
+            .agg(F.sum("c12").cast("bigint").alias("c12"))
+            .withColumn(
+                "bucket", F.expr(f"pmod(hash(w1), {LM_COMPACT_BUCKETS})")
+            )
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dest)
+        )
+        fs.create(marker, True).close()
+    c12 = spark.read.parquet(dest).select("w1", "w2", "c12")
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    docs = load_table(spark, sf_dir, "documents")
+    return _lm_score_against(_lm_bigrams(docs), c12, c1)
+
+
+# compaction is a pure layout+merge materialization: same oracle
+ORACLE_SQL["text_lm_compact"] = ORACLE_SQL["text_lm_score"]
