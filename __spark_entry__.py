@@ -83,15 +83,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its oracle is the mechanical _recall_oracle() splice of
     sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
     gate combinator is pytest-pinned; every in-window candidate above
-    carries strictly more new information) plus the three r10-late
+    carries strictly more new information) plus the seven r10-late
     additions that landed AFTER this window was frozen
-    (stream_phash_append, stream_afp_append, text_lm_score — each
-    three-scale-checked locally, see their inline comments). All four
-    lead the r11 window together with the r6-green relational block
-    (q_sessionize .. q_local_supplier_volume) that r9 promised and this
-    rotation displaced again — deliberately: first-ever rows beat
+    (stream_phash_append, stream_afp_append, text_lm_score,
+    text_lm_append, text_lm_compact, sim_eval_mrr, sim_index_delete —
+    each three-scale-checked locally, see their inline comments). All
+    eight lead the r11 window together with the r6-green relational
+    block (q_sessionize .. q_local_supplier_volume) that r9 promised and
+    this rotation displaced again — deliberately: first-ever rows beat
     refreshing four-round-old green ones, and after r10 the never-graded
-    pool is nearly drained so r11 has room. Every registered query is verified locally
+    pool is small enough that r11 can hold all of it plus the block. Every registered query is verified locally
     every round by tools/oracle_check.py (and the
     tests/test_oracle_gate.py suite gate) regardless of grading
     position.
