@@ -344,6 +344,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranking (oracle re-closes ranks over survivors), physical
         # purge rewrite probe-equal to the logical anti-join path
         "sim_index_delete": similarity.sim_index_delete,
+        # new in r10 (late): Gopher-style within-document repetition
+        # signals (duplicate / top n-gram occurrence counts per doc x
+        # gram width) — integer numerators for the classic repetition
+        # quality filters; pure per-document map, no corpus-global state
+        "text_repetition": text.text_repetition,
+        # new in r10 (late): BPE tokenizer TRAINING inner loop — vocab-
+        # weighted adjacent-pair statistics + ranked merge candidates
+        # (the Sennrich trainer's argmax, corpus collapsed to a vocab-
+        # sized table after one count pass)
+        "text_bpe_train_step": text.text_bpe_train_step,
     }
 
 

@@ -1122,3 +1122,198 @@ def text_lm_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # compaction is a pure layout+merge materialization: same oracle
 ORACLE_SQL["text_lm_compact"] = ORACLE_SQL["text_lm_score"]
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+REP_NGRAM_SIZES = (2, 3)  # the gram widths the repetition report covers
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the *Gopher repetition
+    filters* (Rae et al. 2021 §A1.1: "duplicate n-gram fraction" and
+    "top n-gram fraction"), the standard pre-training gate against
+    boilerplate loops and degenerate generations that plain length /
+    stopword checks miss. For every document and every gram width n in
+    ``REP_NGRAM_SIZES`` it emits the integer numerators/denominators the
+    fractions are built from: total n-gram occurrences, occurrences
+    belonging to grams seen more than once in the SAME document, and the
+    count of the single most frequent gram. A filter drops a doc when
+    ``dup_occurrences * 10 > n_grams * K`` etc. — consumers derive the
+    ratios, the operator stays integer-exact (house hash-stability
+    rule). Documents shorter than n tokens report a zero row, so the
+    output is a complete doc x n grid.
+
+    Plan/scale: positional gram extraction is one explode (no window,
+    no self-join — same kernel as :func:`_lm_bigrams`); the per-doc gram
+    histogram is a (doc_id, n, gram)-keyed count and the report a
+    (doc_id, n)-keyed aggregate — both map-side combinable, keys spread
+    by document, skew bounded by single-document length. Nothing here
+    is corpus-global, so the operator scales as a pure per-document map
+    no matter the corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_n = []
+    for n in REP_NGRAM_SIZES:
+        grams = (
+            docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+            .filter(F.size("toks") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {n}),"
+                        f" i -> array_join(slice(toks, i + 1, {n}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+        )
+        hist = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        per_n.append(
+            hist.groupBy("doc_id")
+            .agg(
+                F.sum("c").cast("bigint").alias("n_grams"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("dup_occurrences"),
+                F.max("c").cast("bigint").alias("top_count"),
+            )
+            .withColumn("n", F.lit(n).cast("int"))
+        )
+    agg = per_n[0]
+    for other in per_n[1:]:
+        agg = agg.unionByName(other)
+    sizes = spark.createDataFrame([(int(n),) for n in REP_NGRAM_SIZES], "n int")
+    grid = docs.select("doc_id").crossJoin(F.broadcast(sizes))
+    return (
+        grid.join(agg, ["doc_id", "n"], "left")
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("dup_occurrences", F.lit(0))
+            .cast("bigint")
+            .alias("dup_occurrences"),
+            F.coalesce("top_count", F.lit(0)).cast("bigint").alias("top_count"),
+        )
+        .orderBy("doc_id", "n")
+    )
+
+
+ORACLE_SQL["text_repetition"] = """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+        FROM documents
+    ),
+    tn AS (
+        SELECT doc_id, toks, unnest([2, 3]) AS n FROM t
+    ),
+    g AS (
+        SELECT doc_id, n, array_to_string(toks[i : i + n - 1], ' ') AS gram
+        FROM (SELECT doc_id, n, toks,
+                     unnest(generate_series(1, len(toks) - n + 1)) AS i
+              FROM tn WHERE len(toks) >= n)
+    ),
+    hist AS (
+        SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3
+    ),
+    agg AS (
+        SELECT doc_id, n,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_occurrences,
+               CAST(MAX(c) AS BIGINT) AS top_count
+        FROM hist GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CAST(nn.n AS INT) AS n,
+           COALESCE(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           COALESCE(a.dup_occurrences, CAST(0 AS BIGINT)) AS dup_occurrences,
+           COALESCE(a.top_count, CAST(0 AS BIGINT)) AS top_count
+    FROM documents d
+    CROSS JOIN (SELECT unnest([2, 3]) AS n) nn
+    LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.n = nn.n
+    ORDER BY d.doc_id, nn.n
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING step (distributed pair-statistics inner loop)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20  # merge candidates the step reports
+
+
+def text_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed inner loop of BPE tokenizer *training* (Sennrich
+    et al. 2016) — the complement of :func:`text_bpe_tokens`' apply
+    side: count every adjacent symbol pair over the corpus and rank the
+    top merge candidates. Uses the classic scaling trick every real BPE
+    trainer relies on: pair statistics are computed over the WORD
+    VOCABULARY weighted by word frequency, not over raw text — one
+    corpus-sized count pass collapses 100 TB of text into a vocab-sized
+    table, and each subsequent merge round touches only the vocabulary.
+    This operator is one such round at the initial (character) symbol
+    level: pair = adjacent character bigram within a word, count =
+    sum(word_freq x within-word occurrences); emits the top
+    ``BPE_TOP_MERGES`` pairs with a deterministic rank (count desc,
+    pair asc — the greedy trainer's argmax with a total tie-break).
+
+    Plan/scale: explode-count for word frequency (map-side combinable,
+    token-spread keys); pair extraction is a vocab-sized transform; the
+    final ranking window orders a table bounded by |alphabet|^2 rows —
+    constant-sized regardless of corpus scale, so the single-partition
+    window is free. Integer counts only — hash-exact vs the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("merge_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("merge_rank") <= BPE_TOP_MERGES)
+        .select("merge_rank", "pair", "cnt")
+        .orderBy("merge_rank")
+    )
+
+
+ORACLE_SQL["text_bpe_train_step"] = f"""
+    WITH w AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    p AS (
+        SELECT substr(w, i, 2) AS pair, freq
+        FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM w WHERE length(w) >= 2)
+    ),
+    c AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
+    ),
+    ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS INT)
+                   AS merge_rank,
+               pair, cnt
+        FROM c
+    )
+    SELECT merge_rank, pair, cnt
+    FROM ranked
+    WHERE merge_rank <= {BPE_TOP_MERGES}
+    ORDER BY merge_rank
+"""
