@@ -354,6 +354,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the Sennrich trainer's argmax, corpus collapsed to a vocab-
         # sized table after one count pass)
         "text_bpe_train_step": text.text_bpe_train_step,
+        # new in r10 (late): quality-aware canonical selection — within
+        # every near-dup component keep the BEST copy (n_chars argmax,
+        # doc_id tie-break), the curation policy above dedup_cc's
+        # structural min-id representative
+        "dedup_canonical_pick": graph.dedup_canonical_pick,
+        # new in r10 (late): leakage-safe split — the hash bucket is the
+        # near-dup COMPONENT, so a test doc can never have a near-dup in
+        # train (eval-integrity version of text_train_split)
+        "curate_leakage_split": curate.curate_leakage_split,
+        # new in r10 (late): largest-remainder mixture apportionment —
+        # integer per-source quotas summing EXACTLY to the budget
+        "curate_mixture_plan": curate.curate_mixture_plan,
+        # new in r10 (late): the filter-cascade funnel report — one
+        # conditional-aggregation pass, survivors + dropped per gate
+        "curate_quality_funnel": curate.curate_quality_funnel,
+        # new in r10 (late): CCNet per-language perplexity tertiles over
+        # the corpus-LM fluency score (head / middle / tail)
+        "curate_ccnet_buckets": curate.curate_ccnet_buckets,
     }
 
 

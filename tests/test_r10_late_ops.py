@@ -1,0 +1,172 @@
+"""Hand-computed + invariant pins for the r10-late operator batch:
+text_repetition, text_bpe_train_step, curate_quality_funnel,
+curate_mixture_plan, curate_leakage_split, curate_ccnet_buckets,
+dedup_canonical_pick.
+
+The oracle differential pins these against DuckDB on the fixture; the
+tests here pin hand-computed values on adversarial corpora the fixture
+never produces (a genuinely repetitive document, a degenerate two-word
+vocabulary) and the cross-row invariants the oracle hash can't express
+(funnel monotonicity, exact-budget apportionment, split leakage-safety).
+"""
+
+from __future__ import annotations
+
+from zylyty_data_engineer_challenge_spark.operators import curate, graph, text
+
+
+def _docs_dir(spark, tmp_path, rows, name="sf"):
+    sf = tmp_path / name
+    sf.mkdir()
+    df = spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    return str(sf)
+
+
+# --- text_repetition --------------------------------------------------------
+
+
+def test_repetition_hand_computed(spark, tmp_path):
+    # doc 1 tokens [x y x y x]: bigrams {x y: 2, y x: 2} -> 4 occurrences,
+    # all duplicated, top 2; trigrams {x y x: 2, y x y: 1} -> 3, dup 2, top 2.
+    # doc 2 "a b": one unique bigram, no trigram row content (zero row).
+    # doc 3 "q": too short for both -> two zero rows.
+    sf = _docs_dir(spark, tmp_path, [(1, "x y x y x"), (2, "a b"), (3, "q")])
+    got = {
+        (r["doc_id"], r["n"]): (r["n_grams"], r["dup_occurrences"], r["top_count"])
+        for r in text.text_repetition(spark, sf).collect()
+    }
+    assert got == {
+        (1, 2): (4, 4, 2),
+        (1, 3): (3, 2, 2),
+        (2, 2): (1, 0, 1),
+        (2, 3): (0, 0, 0),
+        (3, 2): (0, 0, 0),
+        (3, 3): (0, 0, 0),
+    }
+
+
+# --- text_bpe_train_step ----------------------------------------------------
+
+
+def test_bpe_train_step_hand_computed(spark, tmp_path):
+    # words: ab (freq 2), abc (freq 1)  ->  pair "ab": 2 + 1 = 3, "bc": 1
+    sf = _docs_dir(spark, tmp_path, [(1, "ab ab abc")])
+    rows = text.text_bpe_train_step(spark, sf).collect()
+    got = [(r["merge_rank"], r["pair"], r["cnt"]) for r in rows]
+    assert got == [(1, "ab", 3), (2, "bc", 1)]
+
+
+def test_bpe_train_step_tie_break_is_lexicographic(spark, tmp_path):
+    # "ba" and "ab" both count 1 -> rank by pair asc at equal count
+    sf = _docs_dir(spark, tmp_path, [(1, "ba ab")])
+    got = [(r["merge_rank"], r["pair"]) for r in
+           text.text_bpe_train_step(spark, sf).collect()]
+    assert got == [(1, "ab"), (2, "ba")]
+
+
+# --- curate_quality_funnel --------------------------------------------------
+
+
+def test_funnel_each_gate_kills_its_target(spark, tmp_path):
+    passing = " ".join("the" if i % 5 == 0 else f"w{i}" for i in range(40))
+    repetitive = "the cat " * 40  # top bigram 'the cat' >> 20% of bigrams
+    short = "tiny text"  # < FUNNEL_MIN_CHARS
+    few_long = " ".join(f"verylongword{i}" for i in range(10))  # chars ok, tokens < 30
+    no_stop = " ".join(f"q{i}" for i in range(40))  # no stopwords
+    assert len(passing) >= curate.FUNNEL_MIN_CHARS
+    assert len(few_long) >= curate.FUNNEL_MIN_CHARS
+    assert len(no_stop) >= curate.FUNNEL_MIN_CHARS
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [(1, passing), (2, repetitive), (3, short), (4, few_long), (5, no_stop)],
+    )
+    rows = curate.curate_quality_funnel(spark, sf).collect()
+    got = {r["stage"]: (r["survivors"], r["dropped"]) for r in rows}
+    assert got == {
+        "input": (5, 0),
+        "min_chars": (4, 1),
+        "min_tokens": (3, 1),
+        "stopword_ratio": (2, 1),
+        "repetition_cap": (1, 1),
+    }
+    # monotone survivors; dropped reconciles stage to stage
+    ordered = sorted(rows, key=lambda r: r["stage_idx"])
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur["survivors"] + cur["dropped"] == prev["survivors"]
+
+
+# --- curate_mixture_plan ----------------------------------------------------
+
+
+def test_mixture_plan_apportions_budget_exactly(spark, sf_dir):
+    rows = curate.curate_mixture_plan(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == curate.MIXTURE_TOTAL
+    tot_w = sum(r["w"] for r in rows)
+    deficit = curate.MIXTURE_TOTAL - sum(
+        (curate.MIXTURE_TOTAL * r["w"]) // tot_w for r in rows
+    )
+    # pure-python largest-remainder recompute
+    ranked = sorted(
+        rows,
+        key=lambda r: (-((curate.MIXTURE_TOTAL * r["w"]) % tot_w), r["source"]),
+    )
+    want_extra = {r["source"] for r in ranked[:deficit]}
+    for r in rows:
+        assert r["base_quota"] == (curate.MIXTURE_TOTAL * r["w"]) // tot_w
+        assert r["extra"] == (1 if r["source"] in want_extra else 0)
+        assert r["quota"] == r["base_quota"] + r["extra"]
+
+
+# --- curate_leakage_split / dedup_canonical_pick ----------------------------
+
+
+def test_leakage_split_never_splits_a_component(spark, sf_dir):
+    rows = curate.curate_leakage_split(spark, sf_dir).collect()
+    by_comp: dict[int, set[str]] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+        assert r["split"] in ("train", "val", "test")
+    assert all(len(s) == 1 for s in by_comp.values())
+    # and at least one component is a genuine multi-doc cluster, so the
+    # guarantee is exercised, not vacuous
+    from collections import Counter
+
+    sizes = Counter(r["component"] for r in rows)
+    assert max(sizes.values()) >= 2
+
+
+def test_canonical_pick_is_quality_argmax_per_component(spark, sf_dir):
+    rows = graph.dedup_canonical_pick(spark, sf_dir).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        want = min(members, key=lambda r: (-r["n_chars"], r["doc_id"]))["doc_id"]
+        canon = [r for r in members if r["is_canonical"] == 1]
+        assert len(canon) == 1 and canon[0]["doc_id"] == want
+        assert all(r["canonical_doc_id"] == want for r in members)
+
+
+# --- curate_ccnet_buckets ---------------------------------------------------
+
+
+def test_ccnet_buckets_are_balanced_tertiles_of_the_fluency_order(spark, sf_dir):
+    rows = curate.curate_ccnet_buckets(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, members in by_lang.items():
+        # pure-python NTILE recompute over the same total order
+        members = sorted(members, key=lambda r: (-r["mean_pq"], r["doc_id"]))
+        n, k = len(members), curate.CCNET_BUCKETS
+        sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+        want = [i + 1 for i, s in enumerate(sizes) for _ in range(s)]
+        got = [r["bucket_idx"] for r in members]
+        assert got == want, lang
+        names = {1: "head", 2: "middle", 3: "tail"}
+        assert all(r["bucket"] == names[r["bucket_idx"]] for r in members)

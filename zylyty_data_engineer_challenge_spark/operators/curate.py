@@ -1047,3 +1047,402 @@ def _epoch_shuffle_oracle() -> str:
 
 
 ORACLE_SQL["curate_epoch_shuffle"] = _epoch_shuffle_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (component-aware)
+# ---------------------------------------------------------------------------
+
+
+def curate_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test assignment — the eval-integrity
+    version of :func:`text_train_split`: the hash bucket is computed on
+    the document's near-dup COMPONENT label, not its own id, so an
+    entire duplicate cluster always lands in one split and a test
+    document can never have a near-duplicate sitting in train (the
+    classic benchmark-leakage failure that per-doc hashing cannot
+    prevent). Same md5 determinism contract: same corpus -> same split,
+    on any cluster, forever; appending data never flips an existing
+    document's split because its component label is the min reachable
+    doc_id, which is stable under append for already-connected docs.
+
+    Plan/scale: component labels come from the persisted LSH pair cache
+    + CC (amortized, identity-keyed); the split itself is a row-local
+    hash — map-only on top of the labels, no extra shuffle.
+    """
+    from .graph import dedup_cc
+
+    cc = dedup_cc(spark, sf_dir).select("doc_id", "component")
+    bucket = _hash_bucket("component")
+    return cc.select(
+        "doc_id",
+        "component",
+        bucket.alias("bucket"),
+        F.when(bucket < TEST_PCT, "test")
+        .when(bucket < TEST_PCT + VAL_PCT, "val")
+        .otherwise("train")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def _leakage_split_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip
+    from .graph import ORACLE_SQL as _G
+
+    return f"""
+        WITH cc AS (
+            SELECT doc_id, component FROM ({_strip(_G["dedup_cc"])})
+        ),
+        b AS (
+            SELECT doc_id, component,
+                   ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                       % {SPLIT_BUCKETS} AS bucket
+            FROM cc
+        )
+        SELECT doc_id, component, bucket,
+               CASE WHEN bucket < {TEST_PCT} THEN 'test'
+                    WHEN bucket < {TEST_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM b
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["curate_leakage_split"] = _leakage_split_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Exact mixture apportionment (largest-remainder)
+# ---------------------------------------------------------------------------
+
+MIXTURE_TOTAL = 301  # sample budget to apportion (deliberately not a
+# multiple of the uniform source count, so the remainder path is live)
+
+
+def curate_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mixture apportionment — the step between mixing WEIGHTS
+    (:func:`curate_source_mix` / :func:`curate_lang_temperature`) and the
+    SAMPLER: convert per-source weights (character mass) into integer
+    per-source quotas that sum to EXACTLY ``MIXTURE_TOTAL``, via
+    largest-remainder (Hamilton) apportionment. Floor quotas alone
+    under-fill the budget by up to |sources| samples; the remainder
+    top-up assigns the missing slots to the sources with the largest
+    fractional parts (ties broken by source asc). Pure integer
+    arithmetic — base = (N*w) div W, remainder = (N*w) mod W — so the
+    plan is bit-identical cross-engine and reproducible forever.
+
+    Plan/scale: one source-keyed aggregate (map-side combinable), two
+    1-row broadcast crosses (total mass, floor-sum deficit), one window
+    over the SOURCES table (domain-count-sized, not corpus-sized — a
+    few thousand rows at web scale, so the global window is free).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weights = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("bigint")).alias("w")
+    )
+    tot = weights.agg(F.sum("w").cast("bigint").alias("tot_w"))
+    based = (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            F.expr(f"({MIXTURE_TOTAL} * w) div tot_w").alias("base_quota"),
+            F.expr(f"({MIXTURE_TOTAL} * w) % tot_w").alias("rem"),
+        )
+    )
+    deficit = based.agg(
+        (F.lit(MIXTURE_TOTAL) - F.sum("base_quota")).cast("bigint").alias("deficit")
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    return (
+        based.crossJoin(F.broadcast(deficit))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "source",
+            "w",
+            F.col("base_quota").cast("bigint").alias("base_quota"),
+            (F.col("rk") <= F.col("deficit")).cast("int").alias("extra"),
+            (F.col("base_quota") + (F.col("rk") <= F.col("deficit")).cast("bigint"))
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL["curate_mixture_plan"] = f"""
+    WITH weights AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM weights),
+    based AS (
+        SELECT source, w,
+               ({MIXTURE_TOTAL} * w) // tot_w AS base_quota,
+               ({MIXTURE_TOTAL} * w) % tot_w AS rem
+        FROM weights, tot
+    ),
+    deficit AS (
+        SELECT CAST({MIXTURE_TOTAL} - SUM(base_quota) AS BIGINT) AS deficit
+        FROM based
+    ),
+    ranked AS (
+        SELECT source, w, base_quota, rem,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+        FROM based
+    )
+    SELECT source, w,
+           CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(rk <= deficit AS INT) AS extra,
+           CAST(base_quota + CAST(rk <= deficit AS BIGINT) AS BIGINT) AS quota
+    FROM ranked, deficit
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality filter-cascade funnel report
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_CHARS = 100  # stage 1: drop tiny fragments
+# stage 2 reuses MIN_TOKENS; stage 3: stopword ratio >= 1/20 (en-ish
+# prose signal); stage 4: top bigram must be < 1/5 of all bigrams
+# (Gopher top-n-gram repetition cap — see text.text_repetition)
+
+
+def curate_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality FILTER-CASCADE FUNNEL — the report every curation run
+    ships alongside its output: how many documents survive each gate,
+    applied in order, and how many each gate kills. Gates (all integer
+    predicates over signals this repo already computes as standalone
+    operators): (1) min length in chars, (2) min whitespace tokens,
+    (3) stopword ratio >= 5% (prose-vs-noise, the :func:`..text.
+    text_quality` signal), (4) Gopher top-bigram repetition cap
+    (:func:`..text.text_repetition`'s top_count/n_grams < 20%).
+    Emits one row per stage: survivors after the stage and documents
+    dropped AT that stage — the numbers a data lead reads to see which
+    gate is eating the corpus.
+
+    Plan/scale: per-doc flags are one narrow map plus one doc-keyed
+    bigram histogram (map-side combinable, skew bounded by doc length);
+    the funnel itself is ONE conditional aggregation over the flags —
+    cumulative AND chains as SUM(CASE), so a 100 TB corpus pays a
+    single pass regardless of how many gates the cascade grows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import STOPWORDS as _STOPS
+
+    toks = F.split(F.col("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPS])
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    bg = (
+        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> array_join(slice(toks, i + 1, 2), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n2"),
+            F.max("c").cast("bigint").alias("top2"),
+        )
+    )
+    flags = (
+        base.join(bg, "doc_id", "left")
+        .select(
+            (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("g1"),
+            (F.col("n_tokens") >= MIN_TOKENS).alias("g2"),
+            (F.col("n_stop") * 20 >= F.col("n_tokens")).alias("g3"),
+            (
+                (F.coalesce("top2", F.lit(0)) * 5 < F.coalesce("n2", F.lit(0)))
+            ).alias("g4"),
+        )
+        .select(
+            "g1",
+            (F.col("g1") & F.col("g2")).alias("c2"),
+            (F.col("g1") & F.col("g2") & F.col("g3")).alias("c3"),
+            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).alias("c4"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").cast("bigint").alias("s0"),
+        F.sum(F.col("g1").cast("bigint")).cast("bigint").alias("s1"),
+        F.sum(F.col("c2").cast("bigint")).cast("bigint").alias("s2"),
+        F.sum(F.col("c3").cast("bigint")).cast("bigint").alias("s3"),
+        F.sum(F.col("c4").cast("bigint")).cast("bigint").alias("s4"),
+    )
+    stages = (
+        ("0", "'input'", "s0", "CAST(0 AS BIGINT)"),
+        ("1", "'min_chars'", "s1", "s0 - s1"),
+        ("2", "'min_tokens'", "s2", "s1 - s2"),
+        ("3", "'stopword_ratio'", "s3", "s2 - s3"),
+        ("4", "'repetition_cap'", "s4", "s3 - s4"),
+    )
+    rows = ", ".join(
+        f"struct(CAST({idx} AS INT) AS stage_idx, {name} AS stage,"
+        f" {surv} AS survivors, {drop} AS dropped)"
+        for idx, name, surv, drop in stages
+    )
+    return (
+        agg.select(F.explode(F.expr(f"array({rows})")).alias("r"))
+        .select("r.stage_idx", "r.stage", "r.survivors", "r.dropped")
+        .orderBy("stage_idx")
+    )
+
+
+from .text import STOPWORDS as _TEXT_STOPS  # noqa: E402  (oracle interpolation)
+
+_FUNNEL_STOPS = ", ".join(f"'{s}'" for s in _TEXT_STOPS)
+
+ORACLE_SQL["curate_quality_funnel"] = f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               regexp_split_to_array(text, '\\s+') AS toks
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, w -> list_contains(
+                   [{_FUNNEL_STOPS}], w)))
+                   AS BIGINT) AS n_stop
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 2)
+    ),
+    hist AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    bg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+               CAST(MAX(c) AS BIGINT) AS top2
+        FROM hist GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT (b.n_chars >= {FUNNEL_MIN_CHARS}) AS g1,
+               (b.n_tokens >= {MIN_TOKENS}) AS g2,
+               (b.n_stop * 20 >= b.n_tokens) AS g3,
+               (COALESCE(bg.top2, 0) * 5 < COALESCE(bg.n2, 0)) AS g4
+        FROM base b LEFT JOIN bg ON b.doc_id = bg.doc_id
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+               CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s4
+        FROM flags
+    )
+    SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+           s0 AS survivors, CAST(0 AS BIGINT) AS dropped FROM agg
+    UNION ALL
+    SELECT 1, 'min_chars', s1, s0 - s1 FROM agg
+    UNION ALL
+    SELECT 2, 'min_tokens', s2, s1 - s2 FROM agg
+    UNION ALL
+    SELECT 3, 'stopword_ratio', s3, s2 - s3 FROM agg
+    UNION ALL
+    SELECT 4, 'repetition_cap', s4, s3 - s4 FROM agg
+    ORDER BY stage_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity buckets
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKETS = 3  # head / middle / tail
+
+
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): within every language, rank documents by corpus-LM fluency
+    (:func:`..text.text_lm_score`'s integer ``mean_pq`` — higher =
+    more probable under the corpus model = lower perplexity) and cut
+    the ranking into ``CCNET_BUCKETS`` equal tertiles: *head* (most
+    fluent — kept outright in CCNet), *middle* (kept for capacity), and
+    *tail* (dropped or down-weighted). ``NTILE`` over a TOTAL order
+    (mean_pq desc, doc_id asc) keeps the cut deterministic and
+    cross-engine exact; documents with fewer than two tokens have no
+    transitions and are excluded upstream by the scorer (a real
+    pipeline routes them to the length gate instead — see
+    :func:`curate_quality_funnel` stage 2).
+
+    Plan/scale: the LM scoring cost dominates (two model joins — at
+    100 TB the model tables are the persisted artifact of
+    :func:`..text.text_lm_append`); the bucketing itself is one
+    language-partitioned window, language keys being few and
+    well-populated (skew = corpus language imbalance, bounded by the
+    same per-language sort every temperature sampler already pays).
+    """
+    from .text import text_lm_score
+
+    scored = text_lm_score(spark, sf_dir).select("doc_id", "mean_pq")
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_pq").desc(), F.col("doc_id").asc()
+    )
+    bucket_idx = F.ntile(CCNET_BUCKETS).over(w)
+    return (
+        scored.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_pq",
+            bucket_idx.cast("int").alias("bucket_idx"),
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("bucket_idx") == 1, "head")
+            .when(F.col("bucket_idx") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ccnet_buckets_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip
+    from .text import ORACLE_SQL as _T
+
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, mean_pq FROM ({_strip(_T["text_lm_score"])})
+        ),
+        b AS (
+            SELECT s.doc_id, d.lang, s.mean_pq,
+                   CAST(NTILE({CCNET_BUCKETS}) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.mean_pq DESC, s.doc_id ASC
+                   ) AS INT) AS bucket_idx
+            FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, mean_pq, bucket_idx,
+               CASE bucket_idx WHEN 1 THEN 'head'
+                               WHEN 2 THEN 'middle'
+                               ELSE 'tail' END AS bucket
+        FROM b
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["curate_ccnet_buckets"] = _ccnet_buckets_oracle()

@@ -1069,3 +1069,83 @@ def _nj_oracle() -> str:
 
 
 ORACLE_SQL["graph_neighbor_jaccard"] = _nj_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection within near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the curation policy layered on
+    top of :func:`dedup_cc`'s purely structural ``is_representative``
+    (min doc_id): within every near-dup component, KEEP THE BEST COPY,
+    not the first one. Real pipelines pick the longest / highest-quality
+    member of each duplicate cluster (the near-dup of a page and its
+    truncated mirror should survive as the full page); here quality =
+    ``n_chars`` with doc_id as the total tie-break, so the pick is
+    deterministic and integer-exact. Emits, for every document, its
+    component, the quality key, the winning ``canonical_doc_id`` of its
+    component, and whether this row is that winner.
+
+    Plan/scale: the component labels come from the persisted LSH pair
+    cache + CC (amortized across every graph/curation consumer); the
+    pick itself is one component-partitioned window over (n_chars desc,
+    doc_id asc) — components are near-dup clusters, so partitions are
+    tiny and skew-free by construction. No corpus-global state beyond
+    the labels already maintained.
+    """
+    from pyspark.sql import Window
+
+    cc = dedup_cc(spark, sf_dir).select("doc_id", "component")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    labeled = cc.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn(
+            "canonical_doc_id", F.first("doc_id").over(w).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            "component",
+            "n_chars",
+            "canonical_doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).cast("int").alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _canonical_pick_oracle() -> str:
+    return f"""
+        WITH cc AS (
+            SELECT doc_id, component FROM ({_strip_order_by(ORACLE_SQL["dedup_cc"])})
+        ),
+        labeled AS (
+            SELECT cc.doc_id, cc.component,
+                   CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+        )
+        SELECT doc_id, component, n_chars,
+               CAST(FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY component
+                   ORDER BY n_chars DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS BIGINT) AS canonical_doc_id,
+               CAST(doc_id = FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY component
+                   ORDER BY n_chars DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS INT) AS is_canonical
+        FROM labeled
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["dedup_canonical_pick"] = _canonical_pick_oracle()
