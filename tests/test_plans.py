@@ -214,6 +214,14 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "q_important_parts": 1,
     "q_top_supplier": 1,
     "q_idle_wealthy_customers": 1,
+    # r10-late batch: constant-table crosses only —
+    # text_repetition crosses the 2-row gram-width table into the doc grid
+    "text_repetition": 1,
+    # mixture plan: 1-row total-mass + 1-row deficit crosses; the deficit
+    # aggregate's subtree re-prints the total cross, so it counts twice
+    "curate_mixture_plan": 3,
+    # ccnet buckets inherit text_lm_score's 1-row V smoothing cross
+    "curate_ccnet_buckets": 1,
     # event-analytics (r9c): 1-row totals crossed into the day/pair table
     "q_cusum_changepoint": 1,
     "q_market_basket": 1,
