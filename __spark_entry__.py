@@ -83,15 +83,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its oracle is the mechanical _recall_oracle() splice of
     sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
     gate combinator is pytest-pinned; every in-window candidate above
-    carries strictly more new information) plus the fourteen r10-late
+    carries strictly more new information) plus the fifteen r10-late
     additions that landed AFTER this window was frozen
     (stream_phash_append, stream_afp_append, text_lm_score,
     text_lm_append, text_lm_compact, sim_eval_mrr, sim_index_delete,
     then the curation-policy batch: text_repetition,
     text_bpe_train_step, dedup_canonical_pick, curate_leakage_split,
-    curate_mixture_plan, curate_quality_funnel, curate_ccnet_buckets —
+    curate_mixture_plan, curate_quality_funnel, curate_ccnet_buckets,
+    text_bpe_train —
     each three-scale-checked locally, see their inline comments). All
-    fifteen lead the r11 window together with the r6-green relational
+    sixteen lead the r11 window together with the r6-green relational
     block (q_sessionize .. q_local_supplier_volume) that r9 promised and
     this rotation displaced again — deliberately: first-ever rows beat
     refreshing four-round-old green ones, and after r10 the never-graded
@@ -357,6 +358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the Sennrich trainer's argmax, corpus collapsed to a vocab-
         # sized table after one count pass)
         "text_bpe_train_step": text.text_bpe_train_step,
+        # new in r10 (late): FULL BPE training — unrolled greedy merge
+        # rounds, each merge selected by weighted pair argmax and APPLIED
+        # in-plan via a broadcast 1-row cross + string left-fold (no
+        # driver round-trips); emits the merge table a tokenizer ships
+        "text_bpe_train": text.text_bpe_train,
         # new in r10 (late): quality-aware canonical selection — within
         # every near-dup component keep the BEST copy (n_chars argmax,
         # doc_id tie-break), the curation policy above dedup_cc's

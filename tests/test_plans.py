@@ -222,6 +222,9 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "curate_mixture_plan": 3,
     # ccnet buckets inherit text_lm_score's 1-row V smoothing cross
     "curate_ccnet_buckets": 1,
+    # full BPE training: one 1-row merge-argmax cross per unrolled round,
+    # with earlier rounds' crosses re-printed under later rounds' subtrees
+    "text_bpe_train": 4,
     # event-analytics (r9c): 1-row totals crossed into the day/pair table
     "q_cusum_changepoint": 1,
     "q_market_basket": 1,

@@ -170,3 +170,19 @@ def test_ccnet_buckets_are_balanced_tertiles_of_the_fluency_order(spark, sf_dir)
         assert got == want, lang
         names = {1: "head", 2: "middle", 3: "tail"}
         assert all(r["bucket"] == names[r["bucket_idx"]] for r in members)
+
+
+# --- text_bpe_train ---------------------------------------------------------
+
+
+def test_bpe_train_applies_each_merge_before_the_next_count(spark, tmp_path):
+    # words: aaab (freq 2), ab (freq 1)
+    # round 1: (a,a) = 2x2 = 4 beats (a,b) = 2+1 = 3    -> aaab = 'aa a b'
+    # round 2: (a,b) = 2+1 = 3 beats (aa,a) = 2         -> 'aa ab' / 'ab'
+    # round 3: (aa,ab) = 2
+    sf = _docs_dir(spark, tmp_path, [(1, "aaab aaab ab")])
+    got = [
+        (r["merge_round"], r["p1"], r["p2"], r["cnt"])
+        for r in text.text_bpe_train(spark, sf).collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]

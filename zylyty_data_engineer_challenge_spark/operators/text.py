@@ -1317,3 +1317,157 @@ ORACLE_SQL["text_bpe_train_step"] = f"""
     WHERE merge_rank <= {BPE_TOP_MERGES}
     ORDER BY merge_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Full BPE tokenizer training (unrolled merge rounds, merges applied in-plan)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 3  # unrolled greedy merge rounds
+
+# greedy left-to-right BPE merge as a string fold: acc holds the merged
+# prefix (space-separated symbols); a token x joins the last symbol iff
+# (last == p1 AND x == p2), where "last == p1" is the boundary-safe
+# test acc = p1 OR acc ends with ' '||p1 — space separation makes the
+# suffix test unambiguous. The fold's left-to-right order IS the BPE
+# convention (in 'a a a' merging (a,a) produces 'aa a', never 'a aa'),
+# and a symbol created this round never re-merges this round because
+# the new last token p1||p2 fails the p1 boundary test. Verified
+# bit-identical between Spark's aggregate() and DuckDB's list_reduce.
+_BPE_MERGE_FOLD = (
+    "aggregate(slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),"
+    " split(sym, ' ')[0],"
+    " (acc, x) -> CASE WHEN x = p2 AND (acc = p1 OR endswith(acc, concat(' ', p1)))"
+    " THEN concat(substring(acc, 1, length(acc) - length(p1)), p1, p2)"
+    " ELSE concat(acc, ' ', x) END)"
+)
+
+
+def _bpe_pair_top(syms: DataFrame) -> DataFrame:
+    """1-row (p1, p2, cnt) argmax of the weighted adjacent-pair counts of
+    a symbolized vocabulary — the greedy trainer's merge selection, with
+    a (cnt desc, p1, p2) total tie-break (TakeOrdered, deterministic)."""
+    toks = F.split("sym", " ")
+    pairs = (
+        syms.select("freq", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "freq",
+            F.explode(F.expr("sequence(0, size(t) - 2)")).alias("i"),
+            "t",
+        )
+        .select("freq", F.expr("t[i]").alias("p1"), F.expr("t[i + 1]").alias("p2"))
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(1)
+    )
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016), not just one
+    statistics pass: ``BPE_TRAIN_ROUNDS`` greedy merge rounds, each
+    selecting the highest-count adjacent symbol pair over the
+    frequency-weighted word vocabulary and APPLYING the merge in-plan —
+    the merge is a broadcast 1-row cross + a string left-fold
+    (``_BPE_MERGE_FOLD``), so the iteration never round-trips a merge
+    table through the driver (the same no-collect stance as
+    :func:`..cluster.kmeans_lloyd`'s broadcast centroids). Emits the
+    merge table itself — (round, p1, p2, cnt) — the artifact a
+    tokenizer ships; :func:`text_bpe_tokens` is the apply side.
+
+    Only ``^[a-z0-9]+$`` words enter the trainer (symbols must never
+    collide with the space separator or regex metachars; a production
+    tokenizer's byte-fallback alphabet changes the constant, not the
+    plan). Scale: after the one corpus-sized word count, every round is
+    VOCABULARY-sized (pair agg + 1-row TakeOrdered + map-side fold) —
+    the classic compression that makes each merge round independent of
+    corpus size; rounds unroll in one Catalyst plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = words.select(
+        "freq",
+        F.expr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), ' ')"
+        ).alias("sym"),
+    )
+    merge_rows = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        top = _bpe_pair_top(syms)
+        merge_rows.append(
+            top.select(
+                F.lit(rnd).cast("int").alias("merge_round"), "p1", "p2", "cnt"
+            )
+        )
+        syms = syms.crossJoin(F.broadcast(top)).select(
+            "freq", F.expr(_BPE_MERGE_FOLD).alias("sym")
+        )
+    out = merge_rows[0]
+    for more in merge_rows[1:]:
+        out = out.unionByName(more)
+    return out.orderBy("merge_round")
+
+
+def _bpe_train_oracle() -> str:
+    fold = (
+        "list_reduce(regexp_split_to_array(sym, ' '),"
+        " (acc, x) -> CASE WHEN x = p2 AND (acc = p1 OR ends_with(acc, ' ' || p1))"
+        " THEN substr(acc, 1, length(acc) - length(p1)) || p1 || p2"
+        " ELSE acc || ' ' || x END)"
+    )
+    ctes = [
+        """w AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                  FROM documents)
+            WHERE regexp_matches(w, '^[a-z0-9]+$')
+            GROUP BY w
+        )""",
+        """s0 AS (
+            SELECT freq,
+                   array_to_string(list_transform(generate_series(1, length(w)),
+                       i -> substr(w, i, 1)), ' ') AS sym
+            FROM w
+        )""",
+    ]
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        prev = f"s{rnd - 1}"
+        ctes.append(
+            f"""c{rnd} AS (
+            SELECT t[i] AS p1, t[i + 1] AS p2, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT t, freq, unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM (SELECT regexp_split_to_array(sym, ' ') AS t, freq
+                        FROM {prev})
+                  WHERE len(t) >= 2)
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""t{rnd} AS (
+            SELECT p1, p2, cnt FROM c{rnd}
+            ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 1
+        )"""
+        )
+        if rnd < BPE_TRAIN_ROUNDS:
+            ctes.append(
+                f"""s{rnd} AS (
+            SELECT freq, {fold} AS sym FROM {prev}, t{rnd}
+        )"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({rnd} AS INT) AS merge_round, p1, p2, cnt FROM t{rnd}"
+        for rnd in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(ctes) + f" {selects} ORDER BY merge_round"
+
+
+ORACLE_SQL["text_bpe_train"] = _bpe_train_oracle()
