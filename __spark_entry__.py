@@ -38,6 +38,7 @@ from zylyty_data_engineer_challenge_spark.queries import (
 )
 from zylyty_data_engineer_challenge_spark.streaming import (
     cdc_stream,
+    curate_stream,
     dedup_stream,
     index_stream,
     join_stream,
@@ -83,16 +84,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its oracle is the mechanical _recall_oracle() splice of
     sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
     gate combinator is pytest-pinned; every in-window candidate above
-    carries strictly more new information) plus the fifteen r10-late
+    carries strictly more new information) plus the sixteen r10-late
     additions that landed AFTER this window was frozen
     (stream_phash_append, stream_afp_append, text_lm_score,
     text_lm_append, text_lm_compact, sim_eval_mrr, sim_index_delete,
     then the curation-policy batch: text_repetition,
     text_bpe_train_step, dedup_canonical_pick, curate_leakage_split,
     curate_mixture_plan, curate_quality_funnel, curate_ccnet_buckets,
-    text_bpe_train —
+    text_bpe_train, stream_quality_funnel —
     each three-scale-checked locally, see their inline comments). All
-    sixteen lead the r11 window together with the r6-green relational
+    seventeen lead the r11 window together with the r6-green relational
     block (q_sessionize .. q_local_supplier_volume) that r9 promised and
     this rotation displaced again — deliberately: first-ever rows beat
     refreshing four-round-old green ones, and after r10 the never-graded
@@ -363,6 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-plan via a broadcast 1-row cross + string left-fold (no
         # driver round-trips); emits the merge table a tokenizer ships
         "text_bpe_train": text.text_bpe_train,
+        # new in r10 (late): the funnel as a LIVE streaming monitor —
+        # row-local gate flags, one-row additive counter state; oracle =
+        # the batch funnel SQL verbatim (stream-of-batches == one batch)
+        "stream_quality_funnel": curate_stream.stream_quality_funnel,
         # new in r10 (late): quality-aware canonical selection — within
         # every near-dup component keep the BEST copy (n_chars argmax,
         # doc_id tie-break), the curation policy above dedup_cc's
@@ -410,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(join_stream.ORACLE_SQL)
     out.update(index_stream.ORACLE_SQL)
     out.update(cdc_stream.ORACLE_SQL)
+    out.update(curate_stream.ORACLE_SQL)
     out.update(mm_stream.ORACLE_SQL)
     out.update(timeseries.ORACLE_SQL)
     return out

@@ -186,3 +186,40 @@ def test_bpe_train_applies_each_merge_before_the_next_count(spark, tmp_path):
         for r in text.text_bpe_train(spark, sf).collect()
     ]
     assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+
+# --- stream_quality_funnel ---------------------------------------------------
+
+
+def test_stream_funnel_equals_batch_across_multiple_micro_batches(spark, tmp_path):
+    # 3 flat parquet files + maxFilesPerTrigger=1 -> 3 genuine
+    # micro-batches; the additive counter state must reproduce the batch
+    # report exactly regardless of the split
+    import shutil
+
+    from zylyty_data_engineer_challenge_spark.schemas import DOCUMENTS
+    from zylyty_data_engineer_challenge_spark.streaming.curate_stream import (
+        quality_funnel_stream,
+    )
+
+    docs = [(i, ("the doc %d " % i) * (5 + i % 7)) for i in range(60)]
+    sf = _docs_dir(spark, tmp_path, docs)
+    feed = tmp_path / "feed"
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    for i in range(3):
+        staging = tmp_path / "staging" / f"chunk_{i}"
+        df.filter(df.doc_id % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            str(staging)
+        )
+        [part] = staging.glob("part-*.parquet")
+        feed.mkdir(parents=True, exist_ok=True)
+        shutil.copy(part, feed / f"chunk_{i}.parquet")
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    streamed = quality_funnel_stream(spark, stream).collect()
+    batch = curate.curate_quality_funnel(spark, sf).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert streamed[0]["survivors"] == 60
