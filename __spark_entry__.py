@@ -84,16 +84,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its oracle is the mechanical _recall_oracle() splice of
     sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
     gate combinator is pytest-pinned; every in-window candidate above
-    carries strictly more new information) plus the sixteen r10-late
+    carries strictly more new information) plus the seventeen r10-late
     additions that landed AFTER this window was frozen
     (stream_phash_append, stream_afp_append, text_lm_score,
     text_lm_append, text_lm_compact, sim_eval_mrr, sim_index_delete,
     then the curation-policy batch: text_repetition,
     text_bpe_train_step, dedup_canonical_pick, curate_leakage_split,
     curate_mixture_plan, curate_quality_funnel, curate_ccnet_buckets,
-    text_bpe_train, stream_quality_funnel —
+    text_bpe_train, stream_quality_funnel, q_snapshot_expire —
     each three-scale-checked locally, see their inline comments). All
-    seventeen lead the r11 window together with the r6-green relational
+    eighteen lead the r11 window together with the r6-green relational
     block (q_sessionize .. q_local_supplier_volume) that r9 promised and
     this rotation displaced again — deliberately: first-ever rows beat
     refreshing four-round-old green ones, and after r10 the never-graded
@@ -368,6 +368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row-local gate flags, one-row additive counter state; oracle =
         # the batch funnel SQL verbatim (stream-of-batches == one batch)
         "stream_quality_funnel": curate_stream.stream_quality_funnel,
+        # new in r10 (late): snapshot RETENTION — materialized version
+        # partitions, newest-N kept, older versions physically deleted
+        # (the VACUUM arc completing q_time_travel's read side); summary
+        # computed FROM the surviving store, oracle = recompute restricted
+        # to the retained versions
+        "q_snapshot_expire": warehouse.q_snapshot_expire,
         # new in r10 (late): quality-aware canonical selection — within
         # every near-dup component keep the BEST copy (n_chars argmax,
         # doc_id tie-break), the curation policy above dedup_cc's

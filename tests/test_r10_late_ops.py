@@ -223,3 +223,32 @@ def test_stream_funnel_equals_batch_across_multiple_micro_batches(spark, tmp_pat
     batch = curate.curate_quality_funnel(spark, sf).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
     assert streamed[0]["survivors"] == 60
+
+
+# --- q_snapshot_expire -------------------------------------------------------
+
+
+def test_snapshot_expire_physically_removes_and_is_idempotent(spark, sf_dir):
+    from zylyty_data_engineer_challenge_spark.catalog import hadoop_fs
+    from zylyty_data_engineer_challenge_spark.operators.dedup import _pair_cache_dir
+    from zylyty_data_engineer_challenge_spark.queries import warehouse
+
+    first = warehouse.q_snapshot_expire(spark, sf_dir).collect()
+    base = _pair_cache_dir(spark, sf_dir, modality="snapshots", src="events.parquet")
+    # the expired version's partition directory is physically gone,
+    # the retained ones physically present
+    fs, v1 = hadoop_fs(spark, f"{base}/state/version=v1")
+    assert not fs.exists(v1)
+    for v in ("v2", "v3"):
+        _, p = hadoop_fs(spark, f"{base}/state/version={v}")
+        assert fs.exists(p)
+    # marker-idempotent: identical rows on re-run
+    again = warehouse.q_snapshot_expire(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+    # retained reads are bit-unchanged by the vacuum: match the pure
+    # recompute (q_time_travel) on the retained versions
+    tt = {
+        r["version"]: tuple(r)
+        for r in warehouse.q_time_travel(spark, sf_dir).collect()
+    }
+    assert [tuple(r) for r in first] == [tt["v2"], tt["v3"]]

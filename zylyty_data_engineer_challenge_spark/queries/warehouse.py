@@ -1149,3 +1149,123 @@ def _skew_profile_oracle() -> str:
 
 
 ORACLE_SQL["q_skew_profile"] = _skew_profile_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention: expire old versions, physically (the VACUUM arc)
+# ---------------------------------------------------------------------------
+
+SNAP_RETAIN = 2  # versions kept by the retention policy (the newest N)
+
+
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RETENTION — the maintenance stage every versioned table
+    needs after :func:`q_time_travel` proves the read side: the three
+    reconstructed version snapshots are MATERIALIZED once (identity-
+    keyed, partitioned by version — each version one partition, the
+    Delta/Iceberg snapshot layout), then versions beyond the newest
+    ``SNAP_RETAIN`` are EXPIRED by physically deleting their partition
+    directories (what VACUUM / expire_snapshots does). The summary the
+    query emits is computed FROM THE SURVIVING STORE, so hash-equality
+    against the recompute-from-base+feed oracle (restricted to the
+    retained versions) proves three things at once: the materialized
+    snapshots were faithful, the expiry removed exactly the versions it
+    should, and retained reads are bit-unchanged by the vacuum.
+    Marker-idempotent per source identity: re-running builds nothing,
+    deletes nothing, and returns the identical rows (pytest also pins
+    that the expired partition is physically gone).
+
+    Scale: the build cost is q_time_travel's plan, paid once; expiry is
+    O(1) filesystem metadata per version; every later read prunes to
+    the retained partitions (version is the partition column).
+    """
+    from ..catalog import hadoop_fs
+    from ..operators.dedup import _pair_cache_dir
+
+    base = _pair_cache_dir(spark, sf_dir, modality="snapshots", src="events.parquet")
+    store = f"{base}/state"
+    fs, built = hadoop_fs(spark, f"{base}/_STATE_READY")
+    if not fs.exists(built):
+        versions = spark.createDataFrame(
+            [(v, d) for v, d in TT_VERSIONS], "version string, cut_date string"
+        ).select("version", F.to_timestamp("cut_date").alias("cut"))
+        ch = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        w = Window.partitionBy("version", "user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            ch.join(F.broadcast(versions), ch.ts < F.col("cut"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "version",
+                F.col("user_id").alias("key"),
+                (F.col("event_type") == "error").alias("is_delete"),
+            )
+        )
+        base_keys = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("key")
+        )
+        base_v = base_keys.crossJoin(
+            F.broadcast(versions.select("version"))
+        ).withColumn("in_base", F.lit(True))
+        state = (
+            base_v.join(latest, ["version", "key"], "full_outer")
+            .select(
+                "version",
+                "key",
+                (~F.coalesce("is_delete", F.lit(False))).alias("alive"),
+                (F.col("in_base").isNull() & ~F.coalesce("is_delete", F.lit(False)))
+                .alias("inserted"),
+                (
+                    F.coalesce("in_base", F.lit(False))
+                    & F.coalesce("is_delete", F.lit(False))
+                ).alias("deleted"),
+            )
+        )
+        state.repartition("version").write.mode("overwrite").partitionBy(
+            "version"
+        ).parquet(store)
+        fs.create(built, True).close()
+
+    retained = sorted(v for v, _ in TT_VERSIONS)[-SNAP_RETAIN:]
+    _, expired = hadoop_fs(spark, f"{base}/_EXPIRE_READY")
+    if not fs.exists(expired):
+        for v, _ in TT_VERSIONS:
+            if v not in retained:
+                part, gone = hadoop_fs(spark, f"{store}/version={v}")
+                if part.exists(gone):
+                    part.delete(gone, True)
+        fs.create(expired, True).close()
+
+    snaps = spark.read.parquet(store)
+    return (
+        snaps.groupBy("version")
+        .agg(
+            F.sum(F.when(F.col("alive"), 1).otherwise(0)).alias("n_alive"),
+            F.sum(F.when(F.col("inserted"), 1).otherwise(0)).alias("n_inserted"),
+            F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_deleted"),
+            F.sum(F.when(F.col("alive"), F.col("key")).otherwise(0)).alias(
+                "key_checksum"
+            ),
+        )
+        .orderBy("version")
+    )
+
+
+def _snapshot_expire_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip
+
+    retained = ", ".join(
+        f"'{v}'" for v in sorted(v for v, _ in TT_VERSIONS)[-SNAP_RETAIN:]
+    )
+    return f"""
+        SELECT * FROM ({_strip(ORACLE_SQL["q_time_travel"])})
+        WHERE version IN ({retained})
+        ORDER BY version
+    """
+
+
+ORACLE_SQL["q_snapshot_expire"] = _snapshot_expire_oracle()
