@@ -84,16 +84,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its oracle is the mechanical _recall_oracle() splice of
     sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
     gate combinator is pytest-pinned; every in-window candidate above
-    carries strictly more new information) plus the seventeen r10-late
+    carries strictly more new information) plus the nineteen r10-late
     additions that landed AFTER this window was frozen
     (stream_phash_append, stream_afp_append, text_lm_score,
     text_lm_append, text_lm_compact, sim_eval_mrr, sim_index_delete,
     then the curation-policy batch: text_repetition,
     text_bpe_train_step, dedup_canonical_pick, curate_leakage_split,
     curate_mixture_plan, curate_quality_funnel, curate_ccnet_buckets,
-    text_bpe_train, stream_quality_funnel, q_snapshot_expire —
+    text_bpe_train, stream_quality_funnel, q_snapshot_expire,
+    dedup_cluster_stats, pipeline_curate_policy —
     each three-scale-checked locally, see their inline comments). All
-    eighteen lead the r11 window together with the r6-green relational
+    twenty lead the r11 window together with the r6-green relational
     block (q_sessionize .. q_local_supplier_volume) that r9 promised and
     this rotation displaced again — deliberately: first-ever rows beat
     refreshing four-round-old green ones, and after r10 the never-graded
@@ -374,6 +375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # computed FROM the surviving store, oracle = recompute restricted
         # to the retained versions
         "q_snapshot_expire": warehouse.q_snapshot_expire,
+        # new in r10 (late): the dedup REPORT — cluster-size histogram +
+        # kept/removed counts readable in-band, off the persisted labels
+        "dedup_cluster_stats": graph.dedup_cluster_stats,
+        # new in r10 (late): the composed POLICY pipeline — funnel gates
+        # x quality-canonical x leakage-safe split in ONE Catalyst plan;
+        # oracle nests the three ops' SQL
+        "pipeline_curate_policy": curate.pipeline_curate_policy,
         # new in r10 (late): quality-aware canonical selection — within
         # every near-dup component keep the BEST copy (n_chars argmax,
         # doc_id tie-break), the curation policy above dedup_cc's

@@ -252,3 +252,42 @@ def test_snapshot_expire_physically_removes_and_is_idempotent(spark, sf_dir):
         for r in warehouse.q_time_travel(spark, sf_dir).collect()
     }
     assert [tuple(r) for r in first] == [tt["v2"], tt["v3"]]
+
+
+# --- dedup_cluster_stats / pipeline_curate_policy ----------------------------
+
+
+def test_cluster_stats_reconcile_with_labels(spark, sf_dir):
+    from collections import Counter
+
+    rows = graph.dedup_cluster_stats(spark, sf_dir).collect()
+    labels = graph.dedup_cc(spark, sf_dir).collect()
+    want = Counter(Counter(r["component"] for r in labels).values())
+    assert {r["cluster_size"]: r["n_clusters"] for r in rows} == dict(want)
+    # in-band reconciliation: sum(n_docs) == corpus, sum(n_clusters) == kept
+    assert sum(r["n_docs"] for r in rows) == len(labels)
+    assert sum(r["n_clusters"] for r in rows) == sum(
+        r["is_representative"] for r in labels
+    )
+
+
+def test_policy_pipeline_composes_its_parts(spark, sf_dir):
+    rows = curate.pipeline_curate_policy(spark, sf_dir).collect()
+    got = {r["doc_id"]: r["split"] for r in rows}
+    canon = {
+        r["doc_id"]
+        for r in graph.dedup_canonical_pick(spark, sf_dir).collect()
+        if r["is_canonical"] == 1
+    }
+    split = {
+        r["doc_id"]: r["split"]
+        for r in curate.curate_leakage_split(spark, sf_dir).collect()
+    }
+    funnel = curate.curate_quality_funnel(spark, sf_dir).collect()
+    survivors_all_gates = [r for r in funnel if r["stage"] == "repetition_cap"][0][
+        "survivors"
+    ]
+    assert set(got) <= canon
+    assert all(got[d] == split[d] for d in got)
+    # every survivor passed all gates; the funnel's final stage bounds it
+    assert len(got) <= survivors_all_gates

@@ -1511,3 +1511,132 @@ def _ccnet_buckets_oracle() -> str:
 
 
 ORACLE_SQL["curate_ccnet_buckets"] = _ccnet_buckets_oracle()
+
+
+# ---------------------------------------------------------------------------
+# The composed curation POLICY pipeline (funnel x canonical x split)
+# ---------------------------------------------------------------------------
+
+
+def pipeline_curate_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 curation-policy operators composed into the manifest a
+    training loader actually consumes: a document survives iff it passes
+    EVERY quality-funnel gate (:func:`curate_quality_funnel`'s cascade)
+    AND it is the quality-argmax canonical of its near-dup component
+    (:func:`..graph.dedup_canonical_pick`), and each survivor carries its
+    leakage-safe train/val/test assignment
+    (:func:`curate_leakage_split`). One declarative plan: Catalyst pushes
+    the cheap gates to the scan, the expensive component labels come from
+    the persisted pair cache, and the oracle nests the three ops'
+    SQL so the composition can never drift from its parts.
+    """
+    from .graph import dedup_canonical_pick
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _TEXT_STOPS])
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    bg = (
+        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> array_join(slice(toks, i + 1, 2), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n2"),
+            F.max("c").cast("bigint").alias("top2"),
+        )
+    )
+    passing = (
+        base.join(bg, "doc_id", "left")
+        .filter(
+            (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+            & (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_stop") * 20 >= F.col("n_tokens"))
+            & (F.coalesce("top2", F.lit(0)) * 5 < F.coalesce("n2", F.lit(0)))
+        )
+        .select("doc_id", "n_tokens")
+    )
+    canon = (
+        dedup_canonical_pick(spark, sf_dir)
+        .filter(F.col("is_canonical") == 1)
+        .select("doc_id")
+    )
+    split = curate_leakage_split(spark, sf_dir).select("doc_id", "split")
+    return (
+        passing.join(canon, "doc_id").join(split, "doc_id")
+        .select("doc_id", "n_tokens", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _curate_policy_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip
+    from .graph import ORACLE_SQL as _G
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, n_chars, regexp_split_to_array(text, '\\s+') AS toks
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks, w -> list_contains(
+                       [{_FUNNEL_STOPS}], w)))
+                       AS BIGINT) AS n_stop
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM t WHERE len(toks) >= 2)
+        ),
+        hist AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        bg AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+                   CAST(MAX(c) AS BIGINT) AS top2
+            FROM hist GROUP BY doc_id
+        ),
+        passing AS (
+            SELECT b.doc_id, b.n_tokens
+            FROM base b LEFT JOIN bg ON b.doc_id = bg.doc_id
+            WHERE b.n_chars >= {FUNNEL_MIN_CHARS}
+              AND b.n_tokens >= {MIN_TOKENS}
+              AND b.n_stop * 20 >= b.n_tokens
+              AND COALESCE(bg.top2, 0) * 5 < COALESCE(bg.n2, 0)
+        ),
+        canon AS (
+            SELECT doc_id FROM ({_strip(_G["dedup_canonical_pick"])})
+            WHERE is_canonical = 1
+        ),
+        split AS (
+            SELECT doc_id, split FROM ({_strip(ORACLE_SQL["curate_leakage_split"])})
+        )
+        SELECT p.doc_id, p.n_tokens, s.split
+        FROM passing p
+        JOIN canon c ON p.doc_id = c.doc_id
+        JOIN split s ON p.doc_id = s.doc_id
+        ORDER BY p.doc_id
+    """
+
+
+ORACLE_SQL["pipeline_curate_policy"] = _curate_policy_oracle()

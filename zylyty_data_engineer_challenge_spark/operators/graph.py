@@ -1149,3 +1149,51 @@ def _canonical_pick_oracle() -> str:
 
 
 ORACLE_SQL["dedup_canonical_pick"] = _canonical_pick_oracle()
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT — the two numbers and one histogram a data lead
+    reads after a dedup run: how many documents, how many clusters
+    (= surviving representatives), and the cluster-size distribution
+    (how much of the corpus sits in 1-, 2-, k-member near-dup clusters).
+    Emits one row per observed cluster size: the number of clusters of
+    that size and the documents they hold; ``n_clusters ==`` the kept
+    count and ``sum(n_docs) - n_clusters ==`` the removed count, so the
+    dedup rate is readable in-band without floats.
+
+    Plan/scale: component labels from the persisted pair cache + CC
+    (amortized); the report is two tiny aggregates on top (component-
+    keyed count, then size-keyed count) — both map-side combinable.
+    """
+    cc = dedup_cc(spark, sf_dir).select("component")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            (F.count("*") * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                "n_clusters", "n_docs")
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_stats_oracle() -> str:
+    return f"""
+        WITH cc AS (
+            SELECT component FROM ({_strip_order_by(ORACLE_SQL["dedup_cc"])})
+        ),
+        sizes AS (
+            SELECT component, COUNT(*) AS cluster_size FROM cc GROUP BY component
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+        FROM sizes
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """
+
+
+ORACLE_SQL["dedup_cluster_stats"] = _cluster_stats_oracle()
