@@ -84,7 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its oracle is the mechanical _recall_oracle() splice of
     sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
     gate combinator is pytest-pinned; every in-window candidate above
-    carries strictly more new information) plus the nineteen r10-late
+    carries strictly more new information) plus the twenty r10-late
     additions that landed AFTER this window was frozen
     (stream_phash_append, stream_afp_append, text_lm_score,
     text_lm_append, text_lm_compact, sim_eval_mrr, sim_index_delete,
@@ -92,9 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_bpe_train_step, dedup_canonical_pick, curate_leakage_split,
     curate_mixture_plan, curate_quality_funnel, curate_ccnet_buckets,
     text_bpe_train, stream_quality_funnel, q_snapshot_expire,
-    dedup_cluster_stats, pipeline_curate_policy —
+    dedup_cluster_stats, pipeline_curate_policy, dedup_source_overlap —
     each three-scale-checked locally, see their inline comments). All
-    twenty lead the r11 window together with the r6-green relational
+    twenty-one lead the r11 window together with the r6-green relational
     block (q_sessionize .. q_local_supplier_volume) that r9 promised and
     this rotation displaced again — deliberately: first-ever rows beat
     refreshing four-round-old green ones, and after r10 the never-graded
@@ -382,6 +382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x quality-canonical x leakage-safe split in ONE Catalyst plan;
         # oracle nests the three ops' SQL
         "pipeline_curate_policy": curate.pipeline_curate_policy,
+        # new in r10 (late): cross-source duplication matrix off the
+        # persisted pair cache — WHERE the duplication comes from;
+        # |sources|^2-bounded output regardless of corpus scale
+        "dedup_source_overlap": graph.dedup_source_overlap,
         # new in r10 (late): quality-aware canonical selection — within
         # every near-dup component keep the BEST copy (n_chars argmax,
         # doc_id tie-break), the curation policy above dedup_cc's

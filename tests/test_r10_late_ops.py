@@ -291,3 +291,26 @@ def test_policy_pipeline_composes_its_parts(spark, sf_dir):
     assert all(got[d] == split[d] for d in got)
     # every survivor passed all gates; the funnel's final stage bounds it
     assert len(got) <= survivors_all_gates
+
+
+def test_source_overlap_reconciles_with_the_pair_cache(spark, sf_dir):
+    from collections import Counter
+
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        minhash_pairs_cached,
+    )
+
+    rows = graph.dedup_source_overlap(spark, sf_dir).collect()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        ).collect()
+    }
+    pairs = minhash_pairs_cached(spark, sf_dir).select("d1", "d2").collect()
+    want = Counter(
+        tuple(sorted((src[p["d1"]], src[p["d2"]]))) for p in pairs
+    )
+    assert {(r["source_a"], r["source_b"]): r["n_pairs"] for r in rows} == dict(want)
+    assert sum(r["n_pairs"] for r in rows) == len(pairs)

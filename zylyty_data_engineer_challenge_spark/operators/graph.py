@@ -1197,3 +1197,57 @@ def _cluster_stats_oracle() -> str:
 
 
 ORACLE_SQL["dedup_cluster_stats"] = _cluster_stats_oracle()
+
+
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the report that tells a data
+    lead WHERE the duplication comes from (two crawl snapshots of the
+    same sites, a mirrored dump, a vendor reselling a public set): for
+    every unordered source pair, how many near-dup pairs cross it, and
+    how many stay inside one source (the diagonal). Directly actionable:
+    a hot off-diagonal cell means one of the two sources is largely
+    redundant and can be dropped before paying full-pipeline cost.
+
+    Plan/scale: the near-dup pairs come from the persisted identity-
+    keyed cache (one more amortized consumer); two broadcast-friendly
+    joins attach each side's source, and the matrix is a
+    |sources|^2-bounded aggregate — output is domain-count-sized
+    regardless of corpus scale.
+    """
+    pairs = minhash_pairs_cached(spark, sf_dir).select("d1", "d2")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
+    s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT d1, d2 FROM ({_strip_order_by(_DEDUP_ORACLE["dedup_minhash_lsh"])})
+        ),
+        labeled AS (
+            SELECT LEAST(a.source, b.source) AS source_a,
+                   GREATEST(a.source, b.source) AS source_b
+            FROM pairs p
+            JOIN documents a ON p.d1 = a.doc_id
+            JOIN documents b ON p.d2 = b.doc_id
+        )
+        SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM labeled
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """
+
+
+ORACLE_SQL["dedup_source_overlap"] = _source_overlap_oracle()
