@@ -148,6 +148,8 @@ def headline_queries() -> dict:
         "q_market_basket",
         "q_event_transitions",
         "q_time_travel",
+        "q_snapshot_expire",
+        "pipeline_curate_policy",
         "graph_neighbor_jaccard",
         "graph_bfs",
         "q_skew_profile",
