@@ -225,6 +225,9 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # full BPE training: one 1-row merge-argmax cross per unrolled round,
     # with earlier rounds' crosses re-printed under later rounds' subtrees
     "text_bpe_train": 4,
+    # apply inherits the trainer's three 1-row crosses; the final-vocab
+    # subtree re-prints them under the doc-words join as well
+    "text_bpe_apply": 7,
     # event-analytics (r9c): 1-row totals crossed into the day/pair table
     "q_cusum_changepoint": 1,
     "q_market_basket": 1,

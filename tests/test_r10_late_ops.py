@@ -314,3 +314,17 @@ def test_source_overlap_reconciles_with_the_pair_cache(spark, sf_dir):
     )
     assert {(r["source_a"], r["source_b"]): r["n_pairs"] for r in rows} == dict(want)
     assert sum(r["n_pairs"] for r in rows) == len(pairs)
+
+
+def test_bpe_apply_uses_the_trained_vocab(spark, tmp_path):
+    # trained merges on this corpus: (a,a), (a,b), (aa,ab) — see the
+    # trainer test; final vocab: aaab -> 'aaab' (1 sym after round 3's
+    # (aa,ab) merge), ab -> 'ab' (1 sym)
+    sf = _docs_dir(spark, tmp_path, [(1, "aaab aaab ab"), (2, "zz 42!")])
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_symbols_initial"], r["n_symbols"])
+        for r in text.text_bpe_apply(spark, sf).collect()
+    }
+    # doc 1: 3 eligible words, 4+4+2 = 10 chars, aaab=1 sym x2 + ab=1 sym
+    # doc 2: 'zz' eligible (2 chars, never merged -> 2 syms), '42!' not
+    assert got == {1: (3, 10, 3), 2: (1, 2, 2)}

@@ -1386,6 +1386,20 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic compression that makes each merge round independent of
     corpus size; rounds unroll in one Catalyst plan.
     """
+    merge_rows, _ = _bpe_trained(spark, sf_dir)
+    out = merge_rows[0]
+    for more in merge_rows[1:]:
+        out = out.unionByName(more)
+    return out.orderBy("merge_round")
+
+
+def _bpe_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared trainer chain: per-round 1-row merge tables plus the
+    FINAL word->symbolization vocabulary (w, freq, sym) after all
+    ``BPE_TRAIN_ROUNDS`` merges — :func:`text_bpe_train` emits the
+    former, :func:`text_bpe_apply` joins documents to the latter."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
@@ -1394,6 +1408,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     syms = words.select(
+        "w",
         "freq",
         F.expr(
             "array_join(transform(sequence(1, length(w)),"
@@ -1409,15 +1424,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         syms = syms.crossJoin(F.broadcast(top)).select(
-            "freq", F.expr(_BPE_MERGE_FOLD).alias("sym")
+            "w", "freq", F.expr(_BPE_MERGE_FOLD).alias("sym")
         )
-    out = merge_rows[0]
-    for more in merge_rows[1:]:
-        out = out.unionByName(more)
-    return out.orderBy("merge_round")
+    return merge_rows, syms
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_cte_chain() -> list[str]:
+    """The trainer's DuckDB CTE chain (word counts, per-round pair stats
+    + argmax + fold-applied vocab) — shared by the train and apply
+    oracles so the two can never drift."""
     fold = (
         "list_reduce(regexp_split_to_array(sym, ' '),"
         " (acc, x) -> CASE WHEN x = p2 AND (acc = p1 OR ends_with(acc, ' ' || p1))"
@@ -1433,7 +1448,7 @@ def _bpe_train_oracle() -> str:
             GROUP BY w
         )""",
         """s0 AS (
-            SELECT freq,
+            SELECT w, freq,
                    array_to_string(list_transform(generate_series(1, length(w)),
                        i -> substr(w, i, 1)), ' ') AS sym
             FROM w
@@ -1457,17 +1472,128 @@ def _bpe_train_oracle() -> str:
             ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 1
         )"""
         )
-        if rnd < BPE_TRAIN_ROUNDS:
-            ctes.append(
-                f"""s{rnd} AS (
-            SELECT freq, {fold} AS sym FROM {prev}, t{rnd}
+        # the final s{ROUNDS} is unused by the train oracle (DuckDB prunes
+        # unreferenced CTEs) but IS the trained vocabulary the apply
+        # oracle joins against
+        ctes.append(
+            f"""s{rnd} AS (
+            SELECT w, freq, {fold} AS sym FROM {prev}, t{rnd}
         )"""
-            )
+        )
+    return ctes
+
+
+def _bpe_train_oracle() -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({rnd} AS INT) AS merge_round, p1, p2, cnt FROM t{rnd}"
         for rnd in range(1, BPE_TRAIN_ROUNDS + 1)
     )
-    return "WITH " + ", ".join(ctes) + f" {selects} ORDER BY merge_round"
+    return (
+        "WITH " + ", ".join(_bpe_cte_chain()) + f" {selects} ORDER BY merge_round"
+    )
 
 
 ORACLE_SQL["text_bpe_train"] = _bpe_train_oracle()
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained merges — the other half of the tokenizer
+    lifecycle :func:`text_bpe_train` opens: every document is tokenized
+    with the vocabulary AS TRAINED (each word joins the post-merge
+    word->symbolization table; BPE merges are word-local, so the
+    vocab join IS the application — the same compression trick the
+    trainer exploits, reused at inference). Emits per document the
+    trainer-eligible word count, the initial symbol count (characters),
+    and the post-merge symbol count — the before/after a context-budget
+    planner reads; documents with no trainer-eligible words report a
+    zero row. Integer-only, and the oracle reuses the trainer's own CTE
+    chain so train and apply can never drift.
+
+    Scale: the vocab table is the broadcast-sized artifact; application
+    is one explode + one join + a doc-keyed aggregate — tokenization at
+    scan speed, never re-running merges per document.
+    """
+    _, vocab = _bpe_trained(spark, sf_dir)
+    per_word = vocab.select(
+        "w",
+        F.length("w").cast("bigint").alias("n_char_syms"),
+        F.size(F.split("sym", " ")).cast("bigint").alias("n_merged_syms"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = (
+        doc_words.join(per_word, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_char_syms")).cast("bigint").alias(
+                "n_symbols_initial"
+            ),
+            F.sum(F.col("n") * F.col("n_merged_syms")).cast("bigint").alias(
+                "n_symbols"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_symbols_initial", F.lit(0))
+            .cast("bigint")
+            .alias("n_symbols_initial"),
+            F.coalesce("n_symbols", F.lit(0)).cast("bigint").alias("n_symbols"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    final = f"s{BPE_TRAIN_ROUNDS}"
+    return (
+        "WITH "
+        + ", ".join(_bpe_cte_chain())
+        + f""",
+        per_word AS (
+            SELECT w,
+                   CAST(length(w) AS BIGINT) AS n_char_syms,
+                   CAST(len(regexp_split_to_array(sym, ' ')) AS BIGINT)
+                       AS n_merged_syms
+            FROM {final}
+        ),
+        doc_words AS (
+            SELECT doc_id, w, COUNT(*) AS n
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                  FROM documents)
+            WHERE regexp_matches(w, '^[a-z0-9]+$')
+            GROUP BY doc_id, w
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_words,
+                   CAST(SUM(n * n_char_syms) AS BIGINT) AS n_symbols_initial,
+                   CAST(SUM(n * n_merged_syms) AS BIGINT) AS n_symbols
+            FROM doc_words JOIN per_word USING (w)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+               COALESCE(a.n_symbols_initial, CAST(0 AS BIGINT))
+                   AS n_symbols_initial,
+               COALESCE(a.n_symbols, CAST(0 AS BIGINT)) AS n_symbols
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+    """
+    )
+
+
+ORACLE_SQL["text_bpe_apply"] = _bpe_apply_oracle()
