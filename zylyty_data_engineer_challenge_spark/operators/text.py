@@ -1423,7 +1423,13 @@ def _bpe_trained(
                 F.lit(rnd).cast("int").alias("merge_round"), "p1", "p2", "cnt"
             )
         )
-        syms = syms.crossJoin(F.broadcast(top)).select(
+        # LEFT join on TRUE, not crossJoin: if the vocabulary runs out of
+        # pairs before the round budget, top is EMPTY and a cross would
+        # silently erase the vocabulary; with a left join p1/p2 are NULL
+        # and the fold's x = p2 comparison three-values to ELSE, leaving
+        # every word unchanged (the pure-model semantics — pinned by the
+        # hypothesis trainer test on all-single-symbol corpora)
+        syms = syms.join(F.broadcast(top), F.lit(True), "left").select(
             "w", "freq", F.expr(_BPE_MERGE_FOLD).alias("sym")
         )
     return merge_rows, syms
@@ -1477,7 +1483,7 @@ def _bpe_cte_chain() -> list[str]:
         # oracle joins against
         ctes.append(
             f"""s{rnd} AS (
-            SELECT w, freq, {fold} AS sym FROM {prev}, t{rnd}
+            SELECT w, freq, {fold} AS sym FROM {prev} LEFT JOIN t{rnd} ON TRUE
         )"""
         )
     return ctes
