@@ -228,6 +228,11 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # apply inherits the trainer's three 1-row crosses; the final-vocab
     # subtree re-prints them under the doc-words join as well
     "text_bpe_apply": 7,
+    # the NPROBE sweep: trained-centroid broadcast under assign + probe
+    # (ivfpq's 2), the 4-row sweep-values cross, the bruteforce ground
+    # truth's query-set broadcast (1), with centroid crosses re-printed
+    # under the hits/ncand join subtrees
+    "sim_ann_param_sweep": 7,
     # event-analytics (r9c): 1-row totals crossed into the day/pair table
     "q_cusum_changepoint": 1,
     "q_market_basket": 1,

@@ -328,3 +328,28 @@ def test_bpe_apply_uses_the_trained_vocab(spark, tmp_path):
     # doc 1: 3 eligible words, 4+4+2 = 10 chars, aaab=1 sym x2 + ab=1 sym
     # doc 2: 'zz' eligible (2 chars, never merged -> 2 syms), '42!' not
     assert got == {1: (3, 10, 3), 2: (1, 2, 2)}
+
+
+# --- sim_ann_param_sweep -----------------------------------------------------
+
+
+def test_param_sweep_is_monotone_and_matches_the_deployed_point(spark, sf_dir):
+    from zylyty_data_engineer_challenge_spark.operators import similarity
+
+    rows = sorted(
+        similarity.sim_ann_param_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == list(similarity.SWEEP_NPROBES)
+    # more probed lists can only add candidates — but NOT necessarily
+    # hits: PQ-approximate scores let a widened candidate set displace a
+    # true neighbor from the top-k (the documented non-monotonicity that
+    # motivates the rerank stage), so only the cost axis is monotone
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_candidates"] >= prev["n_candidates"]
+    # the sweep point at the deployed NPROBE must agree with the standing
+    # ivfpq recall gate (same index, same queries, same ground truth)
+    deployed = [r for r in rows if r["nprobe"] == similarity.NPROBE][0]
+    gate = similarity.sim_ann_ivfpq_recall(spark, sf_dir).collect()
+    want_hits = sum(r["hits"] for r in gate)
+    assert deployed["hits"] == want_hits

@@ -2040,3 +2040,237 @@ def _delete_oracle() -> str:
 
 
 ORACLE_SQL["sim_index_delete"] = _delete_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Serving-parameter sweep: the recall-vs-cost curve behind NPROBE
+# ---------------------------------------------------------------------------
+
+SWEEP_NPROBES = (1, 2, 4, 8)  # the swept serving parameter values
+
+
+def sim_ann_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TUNING report behind every deployed ANN index: recall@k and
+    candidates-scanned for a sweep of NPROBE values, in ONE plan — the
+    curve an ops team reads before pinning the serving parameter (and
+    the in-band evidence that this repo's NPROBE=4 sits where it does).
+    The trick that makes the sweep cheap: probing and ADC scoring run
+    ONCE at max(SWEEP_NPROBES), each candidate remembering the probe
+    rank (crk) of the list it came from; a sweep point is then just a
+    ``crk <= nprobe`` filter over the already-scored table, so 4 sweep
+    points cost one index pass plus three windowed re-ranks over
+    output-sized data. Emits per nprobe: candidates scanned (the cost
+    axis), exact-top-k hits, and integer-ppm recall@k (the quality
+    axis). Note the curve is NOT guaranteed monotone: scoring is PQ
+    asymmetric distance, so a widened candidate set can admit a
+    quantization-misranked vector that DISPLACES a true neighbor from
+    the top-k (observed at sf0.001: recall_ppm 250000 at nprobe=2 vs
+    225000 at nprobe=4) — exactly the effect that makes the
+    retrieve-then-rerank stage (:func:`sim_ann_rerank`) worth its cost,
+    and the reason ops teams sweep instead of assuming "more probes is
+    better". Candidates scanned IS monotone (pytest-pinned).
+
+    Scale: identical shape to :func:`sim_ann_ivfpq` (broadcast
+    codebooks, list equi-join, LUT join over codes) — the sweep adds a
+    4-row broadcast cross and per-nprobe windows over candidate-sized
+    data. Evaluation at 100 TB runs on a query sample exactly like the
+    recall gates.
+    """
+    from .cluster import lloyd_centroids
+
+    emb = _quantized(spark, sf_dir)
+    cents = lloyd_centroids(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    assign = _l2_nearest_lists(cents, corpus.select("vec_id", "q"), "vec_id", 1)
+    max_np = max(SWEEP_NPROBES)
+    pscored = (
+        queries.select("query_id", F.col("qv").alias("q"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cid",
+            F.expr(
+                "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("cdist"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cid").asc()
+    )
+    probes = (
+        pscored.withColumn("crk", F.row_number().over(wp))
+        .filter(F.col("crk") <= max_np)
+        .select("query_id", "cid", "crk")
+    )
+    cand = probes.join(assign, "cid").select("query_id", "vec_id", "crk")
+    codes, lut = _pq_parts(emb)
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("pdot").alias("dot"),
+            F.sum("cn").alias("n2"),
+            F.min("crk").alias("crk"),
+        )
+    )
+    sweeps = spark.createDataFrame(
+        [(int(n),) for n in SWEEP_NPROBES], "nprobe int"
+    )
+    swept = scored.crossJoin(F.broadcast(sweeps)).filter(
+        F.col("crk") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    top = swept.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ANN_TOP_K
+    )
+    exact = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    denom = N_QUERIES * ANN_TOP_K
+    hits = (
+        top.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"))
+    )
+    return (
+        swept.groupBy("nprobe")
+        .agg(F.count("*").cast("bigint").alias("n_candidates"))
+        .join(hits, "nprobe")
+        .select(
+            "nprobe",
+            "n_candidates",
+            "hits",
+            F.expr(f"hits * 1000000 div {denom}").alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _param_sweep_oracle() -> str:
+    from .cluster import N_RECOMPUTE, _oracle_rounds
+
+    cn = f"c{N_RECOMPUTE}"
+    max_np = max(SWEEP_NPROBES)
+    sweep_vals = ", ".join(f"({n})" for n in SWEEP_NPROBES)
+    denom = N_QUERIES * ANN_TOP_K
+    return f"""
+    WITH {_oracle_rounds()},
+    corpus_assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT dims.vec_id, {cn}.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dims.vec_id
+                       ORDER BY SUM((dims.x - {cn}.cx) * (dims.x - {cn}.cx)),
+                                {cn}.cid) AS crk
+            FROM dims JOIN {cn} USING (d)
+            WHERE dims.vec_id >= {N_QUERIES}
+            GROUP BY dims.vec_id, {cn}.cid
+        ) WHERE crk = 1
+    ),
+    probes_rk AS (
+        SELECT vec_id AS query_id, cid, crk FROM (
+            SELECT dims.vec_id, {cn}.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dims.vec_id
+                       ORDER BY SUM((dims.x - {cn}.cx) * (dims.x - {cn}.cx)),
+                                {cn}.cid) AS crk
+            FROM dims JOIN {cn} USING (d)
+            WHERE dims.vec_id < {N_QUERIES}
+            GROUP BY dims.vec_id, {cn}.cid
+        ) WHERE crk <= {max_np}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id, p.crk
+        FROM probes_rk p JOIN corpus_assign a USING (cid)
+    ),
+    pos AS (
+        SELECT vec_id, CAST(d // {PQ_SUB} AS INT) AS m,
+               CAST(d % {PQ_SUB} AS INT) AS i, x
+        FROM dims
+    ),
+    cpos AS (
+        SELECT vec_id - {N_QUERIES} AS k, m, x AS y, i
+        FROM pos WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ),
+    cbn AS (SELECT k, m, CAST(SUM(y * y) AS BIGINT) AS cn FROM cpos GROUP BY 1, 2),
+    pqd AS (
+        SELECT p.vec_id, p.m, c.k,
+               CAST(SUM((p.x - c.y) * (p.x - c.y)) AS BIGINT) AS dist
+        FROM pos p JOIN cpos c ON p.m = c.m AND p.i = c.i
+        WHERE p.vec_id >= {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist ASC, k ASC) AS rk
+            FROM pqd) WHERE rk = 1
+    ),
+    lut AS (
+        SELECT p.vec_id AS query_id, c.m, c.k, CAST(SUM(p.x * c.y) AS BIGINT) AS pdot
+        FROM pos p JOIN cpos c ON p.m = c.m AND p.i = c.i
+        WHERE p.vec_id < {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT l.query_id, cd.vec_id,
+               CAST(SUM(l.pdot) AS BIGINT) AS dot,
+               CAST(SUM(n.cn) AS BIGINT) AS n2,
+               MIN(ca.crk) AS crk
+        FROM cand ca
+        JOIN codes cd ON cd.vec_id = ca.vec_id
+        JOIN lut l ON l.query_id = ca.query_id AND l.m = cd.m AND l.k = cd.k
+        JOIN cbn n ON n.m = cd.m AND n.k = cd.k
+        GROUP BY 1, 2
+    ),
+    sweeps(nprobe) AS (VALUES {sweep_vals}),
+    swept AS (
+        SELECT s.*, np.nprobe FROM scored s
+        JOIN sweeps np ON s.crk <= np.nprobe
+    ),
+    ranked AS (
+        SELECT nprobe, query_id, vec_id,
+               row_number() OVER (PARTITION BY nprobe, query_id
+                                  ORDER BY {_RANK_KEY_SQL} DESC, vec_id ASC)
+                   AS rank
+        FROM swept
+    ),
+    top AS (
+        SELECT nprobe, query_id, vec_id FROM ranked WHERE rank <= {ANN_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, vec_id
+        FROM ({_strip_order_by(ORACLE_SQL["sim_topk_bruteforce"])})
+        WHERE rank <= {ANN_TOP_K}
+    ),
+    hits AS (
+        SELECT t.nprobe,
+               CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS hits
+        FROM top t
+        LEFT JOIN exact e
+            ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+        GROUP BY t.nprobe
+    ),
+    ncand AS (
+        SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM swept GROUP BY nprobe
+    )
+    SELECT CAST(n.nprobe AS INT) AS nprobe, n.n_candidates, h.hits,
+           h.hits * 1000000 // {denom} AS recall_ppm
+    FROM ncand n JOIN hits h ON n.nprobe = h.nprobe
+    ORDER BY nprobe
+"""
+
+
+ORACLE_SQL["sim_ann_param_sweep"] = _param_sweep_oracle()
