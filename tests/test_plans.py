@@ -184,6 +184,7 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "text_lm_score": 1,  # 1-row context-vocab-size (V) smoothing cross
     "text_lm_append": 1,  # same V cross over the merged stored model
     "text_lm_compact": 1,  # same V cross over the compacted model
+    "text_lm_forget": 1,  # same V cross over the unlearned merged model
     "sim_index_delete": 2,  # the stored-probe plan (centroids + DPP echo)
     "sim_hybrid_rrf": 2,  # inherits bruteforce (1) + bm25 stats (1)
     "dedup_embedding_recall_sampled": 1,  # 1-row lsh-count cross in the gate

@@ -353,3 +353,45 @@ def test_param_sweep_is_monotone_and_matches_the_deployed_point(spark, sf_dir):
     gate = similarity.sim_ann_ivfpq_recall(spark, sf_dir).collect()
     want_hits = sum(r["hits"] for r in gate)
     assert deployed["hits"] == want_hits
+
+
+# --- text_lm_forget ----------------------------------------------------------
+
+
+def test_lm_forget_cancels_exactly_and_is_idempotent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from zylyty_data_engineer_challenge_spark.operators.dedup import _pair_cache_dir
+
+    first = text.text_lm_forget(spark, sf_dir).collect()
+    again = text.text_lm_forget(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+    # the merged store nets to the surviving corpus's counts exactly:
+    # no bigram unique to the revoked source survives the merge, and no
+    # surviving bigram lost mass
+    base = _pair_cache_dir(spark, sf_dir, modality="lm-forget")
+    merged = {
+        (r["w1"], r["w2"]): r["net"]
+        for r in spark.read.parquet(f"{base}/c12")
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("net"))
+        .filter(F.col("net") > 0)
+        .collect()
+    }
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators.text import (
+        FORGET_SOURCE,
+        _lm_bigrams,
+    )
+
+    survivors = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") != FORGET_SOURCE
+    )
+    want = {
+        (r["w1"], r["w2"]): r["c"]
+        for r in _lm_bigrams(survivors)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert merged == want

@@ -1603,3 +1603,80 @@ def _bpe_apply_oracle() -> str:
 
 
 ORACLE_SQL["text_bpe_apply"] = _bpe_apply_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Model unlearning: forget a revoked source, subtractively
+# ---------------------------------------------------------------------------
+
+FORGET_SOURCE = "src0"  # the revoked source the forget op removes
+
+
+def text_lm_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model UNLEARNING — the data-governance stage the LM lifecycle
+    still owed (train → append → compact → **forget**): a source is
+    revoked (licensing, takedown, contamination) and its contribution
+    must leave the persisted model WITHOUT a corpus-sized retrain.
+    Because the model state is additive counts, unlearning is exact
+    subtraction: the revoked source's own bigram counts are appended
+    NEGATED into the partial-count tree (one O(revoked-source) pass),
+    the read-time sum-merge cancels them, and rows that net to zero are
+    dropped — so the merged model is BIT-EQUAL to retraining on the
+    surviving corpus (vocabulary and smoothing V included: a context
+    seen only in the revoked source nets to zero and leaves c1, exactly
+    as a retrain would drop it). The surviving documents are then
+    scored against the unlearned model; the oracle is the full
+    retrain-without-the-source SQL, so hash-equality IS the unlearning
+    proof. Marker-idempotent per source identity.
+
+    Scale: the cost is one pass over the revoked slice plus the merge
+    read — the full retrain this replaces is corpus-sized; the same
+    asymmetry as :func:`text_lm_append`, pointed backwards.
+    """
+    from ..catalog import hadoop_fs
+    from .dedup import _pair_cache_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    revoked = F.col("source") == FORGET_SOURCE
+
+    base = _pair_cache_dir(spark, sf_dir, modality="lm-forget")
+    fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
+    if not fs.exists(built):
+        # the standing production model: trained on EVERYTHING, before
+        # anyone knew the source would be revoked
+        _lm_bigrams(docs).groupBy("w1", "w2").agg(
+            F.count("*").cast("bigint").alias("c12")
+        ).write.mode("overwrite").parquet(f"{base}/c12")
+        fs.create(built, True).close()
+
+    _, forgotten = hadoop_fs(spark, f"{base}/_FORGET_READY")
+    if not fs.exists(forgotten):
+        _lm_bigrams(docs.filter(revoked)).groupBy("w1", "w2").agg(
+            (-F.count("*")).cast("bigint").alias("c12")
+        ).write.mode("append").parquet(f"{base}/c12")
+        fs.create(forgotten, True).close()
+
+    # read-time sum-merge; exact cancellation drops the revoked mass and
+    # any context/bigram the source alone contributed
+    c12 = (
+        spark.read.parquet(f"{base}/c12")
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").cast("bigint").alias("c12"))
+        .filter(F.col("c12") > 0)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    return _lm_score_against(_lm_bigrams(docs.filter(~revoked)), c12, c1)
+
+
+def _lm_forget_oracle() -> str:
+    # the full retrain on the surviving corpus: unlearning must be
+    # indistinguishable from never having seen the source
+    sql = ORACLE_SQL["text_lm_score"]
+    assert sql.count("FROM documents") == 1
+    return sql.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE source <> '{FORGET_SOURCE}')",
+    )
+
+
+ORACLE_SQL["text_lm_forget"] = _lm_forget_oracle()
