@@ -84,7 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its oracle is the mechanical _recall_oracle() splice of
     sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
     gate combinator is pytest-pinned; every in-window candidate above
-    carries strictly more new information) plus the twenty-three r10-late
+    carries strictly more new information) plus the twenty-four r10-late
     additions that landed AFTER this window was frozen
     (stream_phash_append, stream_afp_append, text_lm_score,
     text_lm_append, text_lm_compact, sim_eval_mrr, sim_index_delete,
@@ -93,9 +93,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     curate_mixture_plan, curate_quality_funnel, curate_ccnet_buckets,
     text_bpe_train, stream_quality_funnel, q_snapshot_expire,
     dedup_cluster_stats, pipeline_curate_policy, dedup_source_overlap,
-    text_bpe_apply, sim_ann_param_sweep, text_lm_forget —
+    text_bpe_apply, sim_ann_param_sweep, text_lm_forget,
+    dedup_pairs_forget —
     each three-scale-checked locally, see their inline comments). All
-    twenty-four lead the r11 window together with the r6-green relational
+    twenty-five lead the r11 window together with the r6-green relational
     block (q_sessionize .. q_local_supplier_volume) that r9 promised and
     this rotation displaced again — deliberately: first-ever rows beat
     refreshing four-round-old green ones, and after r10 the never-graded
@@ -398,6 +399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # appended NEGATED, read-time merge cancels exactly; oracle = the
         # retrain-without-the-source SQL (unlearning proof by hash)
         "text_lm_forget": text.text_lm_forget,
+        # new in r10 (late): pair-store UNLEARNING — revoked docs purged
+        # from the band/pair store by rewrite-then-swap (physically gone);
+        # per-doc band determinism makes purge == rebuild-without-source,
+        # and the oracle is that rebuild's SQL
+        "dedup_pairs_forget": dedup.dedup_pairs_forget,
         # new in r10 (late): quality-aware canonical selection — within
         # every near-dup component keep the BEST copy (n_chars argmax,
         # doc_id tie-break), the curation policy above dedup_cc's

@@ -395,3 +395,36 @@ def test_lm_forget_cancels_exactly_and_is_idempotent(spark, sf_dir):
         .collect()
     }
     assert merged == want
+
+
+def test_pairs_forget_physically_purges_and_is_idempotent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators import dedup
+    from zylyty_data_engineer_challenge_spark.operators.dedup import _pair_cache_dir
+    from zylyty_data_engineer_challenge_spark.operators.text import FORGET_SOURCE
+
+    first = dedup.dedup_pairs_forget(spark, sf_dir).collect()
+    again = dedup.dedup_pairs_forget(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+    revoked = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == FORGET_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    assert revoked  # the guarantee must be exercised, not vacuous
+    base = _pair_cache_dir(spark, sf_dir, modality="pairs-forget")
+    # no revoked doc_id physically survives in either store file
+    band_docs = {
+        r["doc_id"] for r in spark.read.parquet(f"{base}/bands").collect()
+    }
+    assert not band_docs & revoked
+    pair_docs = {
+        d
+        for r in spark.read.parquet(f"{base}/pairs").collect()
+        for d in (r["d1"], r["d2"])
+    }
+    assert not pair_docs & revoked

@@ -2000,3 +2000,84 @@ ORACLE_SQL["dedup_containment"] = f"""
     WHERE common * 10 >= {CONTAIN_PCT} * least(s1, s2)
     ORDER BY d1, d2
 """
+
+
+# ---------------------------------------------------------------------------
+# Pair-store unlearning: purge a revoked source, physically
+# ---------------------------------------------------------------------------
+
+
+def dedup_pairs_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-store UNLEARNING — the governance stage for the dedup state,
+    beside the LM's subtractive forget (:func:`..text.text_lm_forget`)
+    and the ANN index's tombstone purge (:func:`..similarity.
+    sim_index_delete`): a revoked source's documents must leave the
+    persisted band/pair store, physically (takedowns reach derived
+    state too). Because MinHash bands are PER-DOCUMENT deterministic
+    and pair verification is pairwise, the pairs among survivors are
+    IDENTICAL whether or not the revoked documents were ever present —
+    so the purge is a pair of anti-join rewrites (bands rows of revoked
+    docs out; pairs touching any revoked doc out), and the oracle is
+    the full pair-detection SQL over the surviving corpus: hash-equality
+    proves purge ≡ rebuild-without-the-source at O(store) rewrite cost
+    instead of a corpus-sized re-detection. Marker-idempotent; pytest
+    additionally pins that no revoked doc_id physically survives in
+    either store file.
+    """
+    from ..catalog import hadoop_fs, load_table
+    from .text import FORGET_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _pair_cache_dir(spark, sf_dir, modality="pairs-forget")
+    fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
+    if not fs.exists(built):
+        # the standing production store: detection ran on EVERYTHING,
+        # before anyone knew the source would be revoked
+        _minhash_bands(docs.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/bands")
+        stored = spark.read.parquet(f"{base}/bands")
+        _jaccard_verify(_band_candidates(stored, stored), docs).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/pairs")
+        fs.create(built, True).close()
+
+    _, purged = hadoop_fs(spark, f"{base}/_FORGET_READY")
+    if not fs.exists(purged):
+        revoked = docs.filter(F.col("source") == FORGET_SOURCE).select("doc_id")
+        kept_bands = spark.read.parquet(f"{base}/bands").join(
+            revoked, "doc_id", "left_anti"
+        )
+        kept_pairs = (
+            spark.read.parquet(f"{base}/pairs")
+            .join(revoked.select(F.col("doc_id").alias("d1")), "d1", "left_anti")
+            .join(revoked.select(F.col("doc_id").alias("d2")), "d2", "left_anti")
+        )
+        # rewrite-then-swap: the revoked rows are physically gone, not
+        # filtered at read time (takedowns reach bytes on disk)
+        kept_bands.write.mode("overwrite").parquet(f"{base}/bands_next")
+        kept_pairs.write.mode("overwrite").parquet(f"{base}/pairs_next")
+        for name in ("bands", "pairs"):
+            _, old = hadoop_fs(spark, f"{base}/{name}")
+            fs.delete(old, True)
+            _, nxt = hadoop_fs(spark, f"{base}/{name}_next")
+            fs.rename(nxt, old)
+        fs.create(purged, True).close()
+
+    return spark.read.parquet(f"{base}/pairs").orderBy("d1", "d2")
+
+
+def _pairs_forget_oracle() -> str:
+    from .text import FORGET_SOURCE
+
+    # rebuild-without-the-source: band determinism is per-doc, so the
+    # purged store must equal detection run on the surviving corpus
+    sql = ORACLE_SQL["dedup_minhash_lsh"]
+    assert sql.count("FROM documents") == 1
+    return sql.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE source <> '{FORGET_SOURCE}')",
+    )
+
+
+ORACLE_SQL["dedup_pairs_forget"] = _pairs_forget_oracle()
