@@ -61,49 +61,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS DELIBERATE: the driver's correctness run grades the first
     50 entries, so each round the registry front-loads the queries whose
-    driver row carries the most NEW information. Round-10 rotation
-    (VERDICT r9 item 2): the window holds (a) the §2 reference surface
-    (always graded), (b) EVERY never-driver-graded entry in the registry
-    except one — the r9c TPC-H completion block, the event-analytics
-    trio + q_event_transitions, q_time_travel, graph_neighbor_jaccard,
-    curate_shard_assign, stream_cms_topk, sketch_vocab_jaccard,
-    q_skew_profile, the image/audio probes (now served from the
-    persisted signature stores, r10 item 1), curate_epoch_shuffle,
-    stream_cdc_apply, graph_bfs, text_quality_classifier, the JL
-    projection pair, and the r9-parked sim_index_compact +
-    pipeline_curate_all — (c) the operators added this round
-    (mm_phash_append, mm_audio_append, dedup_pairs_compact), (d) the
-    round's behavior-relevant change q_salted_join (its salt count is
-    now DECIDED by the skew-stats pass, r9 VERDICT item 7; oracle
-    unchanged — the graded row proves the decision path is
-    row-invisible), and (e) the streaming freshness debt
-    stream_sliding_window + stream_static_join (r5/r6 rows, VERDICT r9
-    item 5). That is 44 first-ever-or-stalest slots of 50.
+    driver row carries the most NEW information. Round-11 rotation
+    (VERDICT r10 item 1): after this window EVERY registry entry has at
+    least one driver-green row — 226/226 closure. The window holds
+    (a) the §2 reference surface (always graded, 7 rows), (b) ALL 25
+    never-driver-graded entries — sim_ann_rerank_recall plus the r10-late
+    batch (LM store lifecycle incl. forget, BPE train/apply, repetition
+    filters, streaming signature-store appends + quality funnel, snapshot
+    expiry, the curation-policy batch, pair-store forget, the NPROBE
+    sweep, MRR eval, index deletion) — and (c) the 18 stalest green rows:
+    the r1 pair (dedup_exact, text_top_ngrams — the latter also this
+    round's perf-watch item, VERDICT r10 item 7), the r4 pair
+    (q_forward_fill, q_unpivot), and the oldest r6 relational/warehouse
+    block the r9/r10 docstrings promised (q_sessionize .. q_asof_join).
 
-    The never-graded entries parked at 51+ are sim_ann_rerank_recall
-    (its oracle is the mechanical _recall_oracle() splice of
-    sim_ann_rerank's SQL — graded green in r9, code unchanged — and the
-    gate combinator is pytest-pinned; every in-window candidate above
-    carries strictly more new information) plus the twenty-four r10-late
-    additions that landed AFTER this window was frozen
-    (stream_phash_append, stream_afp_append, text_lm_score,
-    text_lm_append, text_lm_compact, sim_eval_mrr, sim_index_delete,
-    then the curation-policy batch: text_repetition,
-    text_bpe_train_step, dedup_canonical_pick, curate_leakage_split,
-    curate_mixture_plan, curate_quality_funnel, curate_ccnet_buckets,
-    text_bpe_train, stream_quality_funnel, q_snapshot_expire,
-    dedup_cluster_stats, pipeline_curate_policy, dedup_source_overlap,
-    text_bpe_apply, sim_ann_param_sweep, text_lm_forget,
-    dedup_pairs_forget —
-    each three-scale-checked locally, see their inline comments). All
-    twenty-five lead the r11 window together with the r6-green relational
-    block (q_sessionize .. q_local_supplier_volume) that r9 promised and
-    this rotation displaced again — deliberately: first-ever rows beat
-    refreshing four-round-old green ones, and after r10 the never-graded
-    pool is small enough that r11 can hold all of it plus the block. Every registered query is verified locally
-    every round by tools/oracle_check.py (and the
-    tests/test_oracle_gate.py suite gate) regardless of grading
-    position.
+    Positions 51+ keep their prior relative order; all were driver-graded
+    green in r1-r10 with code+oracle unchanged since, or changed only by
+    this round's pytest-pinned refactors (the store-served
+    sim_eval_mrr/sim_ann_param_sweep, the dedup_semantic cluster-size
+    cap — each hash-unchanged by construction, oracle identical). Every
+    registered query is verified locally every round by
+    tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
+    regardless of grading position.
     """
     return {
         # --- graded window (first 50) ---
@@ -115,7 +94,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
-        # r9c TPC-H shape completion — first driver rows
+        # ALL 25 never-driver-graded entries (r10 park list) — first rows
+        "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
+        "sim_eval_mrr": similarity.sim_eval_mrr,
+        "sim_ann_param_sweep": similarity.sim_ann_param_sweep,
+        "sim_index_delete": similarity.sim_index_delete,
+        "text_lm_score": text.text_lm_score,
+        "text_lm_append": text.text_lm_append,
+        "text_lm_compact": text.text_lm_compact,
+        "text_lm_forget": text.text_lm_forget,
+        "text_repetition": text.text_repetition,
+        "text_bpe_train_step": text.text_bpe_train_step,
+        "text_bpe_train": text.text_bpe_train,
+        "text_bpe_apply": text.text_bpe_apply,
+        "stream_phash_append": mm_stream.stream_phash_append,
+        "stream_afp_append": mm_stream.stream_afp_append,
+        "stream_quality_funnel": curate_stream.stream_quality_funnel,
+        "q_snapshot_expire": warehouse.q_snapshot_expire,
+        "dedup_cluster_stats": graph.dedup_cluster_stats,
+        "dedup_source_overlap": graph.dedup_source_overlap,
+        "dedup_canonical_pick": graph.dedup_canonical_pick,
+        "dedup_pairs_forget": dedup.dedup_pairs_forget,
+        "curate_leakage_split": curate.curate_leakage_split,
+        "curate_mixture_plan": curate.curate_mixture_plan,
+        "curate_quality_funnel": curate.curate_quality_funnel,
+        "curate_ccnet_buckets": curate.curate_ccnet_buckets,
+        "pipeline_curate_policy": curate.pipeline_curate_policy,
+        # stalest green rows: r1 pair, r4 pair, oldest r6 block
+        "dedup_exact": dedup.dedup_exact,
+        "text_top_ngrams": text.text_top_ngrams,
+        "q_forward_fill": analytics.q_forward_fill,
+        "q_unpivot": advanced.q_unpivot,
+        "q_sessionize": advanced.q_sessionize,
+        "q_time_rollup": analytics.q_time_rollup,
+        "q_recursive_cte": warehouse.q_recursive_cte,
+        "sketch_kmv_union": sketches.sketch_kmv_union,
+        "q_interval_overlap": advanced.q_interval_overlap,
+        "q_reservoir_sample": relational.q_reservoir_sample,
+        "mm_arrow_resize": multimodal.mm_arrow_resize,
+        "sim_ann_ivf": similarity.sim_ann_ivf,
+        "q_scd2_dim": warehouse.q_scd2_dim,
+        "q_window_extras": warehouse.q_window_extras,
+        "q_lateral_topn": warehouse.q_lateral_topn,
+        "q_bucketed_join": warehouse.q_bucketed_join,
+        "q_udtf_surface": analytics.q_udtf_surface,
+        "q_asof_join": advanced.q_asof_join,
         "q_min_cost_supplier": tpch.q_min_cost_supplier,
         "q_order_priority_check": tpch.q_order_priority_check,
         "q_nation_trade_volume": tpch.q_nation_trade_volume,
@@ -133,7 +156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_part_promotion_suppliers": tpch.q_part_promotion_suppliers,
         "q_waiting_suppliers": tpch.q_waiting_suppliers,
         "q_idle_wealthy_customers": tpch.q_idle_wealthy_customers,
-        # r9c event analytics / warehouse depth — first driver rows
         "q_outlier_mad": timeseries.q_outlier_mad,
         "q_cusum_changepoint": timeseries.q_cusum_changepoint,
         "q_market_basket": timeseries.q_market_basket,
@@ -144,37 +166,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_topk": sketch_stream.stream_cms_topk,
         "sketch_vocab_jaccard": sketches.sketch_vocab_jaccard,
         "q_skew_profile": warehouse.q_skew_profile,
-        # r10 behavior change: skew-stats-decided salt count (item 7)
         "q_salted_join": advanced.q_salted_join,
-        # r9c modality probes — store-served as of r10 (item 1)
         "mm_phash_probe": multimodal.mm_phash_probe,
         "mm_audio_probe": multimodal.mm_audio_probe,
-        # remaining r9c never-graded
         "curate_epoch_shuffle": curate.curate_epoch_shuffle,
         "stream_cdc_apply": cdc_stream.stream_cdc_apply,
         "graph_bfs": graph.graph_bfs,
         "text_quality_classifier": text.text_quality_classifier,
         "sim_random_projection": similarity.sim_random_projection,
         "sim_rp_distortion": similarity.sim_rp_distortion,
-        # streaming freshness debt (r5/r6 rows; r9 VERDICT item 5)
         "stream_sliding_window": views_stream.stream_sliding_window,
         "stream_static_join": views_stream.stream_static_join,
-        # r9-parked never-graded, promised for r10
         "sim_index_compact": similarity.sim_index_compact,
         "pipeline_curate_all": curate.pipeline_curate_all,
-        # new in r10: modality append parity (item 3) + pair-store
         "mm_phash_append": multimodal.mm_phash_append,
-        # compaction (item 4)
         "mm_audio_append": multimodal.mm_audio_append,
         "dedup_pairs_compact": dedup.dedup_pairs_compact,
         # ---- position 51+ (ungraded by the driver this round) ----
-        # sim_ann_rerank_recall is the single never-graded parkee —
-        # justification in the docstring; it leads the r11 window.
-        # Everything below keeps its prior relative order; all were
-        # driver-graded green in r1-r9 with code+oracle unchanged
-        # since (or changed only by this round's pytest-pinned
-        # refactors: the yardstick fences, the store-served band
-        # tables, dedup_minhash_append's extracted dir helper).
+        # prior relative order preserved; every entry below already has
+        # at least one driver-green row (r1-r10)
         "dedup_cc": graph.dedup_cc,
         "graph_triangles": graph.graph_triangles,
         "graph_kcore": graph.graph_kcore,
@@ -218,12 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention_cohorts": analytics.q_retention_cohorts,
         "sketch_hll_union": sketches.sketch_hll_union,
         "q_incremental_agg": warehouse.q_incremental_agg,
-        "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
-        "text_top_ngrams": text.text_top_ngrams,
-        "q_forward_fill": analytics.q_forward_fill,
-        "dedup_exact": dedup.dedup_exact,
         "stream_event_summary": views_stream.stream_event_summary,
-        "q_unpivot": advanced.q_unpivot,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,
@@ -299,21 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": graph.pagerank,
         "sketch_hll_registers": sketches.sketch_hll_registers,
         "text_redact": text.text_redact,
-        "q_sessionize": advanced.q_sessionize,
-        "q_time_rollup": analytics.q_time_rollup,
-        "q_recursive_cte": warehouse.q_recursive_cte,
-        "sketch_kmv_union": sketches.sketch_kmv_union,
-        "q_interval_overlap": advanced.q_interval_overlap,
-        "q_reservoir_sample": relational.q_reservoir_sample,
-        "mm_arrow_resize": multimodal.mm_arrow_resize,
-        "sim_ann_ivf": similarity.sim_ann_ivf,
         "text_bpe_tokens": text.text_bpe_tokens,
-        "q_scd2_dim": warehouse.q_scd2_dim,
-        "q_window_extras": warehouse.q_window_extras,
-        "q_lateral_topn": warehouse.q_lateral_topn,
-        "q_bucketed_join": warehouse.q_bucketed_join,
-        "q_udtf_surface": analytics.q_udtf_surface,
-        "q_asof_join": advanced.q_asof_join,
         "q_range_join": analytics.q_range_join,
         "q_gaps_islands": analytics.q_gaps_islands,
         "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
@@ -327,101 +318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_check": text.text_contamination_check,
         "q_shipping_priority": relational.q_shipping_priority,
         "q_local_supplier_volume": relational.q_local_supplier_volume,
-        # new in r10 (late): streaming signature-store maintenance for
-        # the image/audio modalities — streaming-append parity across
-        # all four modalities; landed after the r10 window was frozen,
-        # three-scale-checked locally, first in line for r11 together
-        # with sim_ann_rerank_recall and the r6 relational block.
-        "stream_phash_append": mm_stream.stream_phash_append,
-        "stream_afp_append": mm_stream.stream_afp_append,
-        # new in r10 (late): bigram-LM fluency scoring — the perplexity-
-        # filter shape (train on corpus, score every doc), integer-exact
-        "text_lm_score": text.text_lm_score,
-        # new in r10 (late): label-ground-truth MRR of both serving paths
-        # side by side — the external-relevance eval beside the recall@k
-        # (cosine-agreement) gates
-        "sim_eval_mrr": similarity.sim_eval_mrr,
-        # new in r10 (late): the LM model tables as a persisted,
-        # incrementally-maintained artifact — batch counts appended and
-        # sum-merged; append == full retrain exactly (additive counts)
-        "text_lm_append": text.text_lm_append,
-        # new in r10 (late): LM model-store compaction — partial counts
-        # sum-merged and rewritten one-file-per-bucket, score-invisible
-        "text_lm_compact": text.text_lm_compact,
-        # new in r10 (late): index DELETION — tombstones excluded before
-        # ranking (oracle re-closes ranks over survivors), physical
-        # purge rewrite probe-equal to the logical anti-join path
-        "sim_index_delete": similarity.sim_index_delete,
-        # new in r10 (late): Gopher-style within-document repetition
-        # signals (duplicate / top n-gram occurrence counts per doc x
-        # gram width) — integer numerators for the classic repetition
-        # quality filters; pure per-document map, no corpus-global state
-        "text_repetition": text.text_repetition,
-        # new in r10 (late): BPE tokenizer TRAINING inner loop — vocab-
-        # weighted adjacent-pair statistics + ranked merge candidates
-        # (the Sennrich trainer's argmax, corpus collapsed to a vocab-
-        # sized table after one count pass)
-        "text_bpe_train_step": text.text_bpe_train_step,
-        # new in r10 (late): FULL BPE training — unrolled greedy merge
-        # rounds, each merge selected by weighted pair argmax and APPLIED
-        # in-plan via a broadcast 1-row cross + string left-fold (no
-        # driver round-trips); emits the merge table a tokenizer ships
-        "text_bpe_train": text.text_bpe_train,
-        # new in r10 (late): the funnel as a LIVE streaming monitor —
-        # row-local gate flags, one-row additive counter state; oracle =
-        # the batch funnel SQL verbatim (stream-of-batches == one batch)
-        "stream_quality_funnel": curate_stream.stream_quality_funnel,
-        # new in r10 (late): snapshot RETENTION — materialized version
-        # partitions, newest-N kept, older versions physically deleted
-        # (the VACUUM arc completing q_time_travel's read side); summary
-        # computed FROM the surviving store, oracle = recompute restricted
-        # to the retained versions
-        "q_snapshot_expire": warehouse.q_snapshot_expire,
-        # new in r10 (late): the dedup REPORT — cluster-size histogram +
-        # kept/removed counts readable in-band, off the persisted labels
-        "dedup_cluster_stats": graph.dedup_cluster_stats,
-        # new in r10 (late): the composed POLICY pipeline — funnel gates
-        # x quality-canonical x leakage-safe split in ONE Catalyst plan;
-        # oracle nests the three ops' SQL
-        "pipeline_curate_policy": curate.pipeline_curate_policy,
-        # new in r10 (late): cross-source duplication matrix off the
-        # persisted pair cache — WHERE the duplication comes from;
-        # |sources|^2-bounded output regardless of corpus scale
-        "dedup_source_overlap": graph.dedup_source_overlap,
-        # new in r10 (late): APPLY the trained merges — documents join
-        # the post-merge vocab (merges are word-local, so the vocab join
-        # IS the application); before/after symbol counts per doc
-        "text_bpe_apply": text.text_bpe_apply,
-        # new in r10 (late): the NPROBE tuning curve — recall@k + scanned
-        # candidates per sweep value, from ONE scored pass (crk filter)
-        "sim_ann_param_sweep": similarity.sim_ann_param_sweep,
-        # new in r10 (late): model UNLEARNING — a revoked source's counts
-        # appended NEGATED, read-time merge cancels exactly; oracle = the
-        # retrain-without-the-source SQL (unlearning proof by hash)
-        "text_lm_forget": text.text_lm_forget,
-        # new in r10 (late): pair-store UNLEARNING — revoked docs purged
-        # from the band/pair store by rewrite-then-swap (physically gone);
-        # per-doc band determinism makes purge == rebuild-without-source,
-        # and the oracle is that rebuild's SQL
-        "dedup_pairs_forget": dedup.dedup_pairs_forget,
-        # new in r10 (late): quality-aware canonical selection — within
-        # every near-dup component keep the BEST copy (n_chars argmax,
-        # doc_id tie-break), the curation policy above dedup_cc's
-        # structural min-id representative
-        "dedup_canonical_pick": graph.dedup_canonical_pick,
-        # new in r10 (late): leakage-safe split — the hash bucket is the
-        # near-dup COMPONENT, so a test doc can never have a near-dup in
-        # train (eval-integrity version of text_train_split)
-        "curate_leakage_split": curate.curate_leakage_split,
-        # new in r10 (late): largest-remainder mixture apportionment —
-        # integer per-source quotas summing EXACTLY to the budget
-        "curate_mixture_plan": curate.curate_mixture_plan,
-        # new in r10 (late): the filter-cascade funnel report — one
-        # conditional-aggregation pass, survivors + dropped per gate
-        "curate_quality_funnel": curate.curate_quality_funnel,
-        # new in r10 (late): CCNet per-language perplexity tertiles over
-        # the corpus-LM fluency score (head / middle / tail)
-        "curate_ccnet_buckets": curate.curate_ccnet_buckets,
     }
 
 
