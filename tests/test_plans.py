@@ -415,6 +415,45 @@ def test_index_probe_matches_in_memory_ivfpq(spark, tmp_path):
     assert got == want
 
 
+def test_index_rerank_matches_in_memory_rerank(spark, tmp_path):
+    """The store-served two-stage path (what sim_eval_mrr scores) must be
+    byte-identical to the in-memory rerank: every stored artifact is
+    integer-exact, so the PQ shortlist — and the exact rerank over it —
+    cannot drift. This is the pin that lets sim_eval_mrr keep
+    sim_ann_rerank's oracle while reading the persisted index."""
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        got = similarity.sim_index_rerank(spark, SF_DIR).collect()
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+    want = similarity.sim_ann_rerank(spark, SF_DIR).collect()
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "fn", [similarity.sim_eval_mrr, similarity.sim_ann_param_sweep]
+)
+def test_eval_queries_serve_from_pruned_stored_codes(spark, tmp_path, fn):
+    """The eval canaries (MRR, NPROBE sweep) must read the PERSISTED
+    cid-partitioned code table with dynamic partition pruning — never
+    rebuild the index in-plan (r10 VERDICT item 2: an eval that re-encodes
+    the corpus per run is a rebuild, not a canary)."""
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        plan = formatted_plan(fn(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+    pf = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "cid" in line
+    ]
+    assert pf, f"codes scan lost its cid partition filter:\n{plan}"
+    assert any("dynamicpruning" in line for line in pf), (
+        f"cid filter is not dynamic pruning:\n{pf}"
+    )
+
+
 def test_filtered_ann_pushes_metadata_predicate(spark):
     """sim_filtered_ann's lang predicate must reach the documents parquet
     scan (pre-filter at the source, not a post-scan Filter), and the
