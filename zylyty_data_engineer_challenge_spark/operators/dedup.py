@@ -1181,6 +1181,102 @@ ORACLE_SQL["dedup_exact_substring"] = f"""
 """
 
 
+SEM_CLUSTER_CAP = 4096  # max members per semantic-dedup matmul block
+
+
+def _semantic_pair_tasks(members: DataFrame, cap: int = SEM_CLUSTER_CAP) -> DataFrame:
+    """Bounded-task decomposition of the within-cluster all-pairs work:
+    clusters of <= ``cap`` members stay one task; a cluster of ``csize``
+    members is hash-split into ``nb = ceil(csize/cap)`` blocks
+    (xxhash64 of vec_id, so adversarial id patterns can't skew a block)
+    and EVERY unordered block pair (bi <= bj) becomes its own task — a
+    member of block b is emitted once per task it participates in: as
+    the left side of (b, j) for j in b..nb-1 and as the right side of
+    (i, b) for i in 0..b-1. Together the tasks cover exactly the
+    within-cluster pair set (pair (u, w) lives in precisely the task of
+    its two blocks), so the downstream keep-mask is blocking-invariant;
+    what changes is the contract that NO task ever holds more than two
+    blocks' worth of rows — the mega-cluster straggler/OOM guard.
+
+    Returns (cid, bi, bj, b, vec_id, q, n); replication factor per
+    member is its cluster's nb — Σ size·ceil(size/cap) ≈ Σ size²/cap
+    rows, the same total pairwise work sliced into cap-bounded tasks.
+    """
+    sized = (
+        members.join(
+            members.groupBy("cid").agg(F.count("*").alias("csize")), "cid"
+        )
+        .withColumn(
+            "nb",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("csize") / F.lit(cap))
+            ).cast("int"),
+        )
+        .withColumn("b", F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int"))
+    )
+    left = sized.select(
+        "cid",
+        F.col("b").alias("bi"),
+        F.explode(F.sequence(F.col("b"), F.col("nb") - 1)).alias("bj"),
+        "b",
+        "vec_id",
+        "q",
+        "n",
+    )
+    right = sized.filter(F.col("b") > 0).select(
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.col("b") - 1)).alias("bi"),
+        F.col("b").alias("bj"),
+        "b",
+        "vec_id",
+        "q",
+        "n",
+    )
+    return left.unionByName(right)
+
+
+def _semantic_dropped(members: DataFrame, cap: int = SEM_CLUSTER_CAP) -> DataFrame:
+    """Distinct vec_ids with a lower-id same-cluster neighbor at cosine
+    >= the near-dup threshold — the SemDeDup drop set, computed as one
+    Arrow-batched numpy matmul per bounded block-pair task."""
+    import pandas as pd
+
+    def drop_in_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        _, bi, bj = key
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        v = pdf["vec_id"].to_numpy()[order]
+        a = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
+        n = pdf["n"].to_numpy()[order].astype(np.int64)
+        if bi == bj:
+            dots = a @ a.T
+            sim = (dots > 0) & (
+                COS_DEN * dots * dots >= COS_NUM * n[:, None] * n[None, :]
+            )
+            # v is ascending: column j dropped iff any row i<j is similar
+            dropped = v[np.triu(sim, k=1).any(axis=0)]
+        else:
+            side = pdf["b"].to_numpy()[order]
+            li = side == bi
+            rj = side == bj
+            dots = a[li] @ a[rj].T
+            sim = (dots > 0) & (
+                COS_DEN * dots * dots >= COS_NUM * n[li][:, None] * n[rj][None, :]
+            )
+            ii, jj = np.nonzero(sim)
+            # cross-block pair (u, w): the higher id is the dropped one
+            dropped = np.unique(np.maximum(v[li][ii], v[rj][jj]))
+        return pd.DataFrame({"vec_id": dropped})
+
+    return (
+        _semantic_pair_tasks(members, cap)
+        .groupBy("cid", "bi", "bj")
+        .applyInPandas(drop_in_block, schema="vec_id bigint")
+        .distinct()
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with the trained
@@ -1203,16 +1299,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (the whole point of the method at 100 TB): all-pairs cosine is
     O(n²); clustering first makes it Σ|cluster|² ≈ n²/K, and K grows
     with the corpus (the codebook stays a broadcast-sized K x D table).
-    Each cluster's pairwise block is ONE Arrow-batched numpy matmul task
-    (pixels^H compute shape of :func:`dedup_embedding_cosine`'s blocked
-    kernel, here keyed by cid instead of hash blocks) — no shuffle
-    beyond the groupBy(cid), no interpreted per-pair HOFs. A skewed
-    mega-cluster is the method's known failure mode; production guards
-    by splitting clusters above a size cap (re-clustering the overflow),
-    which this corpus never triggers.
+    Each cluster's pairwise work runs as Arrow-batched numpy matmul
+    tasks (the compute shape of :func:`dedup_embedding_cosine`'s blocked
+    kernel, here keyed by cid) — no shuffle beyond the groupBy, no
+    interpreted per-pair HOFs. A skewed MEGA-CLUSTER is the method's
+    known failure mode — one cluster holding most of the corpus turns
+    its matmul task into the job's straggler (and an executor OOM) —
+    guarded here by the cluster-size cap: clusters above
+    SEM_CLUSTER_CAP members are hash-split into blocks and every block
+    PAIR becomes its own bounded task (:func:`_semantic_pair_tasks`),
+    which covers exactly the same within-cluster pair set, so the
+    keep-mask — and the oracle — are unchanged (r10 VERDICT item 3;
+    the bounded-task contract and the mega-cluster differential are
+    pinned by tests/test_semantic_dedup.py).
     """
-    import pandas as pd
-
     from .cluster import lloyd_labels_cached
     from .similarity import _quantized
 
@@ -1224,25 +1324,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("cluster").alias("cid")
     )
     members = labels.join(emb.select("vec_id", "q", "n"), "vec_id")
-
-    def drop_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        v = pdf["vec_id"].to_numpy()[order]
-        a = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
-        n = pdf["n"].to_numpy()[order].astype(np.int64)
-        dots = a @ a.T
-        sim = (dots > 0) & (
-            COS_DEN * dots * dots >= COS_NUM * n[:, None] * n[None, :]
-        )
-        # v is ascending, so column j is dropped iff any row i<j is similar
-        dropped = v[np.triu(sim, k=1).any(axis=0)]
-        return pd.DataFrame({"vec_id": dropped})
-
-    dropped = members.groupBy("cid").applyInPandas(
-        drop_in_cluster, schema="vec_id bigint"
-    )
+    dropped = _semantic_dropped(members)
     return (
         labels.join(
             dropped.withColumn("dropped", F.lit(1)), "vec_id", "left"
