@@ -69,11 +69,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     batch (LM store lifecycle incl. forget, BPE train/apply, repetition
     filters, streaming signature-store appends + quality funnel, snapshot
     expiry, the curation-policy batch, pair-store forget, the NPROBE
-    sweep, MRR eval, index deletion) — and (c) the 18 stalest green rows:
-    the r1 pair (dedup_exact, text_top_ngrams — the latter also this
-    round's perf-watch item, VERDICT r10 item 7), the r4 pair
+    sweep, MRR eval, index deletion) — (c) the three operators ADDED
+    this round (VERDICT r10 item 4): mm_phash_forget / mm_afp_forget /
+    cluster_labels_forget, the takedown purges for the image/audio
+    signature stores and the Lloyd label store — and (d) the 15 stalest
+    green rows: the r1 pair (dedup_exact, text_top_ngrams — the latter
+    also this round's perf-watch item, VERDICT r10 item 7), the r4 pair
     (q_forward_fill, q_unpivot), and the oldest r6 relational/warehouse
-    block the r9/r10 docstrings promised (q_sessionize .. q_asof_join).
+    block the r9/r10 docstrings promised (q_sessionize ..
+    q_lateral_topn; its tail q_bucketed_join/q_udtf_surface/q_asof_join
+    leads position 51+, displaced by the new forget trio).
 
     Positions 51+ keep their prior relative order; all were driver-graded
     green in r1-r10 with code+oracle unchanged since, or changed only by
@@ -136,6 +141,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_dim": warehouse.q_scd2_dim,
         "q_window_extras": warehouse.q_window_extras,
         "q_lateral_topn": warehouse.q_lateral_topn,
+        # new in r11 (VERDICT r10 item 4): the remaining stores' forget
+        # paths — image/audio signature stores and the Lloyd label store
+        # get the same rewrite-then-swap purge as the MinHash pair store
+        "mm_phash_forget": multimodal.mm_phash_forget,
+        "mm_afp_forget": multimodal.mm_afp_forget,
+        "cluster_labels_forget": cluster.cluster_labels_forget,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # prior relative order preserved; every entry below already has
+        # at least one driver-green row (r1-r10)
         "q_bucketed_join": warehouse.q_bucketed_join,
         "q_udtf_surface": analytics.q_udtf_surface,
         "q_asof_join": advanced.q_asof_join,
@@ -182,9 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_append": multimodal.mm_phash_append,
         "mm_audio_append": multimodal.mm_audio_append,
         "dedup_pairs_compact": dedup.dedup_pairs_compact,
-        # ---- position 51+ (ungraded by the driver this round) ----
-        # prior relative order preserved; every entry below already has
-        # at least one driver-green row (r1-r10)
         "dedup_cc": graph.dedup_cc,
         "graph_triangles": graph.graph_triangles,
         "graph_kcore": graph.graph_kcore,

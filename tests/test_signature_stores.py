@@ -174,3 +174,77 @@ def test_mm_stream_append_equals_rebuild_and_exactly_once(
 
     second = sorted(tuple(r) for r in sfn(spark, sf_dir).collect())
     assert second == first, f"{modality}: re-trigger duplicated pairs"
+
+
+def test_mm_forget_physically_purges_and_is_idempotent(spark, sf_dir, pair_cache):
+    """The image/audio takedown (r11): after the purge no revoked doc_id
+    may physically survive in either the signature or pair parquet, and a
+    re-run is a pure store read (marker idempotency)."""
+    from pyspark.sql import functions as F
+
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators.dedup import _pair_cache_dir
+    from zylyty_data_engineer_challenge_spark.operators.text import FORGET_SOURCE
+
+    revoked = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == FORGET_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    assert revoked  # the guarantee must be exercised, not vacuous
+
+    for fn, modality in (
+        (multimodal.mm_phash_forget, "phash-forget"),
+        (multimodal.mm_afp_forget, "audio-forget"),
+    ):
+        first = fn(spark, sf_dir).collect()
+        again = fn(spark, sf_dir).collect()
+        assert [tuple(r) for r in again] == [tuple(r) for r in first]
+        base = _pair_cache_dir(spark, sf_dir, modality=modality)
+        sig_docs = {
+            r["doc_id"] for r in spark.read.parquet(f"{base}/sigs").collect()
+        }
+        assert sig_docs and not sig_docs & revoked
+        pair_docs = {
+            d
+            for r in spark.read.parquet(f"{base}/pairs").collect()
+            for d in (r["d1"], r["d2"])
+        }
+        assert not pair_docs & revoked
+
+
+def test_labels_forget_physically_purges_and_matches_frozen_assignment(
+    spark, sf_dir, pair_cache
+):
+    """The Lloyd label-store takedown (r11): zero revoked vec_ids survive
+    in the stored parquet, survivors' labels equal the frozen-centroid
+    assignment, the revocation set is the SAME set sim_index_delete
+    tombstones, and a re-run is a pure read."""
+    from zylyty_data_engineer_challenge_spark.operators import cluster, similarity
+    from zylyty_data_engineer_challenge_spark.operators.dedup import _pair_cache_dir
+
+    assert cluster.LABELS_FORGET_MOD == similarity.DEL_MOD
+    assert cluster.LABELS_FORGET_REM == similarity.DEL_REM
+
+    first = cluster.cluster_labels_forget(spark, sf_dir).collect()
+    again = cluster.cluster_labels_forget(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+
+    base = _pair_cache_dir(
+        spark, sf_dir, modality="lloyd-forget", src="embeddings.parquet"
+    )
+    stored = spark.read.parquet(f"{base}/labels").collect()
+    assert stored
+    assert all(
+        r["vec_id"] % cluster.LABELS_FORGET_MOD != cluster.LABELS_FORGET_REM
+        for r in stored
+    )
+    # survivors' rows are exactly the frozen-model assignment, filtered
+    want = [
+        tuple(r)
+        for r in cluster.kmeans_lloyd(spark, sf_dir).collect()
+        if r["vec_id"] % cluster.LABELS_FORGET_MOD != cluster.LABELS_FORGET_REM
+    ]
+    assert sorted(tuple(r) for r in stored) == sorted(want)

@@ -1590,3 +1590,112 @@ def mm_audio_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL["mm_audio_append"] = ORACLE_SQL["mm_audio_dedup"]
+
+
+# ---------------------------------------------------------------------------
+# Signature-store unlearning: purge a revoked source (r11)
+# ---------------------------------------------------------------------------
+
+
+def _mm_signatures_forget(
+    spark: SparkSession,
+    sf_dir: str,
+    modality: str,
+    sig_compute,
+    n_bands: int,
+    ham_max: int,
+) -> DataFrame:
+    """Shared takedown kernel for the banded-signature modalities — the
+    governance stage the image/audio stores were missing (r10 VERDICT
+    item 4), mirroring :func:`..dedup.dedup_pairs_forget`'s
+    rewrite-then-swap over the MinHash store: a revoked source's
+    documents must leave BOTH persisted artifacts (the per-document
+    signatures and the pair list), physically — a takedown that leaves a
+    fingerprint of the revoked media in derived state has not taken it
+    down. Because a signature depends only on its own document's bytes
+    and the Hamming verify is pairwise from carried signatures, the
+    surviving store is IDENTICAL whether or not the revoked documents
+    were ever present, so the purge is two anti-join rewrites (sigs rows
+    of revoked docs out; pairs touching any revoked doc out) and the
+    oracle is the full detection SQL over the surviving corpus:
+    hash-equality proves purge ≡ rebuild-without-the-source at O(store)
+    rewrite cost. Marker-idempotent; pytest pins zero revoked doc_ids
+    physically surviving in either parquet tree."""
+    from .dedup import _pair_cache_dir
+    from .text import FORGET_SOURCE
+    from ..catalog import hadoop_fs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _pair_cache_dir(spark, sf_dir, modality=f"{modality}-forget")
+    fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
+    if not fs.exists(built):
+        # the standing production store: the corpus was fingerprinted
+        # before anyone knew the source would be revoked
+        sig_compute(docs).write.mode("overwrite").parquet(f"{base}/sigs")
+        bands = _explode_bands(spark.read.parquet(f"{base}/sigs"), n_bands)
+        _banded_pairs(bands, bands, n_bands, ham_max).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/pairs")
+        fs.create(built, True).close()
+
+    _, purged = hadoop_fs(spark, f"{base}/_FORGET_READY")
+    if not fs.exists(purged):
+        revoked = docs.filter(F.col("source") == FORGET_SOURCE).select("doc_id")
+        kept_sigs = spark.read.parquet(f"{base}/sigs").join(
+            revoked, "doc_id", "left_anti"
+        )
+        kept_pairs = (
+            spark.read.parquet(f"{base}/pairs")
+            .join(revoked.select(F.col("doc_id").alias("d1")), "d1", "left_anti")
+            .join(revoked.select(F.col("doc_id").alias("d2")), "d2", "left_anti")
+        )
+        kept_sigs.write.mode("overwrite").parquet(f"{base}/sigs_next")
+        kept_pairs.write.mode("overwrite").parquet(f"{base}/pairs_next")
+        for name in ("sigs", "pairs"):
+            _, old = hadoop_fs(spark, f"{base}/{name}")
+            fs.delete(old, True)
+            _, nxt = hadoop_fs(spark, f"{base}/{name}_next")
+            fs.rename(nxt, old)
+        fs.create(purged, True).close()
+
+    return spark.read.parquet(f"{base}/pairs").orderBy("d1", "d2")
+
+
+def mm_phash_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE signature-store unlearning: purge a revoked source's aHash
+    signatures and every pair touching them from the persisted phash
+    store, physically (rewrite-then-swap). Completes the takedown story
+    across the stores: LM model (:func:`..text.text_lm_forget`), MinHash
+    pair store (:func:`..dedup.dedup_pairs_forget`), ANN index
+    (:func:`..similarity.sim_index_delete`), image here, audio
+    :func:`mm_afp_forget`, labels :func:`..cluster.cluster_labels_forget`."""
+    return _mm_signatures_forget(
+        spark, sf_dir, "phash", _phash_sig_compute, PHASH_BANDS, PHASH_HAMMING_MAX
+    )
+
+
+def mm_afp_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO signature-store unlearning — :func:`mm_phash_forget`'s audio
+    twin over the energy-profile fingerprint store."""
+    return _mm_signatures_forget(
+        spark, sf_dir, "audio", _afp_sig_compute, AFP_BANDS, AFP_HAMMING_MAX
+    )
+
+
+def _mm_forget_oracle(dedup_key: str) -> str:
+    from .text import FORGET_SOURCE
+
+    # rebuild-without-the-source: signatures are per-document
+    # deterministic, so the purged store must equal detection run on the
+    # surviving corpus (the dedup_pairs_forget discipline)
+    sql = ORACLE_SQL[dedup_key]
+    if sql.count("FROM documents") != 1:  # explicit: survives `python -O`
+        raise RuntimeError(f"{dedup_key} oracle documents-scan anchor drifted")
+    return sql.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE source <> '{FORGET_SOURCE}')",
+    )
+
+
+ORACLE_SQL["mm_phash_forget"] = _mm_forget_oracle("mm_phash_dedup")
+ORACLE_SQL["mm_afp_forget"] = _mm_forget_oracle("mm_audio_dedup")
