@@ -172,20 +172,75 @@ def headline_queries() -> dict:
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_", "curate_")
     names += [n for n in all_q if n.startswith(extended_prefixes)]
-    # EXCLUSION LIST (documented, not silent): the stream_* family (14
-    # ops) is excluded by construction — each executes a bounded
-    # micro-batch replay with checkpoint/sink setup per call, so a
-    # best-of-2 wall clock measures the replay harness, not a query
-    # plan; their latency characteristics are covered by their own
-    # module tests and the driver's correctness rows instead. Every
-    # non-stream registered query is benched (asserted here so a future
-    # addition cannot silently drop out of the bench).
+    # EXCLUSION LIST (documented, not silent): the stream_* family is
+    # excluded from the HEADLINE metric by construction — each executes
+    # a bounded micro-batch replay with checkpoint/sink setup per call,
+    # so a best-of-2 wall clock measures the replay harness, not a query
+    # plan. Since r11 they are measured in their own lane instead
+    # (bench_stream_queries: one cold replay per op in a fresh state
+    # root, reported as the separate stream_queries/stream_total block).
+    # Every non-stream registered query is benched in the headline
+    # (asserted here so a future addition cannot silently drop out).
     missing = [
         n for n in all_q if n not in set(names) and not n.startswith("stream_")
     ]
     if missing:
         raise RuntimeError(f"unbenched non-stream queries: {missing}")
     return {n: all_q[n] for n in names if n in all_q}
+
+
+STREAM_STATE_CONFS = (
+    # every durable-artifact root the streaming ops resolve; pointed at a
+    # fresh bench-owned dir so each stream query actually processes its
+    # micro-batches instead of no-op-reading a previous run's state
+    "spark.zylyty.pairCacheDir",
+    "spark.zylyty.streamSinkDir",
+    "spark.zylyty.streamLateDir",
+    "spark.zylyty.annIndexDir",
+    "spark.zylyty.formatDir",
+)
+
+
+def bench_stream_queries(spark) -> dict[str, float]:
+    """The streaming latency lane (r10 VERDICT item 5): cold-replay wall
+    seconds per stream query — each op runs ONCE inside a fresh state
+    root (all durable-artifact confs redirected), so the number covers
+    checkpoint setup + any base-store build the op performs + its
+    bounded availableNow micro-batch replay. Deliberately a SEPARATE
+    metric from the headline (a best-of-N wall clock over a replay
+    harness measures the harness, not a query plan — bench.py has
+    excluded stream_* from the headline since r9 for exactly that
+    reason); what this lane buys is round-over-round visibility: the
+    harness is fixed, so a latency regression in the state-store path,
+    the foreachBatch encode, or watermark handling moves these numbers."""
+    import shutil
+    import tempfile
+
+    import __spark_entry__ as entry_mod
+
+    stream_q = {
+        n: fn for n, fn in entry_mod.queries().items() if n.startswith("stream_")
+    }
+    root = tempfile.mkdtemp(prefix="zylyty_bench_stream_")
+    prev = {c: spark.conf.get(c, None) for c in STREAM_STATE_CONFS}
+    for c in STREAM_STATE_CONFS:
+        spark.conf.set(c, os.path.join(root, c.rsplit(".", 1)[-1]))
+    timings: dict[str, float] = {}
+    try:
+        for name, fn in stream_q.items():
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.2f}s (stream lane)", file=sys.stderr)
+    finally:
+        for c, v in prev.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+        shutil.rmtree(root, ignore_errors=True)
+    return timings
 
 
 def main() -> int:
@@ -211,6 +266,9 @@ def main() -> int:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
+    stream_timings = bench_stream_queries(spark)
+    stream_total = round(sum(stream_timings.values()), 3)
+
     total = round(sum(timings.values()), 3)
     # like-for-like comparison: the benched set grows every round, so the
     # headline total is NOT comparable across rounds; this field sums the
@@ -225,6 +283,11 @@ def main() -> int:
         "value_r01_subset": r01_subset,
         "n_r01_subset": sum(1 for n in timings if n in R01_BENCH_SET),
         "queries": timings,
+        # the streaming latency lane (separate metric: cold replay in a
+        # fresh state root, harness included — see bench_stream_queries)
+        "stream_queries": stream_timings,
+        "stream_total": stream_total,
+        "n_stream_queries": len(stream_timings),
         "sf": _sf_from_dir(SF_DIR),
         # cross-round caveat: r4/r5 hosts run this same best-of-2
         # harness ~1.4x slower than r3's on queries whose code and
@@ -252,6 +315,8 @@ def main() -> int:
         "n_queries": len(timings),
         "queries": slowest,
         "queries_truncated": True,
+        "stream_total": stream_total,
+        "n_stream_queries": len(stream_timings),
         "sf": full["sf"],
         "full_artifact": "BENCH_LAST.json",
     }
