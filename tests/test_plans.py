@@ -454,6 +454,21 @@ def test_eval_queries_serve_from_pruned_stored_codes(spark, tmp_path, fn):
     )
 
 
+def test_top_ngrams_is_single_shuffle_topk(spark):
+    """text_top_ngrams' contract (r10 VERDICT item 7 follow-up): partial
+    hash agg -> ONE exchange -> final agg -> TakeOrderedAndProject. The
+    r10 bench moved 0.19->0.57 s on this query; the code is byte-equal to
+    r01's and this pin proves the plan still is — so the move is host
+    variance, and any future real shape regression (second shuffle, lost
+    distributed top-k) fails here instead of hiding in the noise band."""
+    from zylyty_data_engineer_challenge_spark.operators import text
+
+    plan = physical_plan(text.text_top_ngrams(spark, SF_DIR))
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1, plan
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert count_nodes(plan, "HashAggregate") == 2, plan
+
+
 def test_filtered_ann_pushes_metadata_predicate(spark):
     """sim_filtered_ann's lang predicate must reach the documents parquet
     scan (pre-filter at the source, not a post-scan Filter), and the
