@@ -199,6 +199,11 @@ def build(spark) -> None:
         evx = evx.union(p)
     evx.coalesce(8).write.mode("overwrite").parquet(str(OUT / "events.parquet"))
     del ev
+    _build_documents(spark)
+    _build_embeddings(spark)
+
+
+def _build_documents(spark) -> None:
     # documents: generated word salad from the real vocabulary
     docs = load_table(spark, BASE, "documents")
     from pyspark.sql import Window
@@ -267,6 +272,9 @@ def build(spark) -> None:
     full.union(dup).coalesce(8).write.mode("overwrite").parquet(
         str(OUT / "documents.parquet")
     )
+
+
+def _build_embeddings(spark) -> None:
     # embeddings: replicas with offset ids (true duplicate vectors)
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     parts = [
@@ -277,6 +285,79 @@ def build(spark) -> None:
     for p in parts[1:]:
         embx = embx.union(p)
     embx.coalesce(4).write.mode("overwrite").parquet(str(OUT / "embeddings.parquet"))
+
+
+# --- 100x mode (r10 VERDICT item 6) -----------------------------------------
+# The top cost centers re-measured at another 10x (documents/embeddings
+# only — these queries touch no relational table, and a 60M-row lineitem
+# build would dominate the tool's runtime for nothing). Each query runs
+# at x10 and x100 and the tool prints the measured scaling exponent
+# log10(t100/t10): 1.0 = linear in corpus size, <1 sub-linear (fixed
+# overheads amortizing), >1 super-linear (a plan that will not survive
+# the next 10x unless the growth is output-bound by construction).
+OUT100 = Path("/root/repo/.scale/x100")
+X100_REPLICAS = 100
+X100_N_DOCS = 500_000
+
+X100_QUERIES = [
+    "sim_index_build",  # train + encode + partitioned write
+    "sim_index_probe",  # serve from the x100 index (DPP-pruned scan)
+    "dedup_cc",  # MinHash detection -> persisted pair cache -> CC
+    "dedup_semantic",  # cluster-then-cosine with the r11 size cap
+    "pipeline_curate_policy",  # funnel x canonical x leakage split
+    "text_bpe_train",  # vocab-weighted merge rounds
+]
+
+
+def build_x100(spark) -> None:
+    """Documents + embeddings at 100x sf0.1 — same generative recipes as
+    build() (word-salad text with 2% planted near-dups; replicated
+    vectors = true duplicate clusters), ten times larger."""
+    global OUT, REPLICAS, N_DOCS
+    saved = (OUT, REPLICAS, N_DOCS)
+    try:
+        OUT, REPLICAS, N_DOCS = OUT100, X100_REPLICAS, X100_N_DOCS
+        OUT.mkdir(parents=True, exist_ok=True)
+        _build_documents(spark)
+        _build_embeddings(spark)
+    finally:
+        OUT, REPLICAS, N_DOCS = saved
+
+
+def x100_main() -> int:
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    spark = get_spark("scale-smoke-x100")
+    if "--rebuild" in sys.argv or not (OUT / "documents.parquet").exists():
+        build(spark)
+    if "--rebuild" in sys.argv or not (OUT100 / "documents.parquet").exists():
+        t0 = time.time()
+        build_x100(spark)
+        print(f"# built {OUT100} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    subset = [a for a in sys.argv[1:] if not a.startswith("--")] or X100_QUERIES
+    out = {"x10_wall": {}, "x100_wall": {}, "exponent": {}, "n_rows": {}}
+    for t in ("documents", "embeddings"):
+        out["n_rows"][t] = spark.read.parquet(
+            str(OUT100 / f"{t}.parquet")
+        ).count()
+    for name in subset:
+        for label, root in (("x10_wall", OUT), ("x100_wall", OUT100)):
+            t0 = time.time()
+            queries[name](spark, str(root)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[label][name] = round(time.time() - t0, 2)
+            print(f"# {name} {label}: {out[label][name]}s", file=sys.stderr)
+        out["exponent"][name] = round(
+            math.log10(max(out["x100_wall"][name], 0.01) / max(out["x10_wall"][name], 0.01)),
+            2,
+        )
+    print(json.dumps(out))
+    return 0
 
 
 def main() -> int:
@@ -315,4 +396,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(x100_main() if "--x100" in sys.argv else main())
