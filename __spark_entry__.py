@@ -22,6 +22,7 @@ from zylyty_data_engineer_challenge_spark.operators import (
     curate,
     dedup,
     graph,
+    lexical,
     multimodal,
     similarity,
     sketches,
@@ -69,16 +70,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     batch (LM store lifecycle incl. forget, BPE train/apply, repetition
     filters, streaming signature-store appends + quality funnel, snapshot
     expiry, the curation-policy batch, pair-store forget, the NPROBE
-    sweep, MRR eval, index deletion) — (c) the three operators ADDED
-    this round (VERDICT r10 item 4): mm_phash_forget / mm_afp_forget /
-    cluster_labels_forget, the takedown purges for the image/audio
-    signature stores and the Lloyd label store — and (d) the 15 stalest
-    green rows: the r1 pair (dedup_exact, text_top_ngrams — the latter
-    also this round's perf-watch item, VERDICT r10 item 7), the r4 pair
-    (q_forward_fill, q_unpivot), and the oldest r6 relational/warehouse
-    block the r9/r10 docstrings promised (q_sessionize ..
-    q_lateral_topn; its tail q_bucketed_join/q_udtf_surface/q_asof_join
-    leads position 51+, displaced by the new forget trio).
+    sweep, MRR eval, index deletion) — (c) the seven operators ADDED
+    this round: the bm25_index_* lexical-index lifecycle
+    (build/probe/append/forget) and the takedown purges mm_phash_forget
+    / mm_afp_forget / cluster_labels_forget (VERDICT r10 item 4) — and
+    (d) the 11 stalest green rows: the r1 pair (dedup_exact,
+    text_top_ngrams — the latter also this round's perf-watch item,
+    VERDICT r10 item 7), the r4 pair (q_forward_fill, q_unpivot), and
+    the oldest r6 relational/warehouse rows (q_sessionize ..
+    mm_arrow_resize; the block's tail sim_ann_ivf/q_scd2_dim/
+    q_window_extras/q_lateral_topn/q_bucketed_join/q_udtf_surface/
+    q_asof_join leads position 51+, displaced by the r11 additions —
+    r6-green, age 4, within the freshness contract).
 
     Positions 51+ keep their prior relative order; all were driver-graded
     green in r1-r10 with code+oracle unchanged since, or changed only by
@@ -137,10 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_overlap": advanced.q_interval_overlap,
         "q_reservoir_sample": relational.q_reservoir_sample,
         "mm_arrow_resize": multimodal.mm_arrow_resize,
-        "sim_ann_ivf": similarity.sim_ann_ivf,
-        "q_scd2_dim": warehouse.q_scd2_dim,
-        "q_window_extras": warehouse.q_window_extras,
-        "q_lateral_topn": warehouse.q_lateral_topn,
+        # new in r11: the persisted LEXICAL index lifecycle — term-bucket-
+        # partitioned postings store (build/probe/append/forget), probe
+        # hash-equal to text_bm25 (one oracle, three execution paths)
+        "bm25_index_build": lexical.bm25_index_build,
+        "bm25_index_probe": lexical.bm25_index_probe,
+        "bm25_index_append": lexical.bm25_index_append,
+        "bm25_index_forget": lexical.bm25_index_forget,
         # new in r11 (VERDICT r10 item 4): the remaining stores' forget
         # paths — image/audio signature stores and the Lloyd label store
         # get the same rewrite-then-swap purge as the MinHash pair store
@@ -149,7 +155,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_labels_forget": cluster.cluster_labels_forget,
         # ---- position 51+ (ungraded by the driver this round) ----
         # prior relative order preserved; every entry below already has
-        # at least one driver-green row (r1-r10)
+        # at least one driver-green row (r1-r10). The four stale rows
+        # displaced by the bm25 lifecycle (sim_ann_ivf, q_scd2_dim,
+        # q_window_extras, q_lateral_topn — r6-green, age 4, within the freshness
+        # contract) lead the parked list.
+        "sim_ann_ivf": similarity.sim_ann_ivf,
+        "q_scd2_dim": warehouse.q_scd2_dim,
+        "q_window_extras": warehouse.q_window_extras,
+        "q_lateral_topn": warehouse.q_lateral_topn,
         "q_bucketed_join": warehouse.q_bucketed_join,
         "q_udtf_surface": analytics.q_udtf_surface,
         "q_asof_join": advanced.q_asof_join,
@@ -344,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
+    out.update(lexical.ORACLE_SQL)
     out.update(text.ORACLE_SQL)
     out.update(sketches.ORACLE_SQL)
     out.update(curate.ORACLE_SQL)

@@ -170,7 +170,10 @@ def headline_queries() -> dict:
         "q_pivot_events",
     ]
     # extended ops register themselves under these prefixes as they land
-    extended_prefixes = ("dedup_", "sim_", "text_", "mm_", "sketch_", "curate_")
+    extended_prefixes = (
+        "dedup_", "sim_", "text_", "mm_", "sketch_", "curate_", "bm25_",
+        "cluster_",
+    )
     names += [n for n in all_q if n.startswith(extended_prefixes)]
     # EXCLUSION LIST (documented, not silent): the stream_* family is
     # excluded from the HEADLINE metric by construction — each executes

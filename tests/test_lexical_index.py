@@ -1,0 +1,98 @@
+"""Persisted BM25 lexical index lifecycle (r11).
+
+The oracle differential pins probe/append hash-equal to text_bm25 and
+forget equal to the surviving-corpus recompute; these tests pin what the
+oracle cannot see: byte-equality of the served rows, the partition-pruned
+postings scan (the inverted-file seek), physical purge purity, and
+marker idempotency.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from zylyty_data_engineer_challenge_spark.operators import lexical, text
+
+
+@pytest.fixture()
+def pair_cache(spark, tmp_path):
+    spark.conf.set("spark.zylyty.pairCacheDir", str(tmp_path / "pair_cache"))
+    try:
+        yield str(tmp_path / "pair_cache")
+    finally:
+        spark.conf.unset("spark.zylyty.pairCacheDir")
+
+
+def test_probe_matches_in_plan_bm25_exactly(spark, sf_dir, pair_cache):
+    """Stored-counts round-trip exactness: the persisted-index probe must
+    return byte-identical rows to the index-free text_bm25 (same oracle
+    by construction; asserted directly so a parquet type drift can't hide
+    behind the shared oracle — the sim_index_probe discipline)."""
+    got = lexical.bm25_index_probe(spark, sf_dir).collect()
+    want = text.text_bm25(spark, sf_dir).collect()
+    assert got == want
+    # append (initial load + parquet append into the same buckets) serves
+    # the same rows, and a re-run is a pure store read
+    assert lexical.bm25_index_append(spark, sf_dir).collect() == want
+    assert lexical.bm25_index_append(spark, sf_dir).collect() == want
+
+
+def test_probe_scan_is_partition_pruned(spark, sf_dir, pair_cache):
+    """The postings scan must carry a PartitionFilter on the probed tb
+    buckets — the inverted-file seek expressed as partition pruning;
+    without it the probe reads every posting and the persistence buys
+    nothing at scale."""
+    import contextlib
+    import io
+
+    df = lexical.bm25_index_probe(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "tb" in line
+    ]
+    assert pf, f"postings scan lost its tb partition filter:\n{plan}"
+    # static pruning: the probed bucket ids are literals in the filter
+    assert any(re.search(r"tb.*(IN|=)", line) for line in pf), pf
+
+
+def test_forget_physically_purges_and_forgets_statistics(
+    spark, sf_dir, pair_cache
+):
+    """After the purge: zero revoked doc_ids in postings OR doclens, the
+    stats row equals the survivors' recount (N/avgdl forget the source
+    too), and a re-run is a pure read."""
+    from pyspark.sql import functions as F
+
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators.text import FORGET_SOURCE
+
+    first = lexical.bm25_index_forget(spark, sf_dir).collect()
+    again = lexical.bm25_index_forget(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+
+    revoked = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == FORGET_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    assert revoked
+    base = lexical._lex_dir(spark, sf_dir, tag="bm25-forget")
+    post_docs = {
+        r["doc_id"] for r in spark.read.parquet(f"{base}/postings").collect()
+    }
+    assert post_docs and not post_docs & revoked
+    dl_rows = spark.read.parquet(f"{base}/doclens").collect()
+    assert dl_rows and not {r["doc_id"] for r in dl_rows} & revoked
+    stats = spark.read.parquet(f"{base}/stats").collect()
+    assert len(stats) == 1
+    assert stats[0]["n_docs"] == len(dl_rows)
+    assert stats[0]["total_tokens"] == sum(r["dl"] for r in dl_rows)

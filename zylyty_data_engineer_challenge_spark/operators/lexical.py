@@ -1,0 +1,297 @@
+"""Persisted LEXICAL (BM25) index — the inverted-file lifecycle for the
+text-retrieval side, mirroring the ANN index's build / probe / append /
+forget contract (``similarity.py``'s ``build_ann_index`` family).
+
+:func:`..text.text_bm25` is the index-free form: tf extraction, corpus
+stats, and scoring all run in one plan per query — the right shape for an
+acceptance gate, the wrong one for serving (a 100 TB corpus cannot be
+re-tokenized per query). This module persists the three artifacts a real
+lexical index ships:
+
+* ``postings/`` — (term, doc_id, tf) for EVERY term, written
+  ``partitionBy(tb)`` where ``tb = pmod(xxhash64(term), BM25_BUCKETS)``:
+  a probe computes its query terms' bucket ids and reads ONLY those
+  directories — partition pruning does the inverted-file seek, exactly
+  the cid-partition trick the ANN code tree uses (hashing to a fixed
+  bucket count keeps the directory fan-out bounded at any vocabulary
+  size; raw-term partitioning would mint one directory per vocab word);
+* ``doclens/`` — (doc_id, dl), the length-normalization side;
+* ``stats/`` — (n_docs, total_tokens) rows, SUM-merged at read time so
+  incremental appends stay additive (the LM model-store law).
+
+Everything stored is integer counts, so a parquet round-trip reproduces
+the in-plan computation bit-for-bit — the probe shares
+:func:`..text.text_bm25`'s ORACLE verbatim (one oracle, two execution
+paths), and :func:`..text._bm25_rank` is the single scoring expression
+tree both paths compile.
+
+Reference parity note: the reference repo has no retrieval at all (its
+query layer is three SQL views, SURVEY.md §2.10); this module is part of
+the [EXTENDED] LLM-pipeline surface mandated by the BASELINE north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .text import BM25_TERMS, ORACLE_SQL as TEXT_ORACLE_SQL, _bm25_rank
+
+BM25_BUCKETS = 16  # term-hash partition count of the postings store
+LEXICAL_INDEX_VERSION = 1
+
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _lex_dir(spark: SparkSession, sf_dir: str, tag: str = "bm25") -> str:
+    """Durable index location — identity-keyed under the shared pair-cache
+    root (the artifact-root conventions of ``_pair_cache_dir``): unchanged
+    documents reuse the build, regenerated data re-indexes."""
+    from .dedup import _pair_cache_dir
+
+    return _pair_cache_dir(spark, sf_dir, modality=f"{tag}-v{LEXICAL_INDEX_VERSION}")
+
+
+def _tokenize(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) with empties dropped — byte-identical to
+    text_bm25's tokenizer (same split, same filter)."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def _index_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings with tb, doclens, 1-row stats) for a document batch."""
+    toks = _tokenize(docs)
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn(
+            "tb", F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS)).cast("int")
+        )
+    )
+    dls = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dls.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    return postings, dls, stats
+
+
+def _write_index(spark: SparkSession, base: str, docs: DataFrame, mode: str) -> None:
+    postings, dls, stats = _index_tables(docs)
+    postings.write.mode(mode).partitionBy("tb").parquet(f"{base}/postings")
+    dls.write.mode(mode).parquet(f"{base}/doclens")
+    stats.write.mode(mode).parquet(f"{base}/stats")
+
+
+def build_lexical_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build and persist the BM25 index once per source identity (marker-
+    idempotent); returns the index directory."""
+    from ..catalog import hadoop_fs
+
+    base = _lex_dir(spark, sf_dir)
+    fs, marker = hadoop_fs(spark, f"{base}/_INDEX_READY")
+    if not fs.exists(marker):
+        _write_index(
+            spark, base, load_table(spark, sf_dir, "documents"), "overwrite"
+        )
+        fs.create(marker, True).close()
+    return base
+
+
+def bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered gate for :func:`build_lexical_index`: build (or reuse)
+    the persisted index, then summarize the PERSISTED artifacts by
+    reading them back — term/posting/doc counts plus integer checksums —
+    so the differential proves what landed on disk (the
+    ``sim_index_build`` discipline). The oracle recomputes the identical
+    summary from the documents table."""
+    base = build_lexical_index(spark, sf_dir)
+    postings = spark.read.parquet(f"{base}/postings")
+    dls = spark.read.parquet(f"{base}/doclens")
+    # NB: no bucket-count column — tb is xxhash64-derived and DuckDB
+    # cannot reproduce it; the bucket layout is pinned by the plan test
+    # (one directory per tb, probe scan pruned) instead of the oracle
+    return postings.agg(
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.count("*").cast("long").alias("n_postings"),
+        F.sum("tf").cast("long").alias("tf_sum"),
+    ).crossJoin(
+        F.broadcast(
+            dls.agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("dl_sum"),
+            )
+        )
+    )
+
+
+def _probe_lexical(spark: SparkSession, base: str) -> DataFrame:
+    """The BM25 probe plan over stored artifacts: the query terms' bucket
+    ids are computed up front (one tiny local job — the planning step,
+    like the ANN probe's centroid ranking), the postings scan is filtered
+    to those LITERAL tb values so static partition pruning reads only the
+    probed bucket directories, and scoring is the shared
+    :func:`..text._bm25_rank` expression tree over the stored counts."""
+    buckets = sorted(
+        {
+            r["tb"]
+            for r in spark.createDataFrame(
+                [(t,) for t in BM25_TERMS], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS))
+                .cast("int")
+                .alias("tb")
+            )
+            .collect()
+        }
+    )
+    postings = spark.read.parquet(f"{base}/postings")
+    tf = (
+        postings.filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .select("doc_id", "term", "tf")
+    )
+    dls = spark.read.parquet(f"{base}/doclens")
+    stats = (
+        spark.read.parquet(f"{base}/stats")
+        .agg(  # SUM-merge: appends/forgets contribute additive rows
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    return _bm25_rank(tf, dls, stats)
+
+
+def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the BM25 benchmark query purely from the persisted index —
+    build-once/probe-many for the lexical side. Identical output to
+    :func:`..text.text_bm25` (same oracle, hash-equal): the only
+    difference is WHERE tf/dl/stats come from. The plan property worth
+    the persistence: the postings scan carries a PartitionFilter on the
+    probed tb values (pinned by tests/test_plans.py), so query cost is
+    bounded by the probed buckets' postings, never the corpus."""
+    base = build_lexical_index(spark, sf_dir)
+    return _probe_lexical(spark, base)
+
+
+def bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical-index maintenance: the corpus arrives in two
+    installments (the ``doc_id % APPEND_MOD`` batch split every append
+    path in this repo uses) — an initial load, then a parquet append of
+    the arrival batch into the SAME tb partitions, with doclens and a
+    new additive stats row appended beside it. The probe over the
+    combined store must hash-equal the single-shot build (oracle =
+    text_bm25's verbatim): any drift — double-counted stats, a posting
+    landing in the wrong bucket, a missed doc — breaks the gate. Each
+    increment costs O(new docs) tokenize + bounded appends; nothing is
+    rewritten (compaction territory, the pair-store law)."""
+    from ..catalog import hadoop_fs
+    from .dedup import APPEND_MOD
+
+    base = _lex_dir(spark, sf_dir, tag="bm25-incr")
+    fs, marker = hadoop_fs(spark, f"{base}/_INCR_READY")
+    if not fs.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        is_new = F.col("doc_id") % APPEND_MOD == 0
+        _write_index(spark, base, docs.filter(~is_new), "overwrite")
+        _write_index(spark, base, docs.filter(is_new), "append")
+        fs.create(marker, True).close()
+    return _probe_lexical(spark, base)
+
+
+def bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-index unlearning: a revoked source's documents leave the
+    persisted postings/doclens physically (anti-join rewrite-then-swap,
+    the ``dedup_pairs_forget`` discipline) and the stats row is
+    recomputed from the surviving doclens — BM25's corpus statistics
+    (N, avgdl, df) must all forget the source, or its documents keep
+    influencing every ranking they no longer appear in. Oracle =
+    text_bm25's SQL over the surviving corpus: hash-equality proves
+    purge ≡ rebuild-without-the-source, including the statistics."""
+    from ..catalog import hadoop_fs
+    from .text import FORGET_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _lex_dir(spark, sf_dir, tag="bm25-forget")
+    fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
+    if not fs.exists(built):
+        # the standing production index: built on everything, before
+        # anyone knew the source would be revoked
+        _write_index(spark, base, docs, "overwrite")
+        fs.create(built, True).close()
+
+    _, purged = hadoop_fs(spark, f"{base}/_FORGET_READY")
+    if not fs.exists(purged):
+        revoked = docs.filter(F.col("source") == FORGET_SOURCE).select("doc_id")
+        kept_post = spark.read.parquet(f"{base}/postings").join(
+            F.broadcast(revoked), "doc_id", "left_anti"
+        )
+        kept_dls = spark.read.parquet(f"{base}/doclens").join(
+            F.broadcast(revoked), "doc_id", "left_anti"
+        )
+        kept_post.repartition("tb").write.mode("overwrite").partitionBy(
+            "tb"
+        ).parquet(f"{base}/postings_next")
+        kept_dls.write.mode("overwrite").parquet(f"{base}/doclens_next")
+        # stats recomputed from the surviving doclens (N and avgdl must
+        # forget the source too)
+        kept_stats = spark.read.parquet(f"{base}/doclens_next").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
+        kept_stats.write.mode("overwrite").parquet(f"{base}/stats_next")
+        for name in ("postings", "doclens", "stats"):
+            _, old = hadoop_fs(spark, f"{base}/{name}")
+            fs.delete(old, True)
+            _, nxt = hadoop_fs(spark, f"{base}/{name}_next")
+            fs.rename(nxt, old)
+        fs.create(purged, True).close()
+
+    return _probe_lexical(spark, base)
+
+
+def _build_oracle() -> str:
+    return """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+        FROM documents
+    ),
+    clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    postings AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM clean GROUP BY term, doc_id
+    ),
+    dls AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM clean GROUP BY doc_id
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM postings) AS n_terms,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM postings) AS n_postings,
+           (SELECT CAST(SUM(tf) AS BIGINT) FROM postings) AS tf_sum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dls) AS n_docs,
+           (SELECT CAST(SUM(dl) AS BIGINT) FROM dls) AS dl_sum
+"""
+
+
+def _forget_oracle() -> str:
+    from .text import FORGET_SOURCE
+
+    sql = TEXT_ORACLE_SQL["text_bm25"]
+    if sql.count("FROM documents") != 1:  # explicit: survives `python -O`
+        raise RuntimeError("text_bm25 oracle documents-scan anchor drifted")
+    return sql.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE source <> '{FORGET_SOURCE}')",
+    )
+
+
+ORACLE_SQL["bm25_index_build"] = _build_oracle()
+# the probe serves the exact ranking text_bm25 computes in-plan: one
+# oracle, two execution paths (in-plan tokenize vs persisted postings);
+# append is a third (initial load + parquet append into the same buckets)
+ORACLE_SQL["bm25_index_probe"] = TEXT_ORACLE_SQL["text_bm25"]
+ORACLE_SQL["bm25_index_append"] = TEXT_ORACLE_SQL["text_bm25"]
+ORACLE_SQL["bm25_index_forget"] = _forget_oracle()

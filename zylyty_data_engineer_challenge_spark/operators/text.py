@@ -614,8 +614,6 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. This is the inverted-index-free form; at 100 TB the same
     expression scores postings fetched from a term-partitioned index.
     """
-    k1n, k1d = BM25_K1
-    bn, bd = BM25_B
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("term")
@@ -630,6 +628,18 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    return _bm25_rank(tf, dls, stats)
+
+
+def _bm25_rank(tf: DataFrame, dls: DataFrame, stats: DataFrame) -> DataFrame:
+    """The BM25 scoring tail shared by :func:`text_bm25` (tf extracted
+    in-plan) and the persisted-index probe (:func:`..lexical.
+    bm25_index_probe`, tf read from the term-bucketed postings store):
+    df per query term, the association-pinned rational score, explicit
+    left-associated per-term sum, distributed top-k — identical
+    expression tree, so both paths are bit-equal by construction."""
+    k1n, k1d = BM25_K1
+    bn, bd = BM25_B
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     # per-term score, association pinned by explicit parentheses:
     # idf_r * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl)), with k1, b as
