@@ -44,6 +44,7 @@ from zylyty_data_engineer_challenge_spark.streaming import (
     index_stream,
     join_stream,
     late_stream,
+    lexical_stream,
     mm_stream,
     sessionize,
     sketch_stream,
@@ -70,18 +71,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     batch (LM store lifecycle incl. forget, BPE train/apply, repetition
     filters, streaming signature-store appends + quality funnel, snapshot
     expiry, the curation-policy batch, pair-store forget, the NPROBE
-    sweep, MRR eval, index deletion) — (c) the seven operators ADDED
+    sweep, MRR eval, index deletion) — (c) the eight operators ADDED
     this round: the bm25_index_* lexical-index lifecycle
-    (build/probe/append/forget) and the takedown purges mm_phash_forget
-    / mm_afp_forget / cluster_labels_forget (VERDICT r10 item 4) — and
-    (d) the 11 stalest green rows: the r1 pair (dedup_exact,
+    (build/probe/append/forget) with its streaming twin
+    stream_bm25_append, and the takedown purges mm_phash_forget /
+    mm_afp_forget / cluster_labels_forget (VERDICT r10 item 4) — and
+    (d) the 10 stalest green rows: the r1 pair (dedup_exact,
     text_top_ngrams — the latter also this round's perf-watch item,
     VERDICT r10 item 7), the r4 pair (q_forward_fill, q_unpivot), and
     the oldest r6 relational/warehouse rows (q_sessionize ..
-    mm_arrow_resize; the block's tail sim_ann_ivf/q_scd2_dim/
-    q_window_extras/q_lateral_topn/q_bucketed_join/q_udtf_surface/
-    q_asof_join leads position 51+, displaced by the r11 additions —
-    r6-green, age 4, within the freshness contract).
+    q_reservoir_sample; the block's tail mm_arrow_resize/sim_ann_ivf/
+    q_scd2_dim/q_window_extras/q_lateral_topn/q_bucketed_join/
+    q_udtf_surface/q_asof_join leads position 51+, displaced by the r11
+    additions — r6-green, age 4, within the freshness contract).
 
     Positions 51+ keep their prior relative order; all were driver-graded
     green in r1-r10 with code+oracle unchanged since, or changed only by
@@ -139,7 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_union": sketches.sketch_kmv_union,
         "q_interval_overlap": advanced.q_interval_overlap,
         "q_reservoir_sample": relational.q_reservoir_sample,
-        "mm_arrow_resize": multimodal.mm_arrow_resize,
+        # new in r11: streaming maintenance of the lexical store —
+        # per-batch postings/doclens/additive-stats appends; probe
+        # hash-equal to text_bm25 (fourth execution path)
+        "stream_bm25_append": lexical_stream.stream_bm25_append,
         # new in r11: the persisted LEXICAL index lifecycle — term-bucket-
         # partitioned postings store (build/probe/append/forget), probe
         # hash-equal to text_bm25 (one oracle, three execution paths)
@@ -159,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by the bm25 lifecycle (sim_ann_ivf, q_scd2_dim,
         # q_window_extras, q_lateral_topn — r6-green, age 4, within the freshness
         # contract) lead the parked list.
+        "mm_arrow_resize": multimodal.mm_arrow_resize,
         "sim_ann_ivf": similarity.sim_ann_ivf,
         "q_scd2_dim": warehouse.q_scd2_dim,
         "q_window_extras": warehouse.q_window_extras,
@@ -374,5 +380,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(cdc_stream.ORACLE_SQL)
     out.update(curate_stream.ORACLE_SQL)
     out.update(mm_stream.ORACLE_SQL)
+    out.update(lexical_stream.ORACLE_SQL)
     out.update(timeseries.ORACLE_SQL)
     return out

@@ -96,3 +96,17 @@ def test_forget_physically_purges_and_forgets_statistics(
     assert len(stats) == 1
     assert stats[0]["n_docs"] == len(dl_rows)
     assert stats[0]["total_tokens"] == sum(r["dl"] for r in dl_rows)
+
+
+def test_stream_append_equals_batch_and_exactly_once(spark, sf_dir, pair_cache):
+    """The streamed store must serve the identical ranking to the in-plan
+    scorer (split-invariance: postings/doclens are per-document, stats
+    SUM-merge), and a re-trigger must process zero batches — the second
+    call reads the same store (exactly-once by checkpoint)."""
+    from zylyty_data_engineer_challenge_spark.streaming import lexical_stream
+
+    first = lexical_stream.stream_bm25_append(spark, sf_dir).collect()
+    want = text.text_bm25(spark, sf_dir).collect()
+    assert first == want
+    again = lexical_stream.stream_bm25_append(spark, sf_dir).collect()
+    assert again == first
