@@ -71,19 +71,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     batch (LM store lifecycle incl. forget, BPE train/apply, repetition
     filters, streaming signature-store appends + quality funnel, snapshot
     expiry, the curation-policy batch, pair-store forget, the NPROBE
-    sweep, MRR eval, index deletion) — (c) the eight operators ADDED
-    this round: the bm25_index_* lexical-index lifecycle
-    (build/probe/append/forget) with its streaming twin
-    stream_bm25_append, and the takedown purges mm_phash_forget /
-    mm_afp_forget / cluster_labels_forget (VERDICT r10 item 4) — and
-    (d) the 10 stalest green rows: the r1 pair (dedup_exact,
-    text_top_ngrams — the latter also this round's perf-watch item,
-    VERDICT r10 item 7), the r4 pair (q_forward_fill, q_unpivot), and
-    the oldest r6 relational/warehouse rows (q_sessionize ..
-    q_reservoir_sample; the block's tail mm_arrow_resize/sim_ann_ivf/
-    q_scd2_dim/q_window_extras/q_lateral_topn/q_bucketed_join/
-    q_udtf_surface/q_asof_join leads position 51+, displaced by the r11
-    additions — r6-green, age 4, within the freshness contract).
+    sweep, MRR eval, index deletion) — (c) the TEN operators ADDED this
+    round: the full bm25_index_* lexical-index lifecycle (build / probe
+    / append / compact / forget) with its streaming twin
+    stream_bm25_append, the store-served hybrid sim_hybrid_probe
+    (IVF-PQ probe + postings probe, RRF-fused), and the takedown purges
+    mm_phash_forget / mm_afp_forget / cluster_labels_forget (VERDICT
+    r10 item 4) — and (d) the 8 stalest green rows: the r1 pair
+    (dedup_exact, text_top_ngrams — the latter also this round's
+    perf-watch item, VERDICT r10 item 7), the r4 pair (q_forward_fill,
+    q_unpivot), and the oldest r6 rows (q_sessionize ..
+    sketch_kmv_union; the r6 block's tail — q_interval_overlap through
+    q_asof_join — leads position 51+, displaced by the r11 additions;
+    all r6-green, age 4, within the freshness contract).
 
     Positions 51+ keep their prior relative order; all were driver-graded
     green in r1-r10 with code+oracle unchanged since, or changed only by
@@ -139,8 +139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_rollup": analytics.q_time_rollup,
         "q_recursive_cte": warehouse.q_recursive_cte,
         "sketch_kmv_union": sketches.sketch_kmv_union,
-        "q_interval_overlap": advanced.q_interval_overlap,
-        "q_reservoir_sample": relational.q_reservoir_sample,
         # new in r11: streaming maintenance of the lexical store —
         # per-batch postings/doclens/additive-stats appends; probe
         # hash-equal to text_bm25 (fourth execution path)
@@ -152,6 +150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_probe": lexical.bm25_index_probe,
         "bm25_index_append": lexical.bm25_index_append,
         "bm25_index_forget": lexical.bm25_index_forget,
+        "bm25_index_compact": lexical.bm25_index_compact,
+        # new in r11: hybrid retrieval served from BOTH persisted
+        # indexes (IVF-PQ probe + postings probe, RRF fusion)
+        "sim_hybrid_probe": lexical.sim_hybrid_probe,
         # new in r11 (VERDICT r10 item 4): the remaining stores' forget
         # paths — image/audio signature stores and the Lloyd label store
         # get the same rewrite-then-swap purge as the MinHash pair store
@@ -164,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by the bm25 lifecycle (sim_ann_ivf, q_scd2_dim,
         # q_window_extras, q_lateral_topn — r6-green, age 4, within the freshness
         # contract) lead the parked list.
+        "q_interval_overlap": advanced.q_interval_overlap,
+        "q_reservoir_sample": relational.q_reservoir_sample,
         "mm_arrow_resize": multimodal.mm_arrow_resize,
         "sim_ann_ivf": similarity.sim_ann_ivf,
         "q_scd2_dim": warehouse.q_scd2_dim,

@@ -110,3 +110,44 @@ def test_stream_append_equals_batch_and_exactly_once(spark, sf_dir, pair_cache):
     assert first == want
     again = lexical_stream.stream_bm25_append(spark, sf_dir).collect()
     assert again == first
+
+
+def test_compact_leaves_one_file_per_bucket_and_serves_identically(
+    spark, sf_dir, pair_cache
+):
+    """Compaction contract: after bm25_index_compact, every tb partition
+    directory of the compacted postings tree holds EXACTLY ONE parquet
+    file, the merged stats tree holds one physical row, and the served
+    ranking equals the append-store probe (probe-invisible)."""
+    import os
+
+    want = lexical.bm25_index_append(spark, sf_dir).collect()
+    got = lexical.bm25_index_compact(spark, sf_dir).collect()
+    assert got == want
+    base = lexical._lex_dir(spark, sf_dir, tag="bm25-incr")
+    root = base.replace("file:", "")
+    for d in sorted(os.listdir(f"{root}/postings_compact")):
+        if not d.startswith("tb="):
+            continue
+        files = [
+            f
+            for f in os.listdir(f"{root}/postings_compact/{d}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    # the appended (un-compacted) tree has >1 file in at least one bucket
+    # — otherwise this test pins nothing
+    multi = 0
+    for d in os.listdir(f"{root}/postings"):
+        if d.startswith("tb="):
+            n = len(
+                [
+                    f
+                    for f in os.listdir(f"{root}/postings/{d}")
+                    if f.endswith(".parquet")
+                ]
+            )
+            multi += n > 1
+    assert multi > 0
+    stats_rows = spark.read.parquet(f"{base}/stats_compact").collect()
+    assert len(stats_rows) == 1

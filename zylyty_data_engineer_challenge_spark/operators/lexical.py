@@ -295,3 +295,169 @@ ORACLE_SQL["bm25_index_build"] = _build_oracle()
 ORACLE_SQL["bm25_index_probe"] = TEXT_ORACLE_SQL["text_bm25"]
 ORACLE_SQL["bm25_index_append"] = TEXT_ORACLE_SQL["text_bm25"]
 ORACLE_SQL["bm25_index_forget"] = _forget_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Lexical-index compaction + store-served hybrid retrieval (r11)
+# ---------------------------------------------------------------------------
+
+
+def bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-index COMPACTION — the maintenance stage the append paths
+    make necessary (the ``sim_index_compact`` / ``dedup_pairs_compact``
+    law): :func:`bm25_index_append` and the streaming twin accumulate one
+    parquet file per installment in every tb bucket; at daily cadence the
+    probe's pruned scan opens hundreds of files per bucket and small-file
+    overhead erodes exactly the seek advantage the bucket layout exists
+    for. This op rewrites the appended postings tree with EXACTLY ONE
+    file per tb partition (hash-repartition on tb puts each bucket's rows
+    in one task; partitionBy then emits one file per directory), and
+    SUM-merges the accumulated stats rows into one physical row — both
+    marker-idempotent and probe-invisible: the oracle is text_bm25's SQL
+    verbatim (a FIFTH execution path of the one oracle), and pytest pins
+    the one-file-per-bucket layout plus row equality."""
+    from ..catalog import hadoop_fs
+    from .dedup import APPEND_MOD
+
+    base = _lex_dir(spark, sf_dir, tag="bm25-incr")
+    fs, marker = hadoop_fs(spark, f"{base}/_INCR_READY")
+    if not fs.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        is_new = F.col("doc_id") % APPEND_MOD == 0
+        _write_index(spark, base, docs.filter(~is_new), "overwrite")
+        _write_index(spark, base, docs.filter(is_new), "append")
+        fs.create(marker, True).close()
+
+    _, compacted = hadoop_fs(spark, f"{base}/_COMPACT_READY")
+    if not fs.exists(compacted):
+        (
+            spark.read.parquet(f"{base}/postings")
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(f"{base}/postings_compact")
+        )
+        (
+            spark.read.parquet(f"{base}/stats")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_tokens").cast("long").alias("total_tokens"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{base}/stats_compact")
+        )
+        fs.create(compacted, True).close()
+
+    # probe over the compacted trees (doclens needs no compaction: it is
+    # written once per installment and read whole)
+    buckets = sorted(
+        {
+            r["tb"]
+            for r in spark.createDataFrame(
+                [(t,) for t in BM25_TERMS], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS))
+                .cast("int")
+                .alias("tb")
+            )
+            .collect()
+        }
+    )
+    tf = (
+        spark.read.parquet(f"{base}/postings_compact")
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .select("doc_id", "term", "tf")
+    )
+    dls = spark.read.parquet(f"{base}/doclens")
+    stats = spark.read.parquet(f"{base}/stats_compact").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+    )
+    return _bm25_rank(tf, dls, stats)
+
+
+ORACLE_SQL["bm25_index_compact"] = TEXT_ORACLE_SQL["text_bm25"]
+
+
+def sim_hybrid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED FROM BOTH PERSISTED INDEXES — the
+    production form of :func:`..similarity.sim_hybrid_rrf` (whose dense
+    list is the exact-cosine yardstick, the right shape for a gate but a
+    corpus scan per query): the dense ranking comes from the IVF-PQ
+    probe over the stored ANN index (:func:`..similarity.
+    sim_index_probe`, DPP-pruned codes scan) and the lexical ranking
+    from the stored postings (:func:`bm25_index_probe`, statically
+    pruned buckets), fused by the same rank-only reciprocal-rank
+    formula. Neither list touches a raw corpus row at query time — the
+    whole query is two index seeks plus a k-row outer join, the shape a
+    hybrid search service actually runs at 100 TB.
+
+    Own oracle (not sim_hybrid_rrf's): the dense CTE is the ivfpq SQL
+    spliced where the brute-force SQL sat, so the differential pins the
+    served fusion end-to-end."""
+    from .similarity import RRF_K, RRF_QUERY, RRF_TOP, sim_index_probe
+    from pyspark.sql import Window
+
+    dense = (
+        sim_index_probe(spark, sf_dir)
+        .filter(F.col("query_id") == RRF_QUERY)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    lex = bm25_index_probe(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    fused = dense.join(lex, "doc_id", "full_outer").select(
+        "doc_id",
+        "dense_rank",
+        "lex_rank",
+        F.expr(
+            f"coalesce(1.0 / CAST({RRF_K} + dense_rank AS DOUBLE), CAST(0 AS DOUBLE))"
+            f" + coalesce(1.0 / CAST({RRF_K} + lex_rank AS DOUBLE), CAST(0 AS DOUBLE))"
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "dense_rank", "lex_rank", "rrf")
+    )
+
+
+def _hybrid_probe_oracle() -> str:
+    from .similarity import (
+        ORACLE_SQL as SIM_ORACLE_SQL,
+        RRF_K,
+        RRF_QUERY,
+        RRF_TOP,
+        _strip_order_by,
+    )
+
+    return f"""
+    WITH dense AS (
+        SELECT vec_id AS doc_id, rank AS dense_rank
+        FROM ({_strip_order_by(SIM_ORACLE_SQL["sim_ann_ivfpq"])})
+        WHERE query_id = {RRF_QUERY}
+    ),
+    lexical AS (
+        SELECT doc_id, rank AS lex_rank FROM ({TEXT_ORACLE_SQL["text_bm25"]})
+    ),
+    fused AS (
+        SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id, d.dense_rank, l.lex_rank,
+               coalesce(1.0 / CAST({RRF_K} + d.dense_rank AS DOUBLE), CAST(0 AS DOUBLE))
+               + coalesce(1.0 / CAST({RRF_K} + l.lex_rank AS DOUBLE), CAST(0 AS DOUBLE))
+                   AS rrf
+        FROM dense d FULL OUTER JOIN lexical l ON d.doc_id = l.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank,
+           doc_id, dense_rank, lex_rank, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {RRF_TOP}
+"""
+
+
+ORACLE_SQL["sim_hybrid_probe"] = _hybrid_probe_oracle()
