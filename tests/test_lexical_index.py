@@ -151,3 +151,39 @@ def test_compact_leaves_one_file_per_bucket_and_serves_identically(
     assert multi > 0
     stats_rows = spark.read.parquet(f"{base}/stats_compact").collect()
     assert len(stats_rows) == 1
+
+
+def test_python_xxh64_matches_spark_xxhash64(spark):
+    """The probe's planning-time bucket ids come from a pure-python XXH64
+    (no Spark job, no driver collect); it must be bit-equal to Spark's
+    xxhash64 — pinned on the query terms plus a fuzz sample covering
+    every tail-length class (0..40 bytes spans the 32-byte stripe, the
+    8-byte, 4-byte, and byte tails)."""
+    samples = list(lexical.BM25_TERMS) + [
+        "",
+        "a",
+        "ab",
+        "abc",
+        "abcd",
+        "abcde",
+        "12345678",
+        "123456789",
+        "x" * 31,
+        "y" * 32,
+        "z" * 33,
+        "w" * 40,
+        "unicode-αβγ-混合-🙂",
+    ]
+    got = {s: lexical._xxh64(s.encode("utf-8")) for s in samples}
+    from pyspark.sql import functions as F
+
+    want = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(s,) for s in samples], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    assert got == want
+    assert lexical._term_buckets() == sorted(
+        {v % lexical.BM25_BUCKETS for v in (want[t] for t in lexical.BM25_TERMS)}
+    )

@@ -252,6 +252,16 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # epoch shuffle (r9c): the constant N_EPOCHS-row table crossed into
     # the sequence manifest
     "curate_epoch_shuffle": 1,
+    # lexical index (r11): the 1-row corpus-stats cross of _bm25_rank
+    # (same class as text_bm25's), plus build's 1-row doclens summary
+    "bm25_index_build": 1,
+    "bm25_index_probe": 1,
+    "bm25_index_append": 1,
+    "bm25_index_compact": 1,
+    "bm25_index_forget": 1,
+    # hybrid probe (r11): the stats cross re-printed under the lexical
+    # list + the ANN probe's LUT/centroid broadcast subtrees
+    "sim_hybrid_probe": 3,
 }
 
 

@@ -43,6 +43,78 @@ LEXICAL_INDEX_VERSION = 1
 
 ORACLE_SQL: dict[str, str] = {}
 
+# --- pure-python XXH64 (Spark's xxhash64, seed 42) --------------------------
+# The probe needs its query terms' bucket ids at PLANNING time; computing
+# them with a 3-row Spark job would be a driver-side collect in an
+# operator module (banned by tests/test_plans.py's no-collect audit) and
+# a pointless job per probe. XXH64 is a fixed public algorithm; this
+# implementation is pinned bit-equal to Spark's xxhash64 by
+# tests/test_lexical_index.py on the query terms and a fuzz sample.
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 over ``data`` — returns Spark's SIGNED xxhash64 value."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            lanes = [
+                int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                for j in range(4)
+            ]
+            v1 = (_rotl((v1 + lanes[0] * _XP2) & _M64, 31) * _XP1) & _M64
+            v2 = (_rotl((v2 + lanes[1] * _XP2) & _M64, 31) * _XP1) & _M64
+            v3 = (_rotl((v3 + lanes[2] * _XP2) & _M64, 31) * _XP1) & _M64
+            v4 = (_rotl((v4 + lanes[3] * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = ((h * _XP1) + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        k = (_rotl((k * _XP2) & _M64, 31) * _XP1) & _M64
+        h = ((_rotl(h ^ k, 27) * _XP1) + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h = ((_rotl(h ^ ((k * _XP1) & _M64), 23) * _XP2) + _XP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _XP5) & _M64), 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _term_buckets(terms=BM25_TERMS) -> list[int]:
+    """The query terms' tb partition ids, computed driver-side with zero
+    Spark jobs — same value as pmod(xxhash64(term), BM25_BUCKETS)
+    (Python % on a positive modulus IS pmod)."""
+    return sorted({_xxh64(t.encode("utf-8")) % BM25_BUCKETS for t in terms})
+
 
 def _lex_dir(spark: SparkSession, sf_dir: str, tag: str = "bm25") -> str:
     """Durable index location — identity-keyed under the shared pair-cache
@@ -135,20 +207,7 @@ def _probe_lexical(spark: SparkSession, base: str) -> DataFrame:
     to those LITERAL tb values so static partition pruning reads only the
     probed bucket directories, and scoring is the shared
     :func:`..text._bm25_rank` expression tree over the stored counts."""
-    buckets = sorted(
-        {
-            r["tb"]
-            for r in spark.createDataFrame(
-                [(t,) for t in BM25_TERMS], "term string"
-            )
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS))
-                .cast("int")
-                .alias("tb")
-            )
-            .collect()
-        }
-    )
+    buckets = _term_buckets()
     postings = spark.read.parquet(f"{base}/postings")
     tf = (
         postings.filter(F.col("tb").isin(buckets))
@@ -351,20 +410,7 @@ def bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # probe over the compacted trees (doclens needs no compaction: it is
     # written once per installment and read whole)
-    buckets = sorted(
-        {
-            r["tb"]
-            for r in spark.createDataFrame(
-                [(t,) for t in BM25_TERMS], "term string"
-            )
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS))
-                .cast("int")
-                .alias("tb")
-            )
-            .collect()
-        }
-    )
+    buckets = _term_buckets()
     tf = (
         spark.read.parquet(f"{base}/postings_compact")
         .filter(F.col("tb").isin(buckets))
