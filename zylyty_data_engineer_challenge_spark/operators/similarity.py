@@ -1049,8 +1049,11 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k gate for the IVF-PQ composite — read next to
     sim_ann_ivf_kmeans_recall (exact in-list ranking) and
     sim_ann_pq_recall (all-corpus ADC) to see what each approximation
-    layer costs."""
-    return _recall_at_k(spark, sf_dir, sim_ann_ivfpq)
+    layer costs. Gates the STORE-SERVED ranking (r11, the sim_eval_mrr
+    discipline: gate the index you serve, not a per-gate rebuild) —
+    hash-unchanged, since sim_index_probe is pytest-pinned byte-equal to
+    the in-memory sim_ann_ivfpq the oracle describes."""
+    return _recall_at_k(spark, sf_dir, sim_index_probe)
 
 
 # ---------------------------------------------------------------------------
@@ -1681,8 +1684,11 @@ def sim_ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k gate for the two-stage pipeline — read next to
     sim_ann_ivfpq_recall: the delta IS the rerank's value (every
     shortlist survivor is ranked exactly, so recall is bounded below by
-    ivfpq's and above by whether the true top-k made the shortlist)."""
-    return _recall_at_k(spark, sf_dir, sim_ann_rerank)
+    ivfpq's and above by whether the true top-k made the shortlist).
+    Gates the STORE-SERVED two-stage path (r11) — hash-unchanged, since
+    sim_index_rerank is pytest-pinned byte-equal to the in-memory
+    sim_ann_rerank the oracle describes."""
+    return _recall_at_k(spark, sf_dir, sim_index_rerank)
 
 
 def sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
