@@ -153,6 +153,18 @@ HEAVY = [
     "text_lm_compact",
     # r10: index deletion (tombstones + purged-tree probe)
     "sim_index_delete",
+    # r11: lexical index lifecycle (postings build is one tokenize pass;
+    # probe reads only the query terms' buckets), store-served hybrid,
+    # signature/label-store purges (anti-join rewrites), capped semantic
+    "bm25_index_build",
+    "bm25_index_probe",
+    "bm25_index_append",
+    "bm25_index_compact",
+    "bm25_index_forget",
+    "sim_hybrid_probe",
+    "mm_phash_forget",
+    "mm_afp_forget",
+    "cluster_labels_forget",
 ]
 
 
