@@ -200,15 +200,22 @@ def bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _probe_lexical(spark: SparkSession, base: str) -> DataFrame:
+def _probe_lexical(
+    spark: SparkSession,
+    base: str,
+    postings_name: str = "postings",
+    stats_name: str = "stats",
+) -> DataFrame:
     """The BM25 probe plan over stored artifacts: the query terms' bucket
-    ids are computed up front (one tiny local job — the planning step,
-    like the ANN probe's centroid ranking), the postings scan is filtered
-    to those LITERAL tb values so static partition pruning reads only the
-    probed bucket directories, and scoring is the shared
-    :func:`..text._bm25_rank` expression tree over the stored counts."""
+    ids are computed up front driver-side (:func:`_term_buckets` — the
+    planning step, like the ANN probe's centroid ranking), the postings
+    scan is filtered to those LITERAL tb values so static partition
+    pruning reads only the probed bucket directories, and scoring is the
+    shared :func:`..text._bm25_rank` expression tree over the stored
+    counts. ``postings_name``/``stats_name`` let the compacted trees
+    serve through the identical plan."""
     buckets = _term_buckets()
-    postings = spark.read.parquet(f"{base}/postings")
+    postings = spark.read.parquet(f"{base}/{postings_name}")
     tf = (
         postings.filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(*BM25_TERMS))
@@ -216,13 +223,32 @@ def _probe_lexical(spark: SparkSession, base: str) -> DataFrame:
     )
     dls = spark.read.parquet(f"{base}/doclens")
     stats = (
-        spark.read.parquet(f"{base}/stats")
+        spark.read.parquet(f"{base}/{stats_name}")
         .agg(  # SUM-merge: appends/forgets contribute additive rows
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_tokens").cast("long").alias("total_tokens"),
         )
     )
     return _bm25_rank(tf, dls, stats)
+
+
+def _build_incr_store(spark: SparkSession, sf_dir: str) -> str:
+    """The two-installment append store shared by :func:`bm25_index_append`
+    and :func:`bm25_index_compact`: initial load of the standing corpus,
+    then a parquet append of the arriving ``doc_id % APPEND_MOD`` batch
+    into the same tb partitions. Marker-idempotent; returns the base."""
+    from ..catalog import hadoop_fs
+    from .dedup import APPEND_MOD
+
+    base = _lex_dir(spark, sf_dir, tag="bm25-incr")
+    fs, marker = hadoop_fs(spark, f"{base}/_INCR_READY")
+    if not fs.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        is_new = F.col("doc_id") % APPEND_MOD == 0
+        _write_index(spark, base, docs.filter(~is_new), "overwrite")
+        _write_index(spark, base, docs.filter(is_new), "append")
+        fs.create(marker, True).close()
+    return base
 
 
 def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,18 +274,7 @@ def bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing in the wrong bucket, a missed doc — breaks the gate. Each
     increment costs O(new docs) tokenize + bounded appends; nothing is
     rewritten (compaction territory, the pair-store law)."""
-    from ..catalog import hadoop_fs
-    from .dedup import APPEND_MOD
-
-    base = _lex_dir(spark, sf_dir, tag="bm25-incr")
-    fs, marker = hadoop_fs(spark, f"{base}/_INCR_READY")
-    if not fs.exists(marker):
-        docs = load_table(spark, sf_dir, "documents")
-        is_new = F.col("doc_id") % APPEND_MOD == 0
-        _write_index(spark, base, docs.filter(~is_new), "overwrite")
-        _write_index(spark, base, docs.filter(is_new), "append")
-        fs.create(marker, True).close()
-    return _probe_lexical(spark, base)
+    return _probe_lexical(spark, _build_incr_store(spark, sf_dir))
 
 
 def bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,18 +391,9 @@ def bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim (a FIFTH execution path of the one oracle), and pytest pins
     the one-file-per-bucket layout plus row equality."""
     from ..catalog import hadoop_fs
-    from .dedup import APPEND_MOD
 
-    base = _lex_dir(spark, sf_dir, tag="bm25-incr")
-    fs, marker = hadoop_fs(spark, f"{base}/_INCR_READY")
-    if not fs.exists(marker):
-        docs = load_table(spark, sf_dir, "documents")
-        is_new = F.col("doc_id") % APPEND_MOD == 0
-        _write_index(spark, base, docs.filter(~is_new), "overwrite")
-        _write_index(spark, base, docs.filter(is_new), "append")
-        fs.create(marker, True).close()
-
-    _, compacted = hadoop_fs(spark, f"{base}/_COMPACT_READY")
+    base = _build_incr_store(spark, sf_dir)
+    fs, compacted = hadoop_fs(spark, f"{base}/_COMPACT_READY")
     if not fs.exists(compacted):
         (
             spark.read.parquet(f"{base}/postings")
@@ -408,21 +414,12 @@ def bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         fs.create(compacted, True).close()
 
-    # probe over the compacted trees (doclens needs no compaction: it is
-    # written once per installment and read whole)
-    buckets = _term_buckets()
-    tf = (
-        spark.read.parquet(f"{base}/postings_compact")
-        .filter(F.col("tb").isin(buckets))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .select("doc_id", "term", "tf")
+    # probe over the compacted trees through the identical probe plan
+    # (doclens needs no compaction: written once per installment, read
+    # whole)
+    return _probe_lexical(
+        spark, base, postings_name="postings_compact", stats_name="stats_compact"
     )
-    dls = spark.read.parquet(f"{base}/doclens")
-    stats = spark.read.parquet(f"{base}/stats_compact").agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("total_tokens").cast("long").alias("total_tokens"),
-    )
-    return _bm25_rank(tf, dls, stats)
 
 
 ORACLE_SQL["bm25_index_compact"] = TEXT_ORACLE_SQL["text_bm25"]
