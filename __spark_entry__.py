@@ -65,7 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 entries, so each round the registry front-loads the queries whose
     driver row carries the most NEW information. Round-11 rotation
     (VERDICT r10 item 1): after this window EVERY registry entry has at
-    least one driver-green row — 226/226 closure. The window holds
+    least one driver-green row — full closure (all 226 r10 entries plus
+    the 10 r11 additions = 236/236). The window holds
     (a) the §2 reference surface (always graded, 7 rows), (b) ALL 25
     never-driver-graded entries — sim_ann_rerank_recall plus the r10-late
     batch (LM store lifecycle incl. forget, BPE train/apply, repetition
