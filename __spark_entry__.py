@@ -139,7 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": advanced.q_sessionize,
         "q_time_rollup": analytics.q_time_rollup,
         "q_recursive_cte": warehouse.q_recursive_cte,
-        "sketch_kmv_union": sketches.sketch_kmv_union,
+        # new in r11: the data-skipping READ over the z-ordered store
+        # (redundant Morton-range predicate prunes files; oracle = box)
+        "q_zorder_probe": warehouse.q_zorder_probe,
         # new in r11: streaming maintenance of the lexical store —
         # per-batch postings/doclens/additive-stats appends; probe
         # hash-equal to text_bm25 (fourth execution path)
@@ -167,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by the bm25 lifecycle (sim_ann_ivf, q_scd2_dim,
         # q_window_extras, q_lateral_topn — r6-green, age 4, within the freshness
         # contract) lead the parked list.
+        "sketch_kmv_union": sketches.sketch_kmv_union,
         "q_interval_overlap": advanced.q_interval_overlap,
         "q_reservoir_sample": relational.q_reservoir_sample,
         "mm_arrow_resize": multimodal.mm_arrow_resize,

@@ -464,6 +464,56 @@ def test_eval_queries_serve_from_pruned_stored_codes(spark, tmp_path, fn):
     )
 
 
+def test_zorder_probe_skips_files_and_pushes_zrange(spark, tmp_path):
+    """The data-skipping contract of q_zorder_probe (r11): the clustered
+    store's files own DISJOINT zval ranges (range-partition + sort), the
+    probe's Morton interval intersects only a small minority of them
+    (measured directly from the parquet footers — the same min/max stats
+    the reader prunes with), and the zval bounds reach the parquet scan
+    as PushedFilters. Together: the box query reads ~1 file of 16."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from zylyty_data_engineer_challenge_spark.queries import warehouse as wh
+
+    spark.conf.set("spark.zylyty.formatDir", str(tmp_path / "fmt"))
+    try:
+        df = wh.q_zorder_probe(spark, SF_DIR)
+        plan = formatted_plan(df)
+        base = wh._zorder_store_dir(spark, SF_DIR).replace("file:", "")
+    finally:
+        spark.conf.unset("spark.zylyty.formatDir")
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("zval" in p for p in pushed), plan
+
+    files = sorted(glob.glob(os.path.join(base, "data", "*.parquet")))
+    assert len(files) >= wh.ZORDER_FILES // 2  # range partitioning landed
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        zi = next(
+            i
+            for i in range(len(md.schema))
+            if md.schema.column(i).name == "zval"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(zi).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    # disjoint file ranges (sorted layout) — allow equal boundary values
+    for (lo1, hi1), (lo2, hi2) in zip(sorted(ranges), sorted(ranges)[1:]):
+        assert hi1 <= lo2, (ranges,)
+    z_lo = wh._morton_py(wh.ZPROBE_CUST[0], wh.ZPROBE_DAY[0])
+    z_hi = wh._morton_py(wh.ZPROBE_CUST[1], wh.ZPROBE_DAY[1])
+    touched = sum(1 for lo, hi in ranges if hi >= z_lo and lo <= z_hi)
+    assert touched <= max(2, len(files) // 4), (touched, len(files))
+
+
 def test_top_ngrams_is_single_shuffle_topk(spark):
     """text_top_ngrams' contract (r10 VERDICT item 7 follow-up): partial
     hash agg -> ONE exchange -> final agg -> TakeOrderedAndProject. The

@@ -1269,3 +1269,126 @@ def _snapshot_expire_oracle() -> str:
 
 
 ORACLE_SQL["q_snapshot_expire"] = _snapshot_expire_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Z-order data-skipping probe (r11): the read side of q_zorder_layout
+# ---------------------------------------------------------------------------
+
+# the probe box, aligned to a 16x16 Morton block so its z-range is one
+# contiguous 256-value interval — the geometry that makes the skipping
+# measurable and the conservative bound tight
+ZPROBE_CUST = (32, 47)
+ZPROBE_DAY = (64, 79)
+ZORDER_FILES = 16  # range partitions (= files) of the clustered store
+
+
+def _morton_py(x: int, y: int) -> int:
+    """Driver-side Morton interleave — same bit layout as _morton_expr."""
+    z = 0
+    for i in range(ZORDER_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _zorder_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import source_identity
+
+    root = spark.conf.get("spark.zylyty.formatDir", None)
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_FORMAT_DIR") or os.path.join(
+            tempfile.gettempdir(), "zylyty_formats"
+        )
+    ident = source_identity(spark, f"{sf_dir}/orders.parquet")
+    key = hashlib.sha1(f"zorder:{ident}".encode()).hexdigest()[:16]
+    return f"{root}/{key}/orders_zorder"
+
+
+def q_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of :func:`q_zorder_layout` — the data-skipping query
+    the clustered layout exists for: orders are written ONCE per source
+    identity range-partitioned and sorted by the Morton key (so every
+    parquet file owns a disjoint zval range), and a two-dimensional box
+    query (customer bucket x day bucket) then scans with an EXTRA
+    ``zval BETWEEN z(lo_corner) AND z(hi_corner)`` predicate. Morton
+    interleave is monotone in each coordinate, so the corner z-values
+    bound every point in the box — the predicate is semantically
+    redundant (the oracle is just the box over raw orders) but it is the
+    one the file layout can act on: pushed to parquet, footer min/max
+    stats eliminate every file whose zval range misses the interval. The
+    probe box is a 16x16 Morton-aligned block, so its z-interval is 256
+    of 65536 values and all but ~1 of the ZORDER_FILES files skip —
+    pinned by tests/test_plans.py reading the parquet footers directly,
+    alongside the PushedFilters pin. A plain single-column sort prunes
+    only its leading dimension; this is the layout that prunes BOTH —
+    at 100 TB the same write pattern is the difference between a box
+    query reading one file and reading the fleet.
+    """
+    from ..catalog import hadoop_fs
+
+    base = _zorder_store_dir(spark, sf_dir)
+    fs, marker = hadoop_fs(spark, f"{base}/_ZORDER_READY")
+    if not fs.exists(marker):
+        orders = load_table(spark, sf_dir, "orders")
+        code = _morton_expr("cb", "db")
+        (
+            orders.select(
+                "o_custkey",
+                "o_totalprice",
+                F.expr(f"(o_custkey % {1 << ZORDER_BITS})").alias("cb"),
+                F.expr(
+                    f"datediff(o_orderdate, DATE'1992-01-01') % {1 << ZORDER_BITS}"
+                ).alias("db"),
+            )
+            .select("o_custkey", "o_totalprice", "cb", "db", F.expr(code).alias("zval"))
+            .repartitionByRange(ZORDER_FILES, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(f"{base}/data")
+        )
+        fs.create(marker, True).close()
+
+    z_lo = _morton_py(ZPROBE_CUST[0], ZPROBE_DAY[0])
+    z_hi = _morton_py(ZPROBE_CUST[1], ZPROBE_DAY[1])
+    stored = spark.read.parquet(f"{base}/data")
+    return (
+        stored.filter(
+            (F.col("zval") >= z_lo)
+            & (F.col("zval") <= z_hi)  # the file-skipping predicate
+            & F.col("cb").between(*ZPROBE_CUST)
+            & F.col("db").between(*ZPROBE_DAY)  # the exact box
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+ORACLE_SQL["q_zorder_probe"] = f"""
+    WITH b AS (
+        SELECT o_custkey, o_totalprice,
+               o_custkey % {1 << ZORDER_BITS} AS cb,
+               date_diff('day', DATE '1992-01-01', o_orderdate)
+                   % {1 << ZORDER_BITS} AS db
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                         CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM b
+    WHERE cb BETWEEN {ZPROBE_CUST[0]} AND {ZPROBE_CUST[1]}
+      AND db BETWEEN {ZPROBE_DAY[0]} AND {ZPROBE_DAY[1]}
+"""
