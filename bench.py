@@ -108,6 +108,7 @@ def headline_queries() -> dict:
         "pagerank",
         "graph_communities",
         "q_zorder_layout",
+        "q_zorder_probe",
         "q_reservoir_sample",
         "q_interval_overlap",
         "q_salted_join",
