@@ -464,6 +464,34 @@ def test_eval_queries_serve_from_pruned_stored_codes(spark, tmp_path, fn):
     )
 
 
+def test_hybrid_probe_prunes_both_index_scans(spark, tmp_path):
+    """sim_hybrid_probe must inherit BOTH stores' seek properties in one
+    plan: the ANN codes scan dynamically partition-pruned on cid AND the
+    postings scan statically pruned on the probed tb buckets — a hybrid
+    query that full-scans either index forfeits the persistence."""
+    from zylyty_data_engineer_challenge_spark.operators import lexical
+
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    spark.conf.set("spark.zylyty.pairCacheDir", str(tmp_path / "pc"))
+    try:
+        plan = formatted_plan(lexical.sim_hybrid_probe(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+        spark.conf.unset("spark.zylyty.pairCacheDir")
+    cid = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "cid" in line
+    ]
+    assert cid and any("dynamicpruning" in line for line in cid), plan
+    # the postings side: tb is the partition column, so the probed bucket
+    # literals appear as a static PartitionFilters IN-list
+    assert any(
+        "PartitionFilters" in line and re.search(r"tb#\d+ IN \(", line)
+        for line in plan.splitlines()
+    ), plan
+
+
 def test_zorder_probe_skips_files_and_pushes_zrange(spark, tmp_path):
     """The data-skipping contract of q_zorder_probe (r11): the clustered
     store's files own DISJOINT zval ranges (range-partition + sort), the
