@@ -105,3 +105,29 @@ def test_lm_score_matches_pure_model(spark, tmp_path_factory, corpus):
     # smoothed probabilities are strictly below 1: sum_pq < n * LM_Q
     for n, s, _, _ in got.values():
         assert s < n * LM_Q
+
+
+# --- r11: the Morton-bound law behind q_zorder_probe ------------------------
+
+
+@given(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+@settings(max_examples=300, deadline=None)
+def test_morton_corner_interval_bounds_every_box_point(x0, x1, y0, y1):
+    """q_zorder_probe's file-skipping predicate is only correct if the
+    box's corner z-values bound EVERY point in the box (Morton interleave
+    is monotone per coordinate). Pure-python property over random boxes —
+    a violated bound would make the probe silently drop rows."""
+    from zylyty_data_engineer_challenge_spark.queries.warehouse import _morton_py
+
+    x0, x1 = sorted((x0, x1))
+    y0, y1 = sorted((y0, y1))
+    z_lo, z_hi = _morton_py(x0, y0), _morton_py(x1, y1)
+    # sample the box deterministically (corners + edge midpoints + center)
+    xs = {x0, x1, (x0 + x1) // 2}
+    ys = {y0, y1, (y0 + y1) // 2}
+    for x in xs:
+        for y in ys:
+            z = _morton_py(x, y)
+            assert z_lo <= z <= z_hi, (x, y, z, z_lo, z_hi)
