@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
+        # new in r12 (VERDICT r11 item 9): maximal duplicated spans —
+        # exact-substring windows merged by gaps-and-islands
+        "dedup_dup_spans": dedup.dedup_dup_spans,
         # ALL 25 never-driver-graded entries (r10 park list) — first rows
         "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
         "sim_eval_mrr": similarity.sim_eval_mrr,

@@ -168,6 +168,43 @@ def artifact_ready(spark: SparkSession, marker_path: str) -> bool:
     return fs.exists(marker)
 
 
+def store_intact(spark: SparkSession, marker_path: str, *data_paths: str) -> bool:
+    """Marker-AND-data existence check for a rewrite-then-swap store: a
+    crash inside a purge swap can leave the ready marker present while a
+    data directory is mid-rename, and a marker-only check then skips the
+    rebuild and wedges every later read on the missing path. Validating
+    the data directories alongside the marker makes an interrupted swap
+    re-heal (the caller rebuilds) instead of wedging."""
+    fs, marker = hadoop_fs(spark, marker_path)
+    if not fs.exists(marker):
+        return False
+    return all(fs.exists(hadoop_fs(spark, p)[1]) for p in data_paths)
+
+
+def swap_subtrees(spark: SparkSession, base: str, names) -> None:
+    """Crash-safe commit of a rewrite-then-swap purge: for each ``name``,
+    ``<name>_next`` replaces ``<name>`` by renaming the live tree ASIDE
+    (``<name>_trash``), renaming the rewritten tree in, then deleting the
+    trash — never delete-before-rename, so no crash point loses both
+    copies and the live path is absent only between the two renames (an
+    interrupted swap is then healed by the caller's :func:`store_intact`
+    rebuild; the old delete-first order left a marker-complete store with
+    the data directory gone and no self-repair). Any ``_trash`` debris
+    from a previous interrupted swap is cleared first."""
+    for name in names:
+        fs, old = hadoop_fs(spark, f"{base}/{name}")
+        _, nxt = hadoop_fs(spark, f"{base}/{name}_next")
+        _, trash = hadoop_fs(spark, f"{base}/{name}_trash")
+        if fs.exists(trash):
+            fs.delete(trash, True)
+        if fs.exists(old):
+            if not fs.rename(old, trash):
+                raise RuntimeError(f"swap_subtrees: rename-aside failed for {name}")
+        if not fs.rename(nxt, old):
+            raise RuntimeError(f"swap_subtrees: rename-in failed for {name}")
+        fs.delete(trash, True)
+
+
 def source_identity(spark: SparkSession, src: str) -> str:
     """Content identity of a source path: ``path:mtime:size:nfiles``.
 

@@ -26,7 +26,7 @@ exactly how `dedup_minhash_lsh` composes them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1181,6 +1181,123 @@ ORACLE_SQL["dedup_exact_substring"] = f"""
 """
 
 
+def _dup_spans(docs: DataFrame) -> DataFrame:
+    """Kernel of :func:`dedup_dup_spans` (DataFrame-in so the property
+    tests can drive crafted corpora through the exact production plan):
+    flag every K_SPAN-token window whose span repeats in another
+    document (:func:`dedup_exact_substring`'s window/repeat stages, with
+    the window START POSITION carried through), then merge RUNS of
+    consecutive flagged windows into maximal spans with the
+    gaps-and-islands grouping (``i - row_number()`` is constant exactly
+    on consecutive positions — the ``q_gaps_islands`` kernel)."""
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+    w = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= K_SPAN,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {K_SPAN} + 1), "
+                    f"i -> struct(i AS i, "
+                    f"md5(array_join(slice(toks, i, {K_SPAN}), ' ')) AS h))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<i: INT, h: STRING>>)"))
+        ).alias("wh"),
+    ).select("doc_id", F.col("wh.i").alias("i"), F.col("wh.h").alias("h"))
+    dup = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = w.join(dup, "h").select("doc_id", "i")
+    grp = flagged.withColumn(
+        "g",
+        F.col("i")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+    )
+    spans = grp.groupBy("doc_id", "g").agg(
+        F.min("i").alias("span_start"),
+        F.max("i").alias("last_w"),
+        F.count("*").alias("n_dup_windows"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        (F.col("last_w") + F.lit(K_SPAN - 1)).cast("long").alias("span_end"),
+        (F.col("last_w") - F.col("span_start") + F.lit(K_SPAN))
+        .cast("long")
+        .alias("span_tokens"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+    ).orderBy("doc_id", "span_start")
+
+
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated spans — the span-level output of Lee et al.
+    2022 (arXiv:2107.06499) that :func:`dedup_exact_substring`'s per-doc
+    coverage fractions summarize away: the paper's ExactSubstr policy
+    REMOVES each duplicated span (their threshold: 50 tokens), which
+    needs the spans themselves — start/end token positions and lengths —
+    not just how much of the document they cover. Fixed-K windowing
+    flags every K_SPAN-token window that repeats across documents; runs
+    of CONSECUTIVE flagged windows are then merged with the
+    gaps-and-islands grouping into maximal spans (a duplicated run of
+    L >= K_SPAN tokens produces L-K_SPAN+1 consecutive flagged windows,
+    which merge back into exactly one span of length L). Output: one row
+    per maximal span — (doc_id, span_start, span_end, span_tokens,
+    n_dup_windows), 1-based token positions, ``span_tokens = span_end -
+    span_start + 1`` — ready for a length threshold + in-order excision
+    (the reassembly step :func:`..curate.curate_boilerplate` already
+    demonstrates).
+
+    Scale: identical shuffle structure to dedup_exact_substring (window
+    hash shuffle, uniformly keyed; no document pairs ever materialize) +
+    one doc_id-keyed window/aggregate over the FLAGGED windows only —
+    output-sized, since unflagged windows are dropped before the islands
+    pass. The islands window partitions by doc_id, so no global sort.
+
+    Oracle: the dedup_exact_substring window CTEs (positions kept) +
+    the islands CTE chained verbatim (VERDICT r11 item 9).
+    """
+    return _dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SQL["dedup_dup_spans"] = f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    w0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - {K_SPAN} + 2)) AS i FROM t
+    ),
+    w AS (
+        SELECT doc_id, i,
+               md5(array_to_string(list_slice(toks, i, i + {K_SPAN} - 1), ' ')) AS h
+        FROM w0
+    ),
+    dup AS (
+        SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (h)),
+    grp AS (
+        SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, MIN(i) AS span_start, MAX(i) AS last_w,
+               COUNT(*) AS n_dup_windows
+        FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(last_w + {K_SPAN - 1} AS BIGINT) AS span_end,
+           CAST(last_w - span_start + {K_SPAN} AS BIGINT) AS span_tokens,
+           CAST(n_dup_windows AS BIGINT) AS n_dup_windows
+    FROM spans
+    ORDER BY doc_id, span_start
+"""
+
+
 SEM_CLUSTER_CAP = 4096  # max members per semantic-dedup matmul block
 
 
@@ -2106,12 +2223,20 @@ def dedup_pairs_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pins that no revoked doc_id physically survives in
     either store file.
     """
-    from ..catalog import hadoop_fs, load_table
+    from ..catalog import hadoop_fs, load_table, store_intact, swap_subtrees
     from .text import FORGET_SOURCE
 
     docs = load_table(spark, sf_dir, "documents")
     base = _pair_cache_dir(spark, sf_dir, modality="pairs-forget")
     fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
+    # marker AND data-dir validation: an interrupted purge swap re-heals
+    # by rebuilding instead of wedging on a missing tree
+    if not store_intact(
+        spark, f"{base}/_BASE_READY", f"{base}/bands", f"{base}/pairs"
+    ):
+        _, half = hadoop_fs(spark, f"{base}/_FORGET_READY")
+        fs.delete(half, True)  # force the purge to re-run after a re-heal
+        fs.delete(built, True)
     if not fs.exists(built):
         # the standing production store: detection ran on EVERYTHING,
         # before anyone knew the source would be revoked
@@ -2139,11 +2264,7 @@ def dedup_pairs_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filtered at read time (takedowns reach bytes on disk)
         kept_bands.write.mode("overwrite").parquet(f"{base}/bands_next")
         kept_pairs.write.mode("overwrite").parquet(f"{base}/pairs_next")
-        for name in ("bands", "pairs"):
-            _, old = hadoop_fs(spark, f"{base}/{name}")
-            fs.delete(old, True)
-            _, nxt = hadoop_fs(spark, f"{base}/{name}_next")
-            fs.rename(nxt, old)
+        swap_subtrees(spark, base, ("bands", "pairs"))
         fs.create(purged, True).close()
 
     return spark.read.parquet(f"{base}/pairs").orderBy("d1", "d2")

@@ -286,16 +286,25 @@ def bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     influencing every ranking they no longer appear in. Oracle =
     text_bm25's SQL over the surviving corpus: hash-equality proves
     purge ≡ rebuild-without-the-source, including the statistics."""
-    from ..catalog import hadoop_fs
+    from ..catalog import hadoop_fs, store_intact, swap_subtrees
     from .text import FORGET_SOURCE
 
     docs = load_table(spark, sf_dir, "documents")
     base = _lex_dir(spark, sf_dir, tag="bm25-forget")
     fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
-    if not fs.exists(built):
+    # marker AND data-dir validation: a purge interrupted mid-swap
+    # re-heals by rebuilding the base (and re-purging) instead of
+    # wedging every later read on a missing tree
+    if not store_intact(
+        spark,
+        f"{base}/_BASE_READY",
+        *(f"{base}/{n}" for n in ("postings", "doclens", "stats")),
+    ):
         # the standing production index: built on everything, before
         # anyone knew the source would be revoked
         _write_index(spark, base, docs, "overwrite")
+        _, half = hadoop_fs(spark, f"{base}/_FORGET_READY")
+        fs.delete(half, True)  # force the purge to re-run after a re-heal
         fs.create(built, True).close()
 
     _, purged = hadoop_fs(spark, f"{base}/_FORGET_READY")
@@ -318,11 +327,7 @@ def bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dl").cast("long").alias("total_tokens"),
         )
         kept_stats.write.mode("overwrite").parquet(f"{base}/stats_next")
-        for name in ("postings", "doclens", "stats"):
-            _, old = hadoop_fs(spark, f"{base}/{name}")
-            fs.delete(old, True)
-            _, nxt = hadoop_fs(spark, f"{base}/{name}_next")
-            fs.rename(nxt, old)
+        swap_subtrees(spark, base, ("postings", "doclens", "stats"))
         fs.create(purged, True).close()
 
     return _probe_lexical(spark, base)

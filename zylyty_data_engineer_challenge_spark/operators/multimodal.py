@@ -1623,12 +1623,16 @@ def _mm_signatures_forget(
     physically surviving in either parquet tree."""
     from .dedup import _pair_cache_dir
     from .text import FORGET_SOURCE
-    from ..catalog import hadoop_fs
+    from ..catalog import hadoop_fs, store_intact, swap_subtrees
 
     docs = load_table(spark, sf_dir, "documents")
     base = _pair_cache_dir(spark, sf_dir, modality=f"{modality}-forget")
     fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
-    if not fs.exists(built):
+    # marker AND data-dir validation: an interrupted purge swap re-heals
+    # by rebuilding instead of wedging on a missing tree
+    if not store_intact(
+        spark, f"{base}/_BASE_READY", f"{base}/sigs", f"{base}/pairs"
+    ):
         # the standing production store: the corpus was fingerprinted
         # before anyone knew the source would be revoked
         sig_compute(docs).write.mode("overwrite").parquet(f"{base}/sigs")
@@ -1636,6 +1640,8 @@ def _mm_signatures_forget(
         _banded_pairs(bands, bands, n_bands, ham_max).write.mode(
             "overwrite"
         ).parquet(f"{base}/pairs")
+        _, half = hadoop_fs(spark, f"{base}/_FORGET_READY")
+        fs.delete(half, True)  # force the purge to re-run after a re-heal
         fs.create(built, True).close()
 
     _, purged = hadoop_fs(spark, f"{base}/_FORGET_READY")
@@ -1651,11 +1657,7 @@ def _mm_signatures_forget(
         )
         kept_sigs.write.mode("overwrite").parquet(f"{base}/sigs_next")
         kept_pairs.write.mode("overwrite").parquet(f"{base}/pairs_next")
-        for name in ("sigs", "pairs"):
-            _, old = hadoop_fs(spark, f"{base}/{name}")
-            fs.delete(old, True)
-            _, nxt = hadoop_fs(spark, f"{base}/{name}_next")
-            fs.rename(nxt, old)
+        swap_subtrees(spark, base, ("sigs", "pairs"))
         fs.create(purged, True).close()
 
     return spark.read.parquet(f"{base}/pairs").orderBy("d1", "d2")
