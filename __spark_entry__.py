@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r12 (VERDICT r11 item 9): maximal duplicated spans —
         # exact-substring windows merged by gaps-and-islands
         "dedup_dup_spans": dedup.dedup_dup_spans,
+        # new in r12 (VERDICT r11 item 7): DSIR importance resampling —
+        # hashed-bigram target/raw ratio weights, md5 Bernoulli draw
+        "curate_dsir_sample": curate.curate_dsir_sample,
         # ALL 25 never-driver-graded entries (r10 park list) — first rows
         "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
         "sim_eval_mrr": similarity.sim_eval_mrr,

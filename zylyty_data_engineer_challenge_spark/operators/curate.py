@@ -1640,3 +1640,182 @@ def _curate_policy_oracle() -> str:
 
 
 ORACLE_SQL["pipeline_curate_policy"] = _curate_policy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (r12)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64  # hashed n-gram feature space
+DSIR_SCALE = 1_000_000  # per-gram ratio fixed-point scale
+DSIR_U_MOD = 1 << 32  # md5 draw modulus (8 hex digits)
+
+
+def _dsir_weights(docs: DataFrame) -> DataFrame:
+    """Kernel of :func:`curate_dsir_sample` (DataFrame-in for the
+    property tests): per-document integer importance weights under the
+    hashed-bigram bag model.
+
+    Feature extraction: word bigrams of the whitespace tokens, hashed
+    into DSIR_BUCKETS buckets via the repo's md5 bucket convention (the
+    only hash both engines compute identically). Target distribution =
+    the CURATE_LANG documents' buckets; raw = ALL documents' buckets, so
+    target counts never exceed raw counts — which bounds every per-gram
+    ratio at DSIR_SCALE and keeps the whole computation inside int64.
+
+    Weight: DSIR's importance is the product over the document's grams
+    of p_target(bucket)/p_raw(bucket); the global normalizers D_raw/D_t
+    are constant across buckets and the resampling rule below is
+    invariant under global scaling, so they drop out, leaving the
+    add-1-smoothed count ratio (t_b+1)/(r_b+1) per gram. Each ratio is
+    fixed-pointed as ``((t_b+1)*DSIR_SCALE) div (r_b+1)`` (exact integer
+    algebra — the ``curate_lang_temperature`` discipline; a float
+    product or a log-sum would break the cross-engine hash at the last
+    ulp) and the per-document weight is the integer MEAN over its grams
+    (the length-normalized log-importance surrogate: long documents
+    don't dominate by gram count alone). Documents with fewer than two
+    tokens have no features and are not weighted (excluded)."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, '\\\\s+'), x -> x <> '')").alias("tk"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("gram"),
+    )
+    gb = grams.select(
+        "doc_id",
+        "lang",
+        (
+            F.expr(
+                "CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)"
+            )
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    rawb = gb.groupBy("b").agg(F.count("*").cast("long").alias("r"))
+    tgtb = (
+        gb.filter(F.col("lang") == CURATE_LANG)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("tc"))
+    )
+    per_gram = (
+        gb.join(F.broadcast(rawb), "b")
+        .join(F.broadcast(tgtb), "b", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"((coalesce(tc, CAST(0 AS BIGINT)) + 1) * {DSIR_SCALE})"
+                f" div (r + 1)"
+            ).alias("wg"),
+        )
+    )
+    return per_gram.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.expr("CAST(sum(wg) div count(*) AS BIGINT)").alias("w"),
+    )
+
+
+def curate_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling") —
+    the target-distribution reweighting the curation family lacked: its
+    quotas/temperature/tertiles shape the corpus by label or by a
+    per-document quality score, but none of them select raw documents
+    for RESEMBLING a trusted target corpus. DSIR's recipe: hashed n-gram
+    bag features, per-document importance weight = target/raw bucket
+    frequency ratio under the bag model, then sample raw documents with
+    probability proportional to the weight.
+
+    Implementation is the deterministic/exact-integer translation (see
+    :func:`_dsir_weights` for the weight algebra): the sampling draw is
+    the repo's standard md5 derandomization — ``u = first 8 md5 hex
+    digits of doc_id`` uniform in [0, 2^32) — and a document is kept iff
+    ``u * w_max < w * 2^32`` (keep probability w/w_max, the Bernoulli
+    form of importance resampling; cross-multiplied so no division ever
+    happens: u < 2^32, w <= DSIR_SCALE, both products < 2^53 — exact in
+    int64 on both engines). Output: the sampled manifest (doc_id, lang,
+    n_grams, w, u), ordered by doc_id.
+
+    Scale (100 TB): feature hashing is a map-only projection (no raw
+    text shuffled — grams hash to a 64-int bucket id stream); the two
+    distribution estimates are DSIR_BUCKETS-row aggregates
+    (map-side-combinable, broadcast back); weighting is a narrow map +
+    one doc_id-keyed aggregate; selection is a row-local predicate under
+    a 1-row broadcast max. Nothing in the plan grows faster than one
+    pass over the corpus, which is the property that lets DSIR select
+    from web-scale raw pools.
+    """
+    weights = _dsir_weights(load_table(spark, sf_dir, "documents"))
+    wmax = weights.agg(F.max("w").alias("wmax"))
+    return (
+        weights.withColumn(
+            "u",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT)"
+            ),
+        )
+        .crossJoin(F.broadcast(wmax))
+        .filter(F.col("u") * F.col("wmax") < F.col("w") * F.lit(DSIR_U_MOD))
+        .select("doc_id", "lang", "n_grams", "w", "u")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["curate_dsir_sample"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i FROM t
+    ),
+    g AS (
+        SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS gram FROM g0
+    ),
+    gb AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+        FROM g
+    ),
+    rawb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM gb GROUP BY b),
+    tgtb AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+        FROM gb WHERE lang = '{CURATE_LANG}' GROUP BY b
+    ),
+    pg AS (
+        SELECT gb.doc_id, gb.lang,
+               ((COALESCE(tg.tc, 0) + 1) * {DSIR_SCALE}) // (r.r + 1) AS wg
+        FROM gb JOIN rawb r USING (b) LEFT JOIN tgtb tg USING (b)
+    ),
+    pd AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(wg) // COUNT(*) AS BIGINT) AS w
+        FROM pg GROUP BY doc_id, lang
+    ),
+    wm AS (SELECT MAX(w) AS wmax FROM pd),
+    sel AS (
+        SELECT doc_id, lang, n_grams, w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        FROM pd
+    )
+    SELECT doc_id, lang, n_grams, w, u
+    FROM sel, wm
+    WHERE u * wmax < w * {DSIR_U_MOD}
+    ORDER BY doc_id
+"""
