@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r12 (VERDICT r11 item 7): DSIR importance resampling —
         # hashed-bigram target/raw ratio weights, md5 Bernoulli draw
         "curate_dsir_sample": curate.curate_dsir_sample,
+        # new in r12 (VERDICT r11 item 5): the N-query hybrid batch —
+        # one DPP-pruned codes scan + one union-bucket postings scan
+        "sim_hybrid_probe_batch": lexical.sim_hybrid_probe_batch,
         # ALL 25 never-driver-graded entries (r10 park list) — first rows
         "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
         "sim_eval_mrr": similarity.sim_eval_mrr,

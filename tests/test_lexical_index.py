@@ -187,3 +187,79 @@ def test_python_xxh64_matches_spark_xxhash64(spark):
     assert lexical._term_buckets() == sorted(
         {v % lexical.BM25_BUCKETS for v in (want[t] for t in lexical.BM25_TERMS)}
     )
+
+
+def test_hybrid_batch_prunes_both_scans_to_the_union_buckets(
+    spark, sf_dir, pair_cache, tmp_path
+):
+    """sim_hybrid_probe_batch (r12): the WHOLE batch must cost two index
+    seeks — the codes scan dynamically partition-pruned on cid, and ONE
+    postings scan statically pruned to the union of the batch's term
+    buckets (per-query fan-out happens after the fetch, off a broadcast
+    (query_id, term) table — never one scan per query)."""
+    import contextlib
+    import io
+
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        df = lexical.sim_hybrid_probe_batch(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+    plan = buf.getvalue()
+    cid = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "cid" in line
+    ]
+    assert cid and any("dynamicpruning" in line for line in cid), plan
+    tb_lines = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+        and re.search(r"tb#\d+ (IN|INSET)", line)
+    ]
+    assert tb_lines, f"postings scan lost its union-bucket filter:\n{plan}"
+    # at most two postings scans serve the whole batch — the tf rows and
+    # the column-pruned (term, tb) df pass — never one scan per query
+    assert len(tb_lines) <= 2, tb_lines
+    # every scan's IN-list is the union of the batch's buckets
+    want = set(lexical._term_buckets(lexical._batch_terms()))
+    for line in tb_lines:
+        got = {
+            int(m)
+            for m in re.findall(r"\d+", re.split(r"IN(?:SET)?", line)[1])
+        }
+        assert got == want, (got, want, line)
+
+
+def test_hybrid_batch_query3_slice_equals_single_probe(
+    spark, sf_dir, pair_cache, tmp_path
+):
+    """Query 3 of the batch is the original (RRF_QUERY, BM25_TERMS) pair,
+    so its batch rows must be byte-identical to sim_hybrid_probe's —
+    per-term BM25 scores are unchanged by the union term filter (df is
+    per-term), and the sorted-fold total equals the pivot fold by IEEE
+    commutativity of two-operand addition."""
+    from zylyty_data_engineer_challenge_spark.operators.similarity import (
+        RRF_QUERY,
+    )
+
+    spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+    try:
+        batch = lexical.sim_hybrid_probe_batch(spark, sf_dir).collect()
+        single = lexical.sim_hybrid_probe(spark, sf_dir).collect()
+    finally:
+        spark.conf.unset("spark.zylyty.annIndexDir")
+    got = [
+        (r["rank"], r["doc_id"], r["dense_rank"], r["lex_rank"], r["rrf"])
+        for r in batch
+        if r["query_id"] == RRF_QUERY
+    ]
+    want = [
+        (r["rank"], r["doc_id"], r["dense_rank"], r["lex_rank"], r["rrf"])
+        for r in single
+    ]
+    assert got == want

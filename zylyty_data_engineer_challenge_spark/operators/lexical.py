@@ -509,3 +509,247 @@ def _hybrid_probe_oracle() -> str:
 
 
 ORACLE_SQL["sim_hybrid_probe"] = _hybrid_probe_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Batched hybrid retrieval (r12) — the N-query production shape
+# ---------------------------------------------------------------------------
+
+# the query batch: one term set per dense query vector (query_id < N_QUERIES).
+# query 3 is the original RRF_QUERY with BM25_TERMS, so the r11 single-query
+# probe is literally one row-slice of this batch.
+RRF_BATCH_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("scan", "merge"),
+    1: ("hash", "table"),
+    2: ("sort", "stream"),
+    3: BM25_TERMS,
+    4: ("group", "agg"),
+    5: ("query", "fast"),
+    6: ("row", "key", "value"),
+    7: ("vector", "batch"),
+}
+
+
+def _batch_terms() -> tuple[str, ...]:
+    """The batch's term UNION, sorted — the postings scan is pruned to
+    these terms' bucket set (buckets = union of the batch's buckets)."""
+    return tuple(sorted({t for ts in RRF_BATCH_QUERIES.values() for t in ts}))
+
+
+def _probe_lexical_batch(spark: SparkSession, base: str) -> DataFrame:
+    """Per-query BM25 rankings for the whole batch from ONE pruned
+    postings scan: the union of the batch's term buckets is computed
+    driver-side (zero jobs — :func:`_term_buckets`), the scan is
+    statically partition-pruned to that literal set, and a tiny
+    broadcast (query_id, term) table fans the fetched postings out to
+    the queries that asked for each term. Scoring is the same
+    association-pinned rational BM25 as :func:`..text._bm25_rank`; the
+    per-document total is a LEFT FOLD over the query's term scores
+    sorted by term (Spark ``aggregate`` over ``sort_array`` ==
+    DuckDB ``list_reduce`` over ``list(.. ORDER BY term)`` — the
+    ``text_bpe_train`` fold-pinning trick), because a per-query term
+    set is variable-width and a float SUM aggregate's accumulation
+    order is engine-dependent."""
+    from .text import BM25_B, BM25_K1, BM25_TOP
+    from pyspark.sql import Window
+
+    terms = _batch_terms()
+    buckets = _term_buckets(terms)
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), t) for q, ts in RRF_BATCH_QUERIES.items() for t in ts],
+            "query_id long, term string",
+        )
+    )
+    postings = spark.read.parquet(f"{base}/postings")
+    tf = (
+        postings.filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*terms))
+        .select("doc_id", "term", "tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dls = spark.read.parquet(f"{base}/doclens")
+    stats = spark.read.parquet(f"{base}/stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+    )
+    k1n, k1d = BM25_K1
+    bn, bd = BM25_B
+    score_expr = (
+        f"(CAST(n_docs - df + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))"
+        f" * (CAST(tf * ({k1n} + {k1d}) AS DOUBLE)"
+        f" / (CAST(tf * {k1d} AS DOUBLE) + CAST({k1n} AS DOUBLE)"
+        f" * (CAST({bd} - {bn} AS DOUBLE) / {bd}"
+        f" + (CAST({bn} AS DOUBLE) / {bd})"
+        f" * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE)))))"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(qterms, "term")  # fan out to the queries that asked
+        .select("query_id", "doc_id", "term", F.expr(score_expr).alias("s"))
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.expr(
+            "aggregate(transform(sort_array(collect_list(struct(term, s))),"
+            " x -> x.s), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("lex_rank", F.row_number().over(w))
+        .filter(F.col("lex_rank") <= BM25_TOP)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+
+def sim_hybrid_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED hybrid retrieval from both persisted indexes — the
+    generalization VERDICT r11 item 5 ordered: :func:`sim_hybrid_probe`
+    serves ONE benchmark query; a hybrid search service serves query
+    BATCHES, and the dense side (:func:`..similarity.sim_index_probe`)
+    has ranked all N_QUERIES vectors per probe since r8 while the
+    lexical side was pinned to ``RRF_QUERY``/``BM25_TERMS``. This op
+    fuses all N_QUERIES pairs (dense vector, per-query term set —
+    ``RRF_BATCH_QUERIES``; query 3 is the original pair) with the same
+    rank-only RRF formula, per query.
+
+    Plan: the batch costs exactly TWO index seeks — one DPP-pruned codes
+    scan (all dense queries share it) and one postings scan statically
+    pruned to the UNION of the batch's term buckets (each query's terms
+    fan out from a broadcast (query_id, term) table AFTER the fetch) —
+    plus per-query k-row windows. Batch size scales the tiny broadcast
+    sides, never the number of store scans; that is the amortization
+    batching exists for.
+
+    Own oracle: the ivfpq SQL as the dense CTE (all queries, no
+    query_id filter) spliced with a VALUES-table lexical batch whose
+    per-doc totals use the fold-pinned sum (VERDICT item 5's
+    "per-query CTEs" realized as one relational plan).
+    """
+    from .similarity import RRF_K, RRF_TOP, sim_index_probe
+    from pyspark.sql import Window
+
+    dense = sim_index_probe(spark, sf_dir).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    lex = _probe_lexical_batch(spark, build_lexical_index(spark, sf_dir))
+    fused = dense.join(lex, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "dense_rank",
+        "lex_rank",
+        F.expr(
+            f"coalesce(1.0 / CAST({RRF_K} + dense_rank AS DOUBLE), CAST(0 AS DOUBLE))"
+            f" + coalesce(1.0 / CAST({RRF_K} + lex_rank AS DOUBLE), CAST(0 AS DOUBLE))"
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_TOP)
+        .select("query_id", "rank", "doc_id", "dense_rank", "lex_rank", "rrf")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hybrid_batch_oracle() -> str:
+    from .similarity import (
+        ORACLE_SQL as SIM_ORACLE_SQL,
+        RRF_K,
+        RRF_TOP,
+        _strip_order_by,
+    )
+    from .text import BM25_B, BM25_K1, BM25_TOP
+
+    terms = _batch_terms()
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    values = ", ".join(
+        f"({q}, '{t}')" for q, ts in RRF_BATCH_QUERIES.items() for t in ts
+    )
+    k1n, k1d = BM25_K1
+    bn, bd = BM25_B
+    return f"""
+    WITH qterms AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, term
+        FROM (VALUES {values}) AS v(query_id, term)
+    ),
+    toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+        FROM documents
+    ),
+    clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM clean GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_tokens
+        FROM dls
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM clean
+        WHERE term IN ({term_list})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    lex_scored AS (
+        SELECT q.query_id, tf.doc_id, tf.term,
+               (CAST(s.n_docs - d.df + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))
+               * (CAST(tf.tf * ({k1n} + {k1d}) AS DOUBLE)
+                  / (CAST(tf.tf * {k1d} AS DOUBLE) + CAST({k1n} AS DOUBLE)
+                     * (CAST({bd} - {bn} AS DOUBLE) / {bd}
+                        + (CAST({bn} AS DOUBLE) / {bd})
+                        * (CAST(l.dl * s.n_docs AS DOUBLE)
+                           / CAST(s.total_tokens AS DOUBLE))))) AS sc
+        FROM tf
+        JOIN dfreq d USING (term)
+        JOIN dls l USING (doc_id)
+        JOIN qterms q USING (term), stats s
+    ),
+    lex_tot AS (
+        SELECT query_id, doc_id,
+               list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS score
+        FROM lex_scored GROUP BY query_id, doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id, lex_rank FROM (
+            SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+            FROM lex_tot
+        ) WHERE lex_rank <= {BM25_TOP}
+    ),
+    dense AS (
+        SELECT query_id, vec_id AS doc_id, rank AS dense_rank
+        FROM ({_strip_order_by(SIM_ORACLE_SQL["sim_ann_ivfpq"])})
+    ),
+    fused AS (
+        SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+               COALESCE(d.doc_id, l.doc_id) AS doc_id,
+               d.dense_rank, l.lex_rank,
+               coalesce(1.0 / CAST({RRF_K} + d.dense_rank AS DOUBLE), CAST(0 AS DOUBLE))
+               + coalesce(1.0 / CAST({RRF_K} + l.lex_rank AS DOUBLE), CAST(0 AS DOUBLE))
+                   AS rrf
+        FROM dense d
+        FULL OUTER JOIN lex l
+          ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+    )
+    SELECT query_id, rank, doc_id, dense_rank, lex_rank, rrf FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+        FROM fused
+    ) WHERE rank <= {RRF_TOP}
+    ORDER BY query_id, rank
+"""
+
+
+ORACLE_SQL["sim_hybrid_probe_batch"] = _hybrid_batch_oracle()
