@@ -87,7 +87,9 @@ def test_top_customers_prunes_orders_scan(spark):
         ("dedup_simhash", dedup.dedup_simhash, 2),
         ("dedup_minhash_lsh", dedup.dedup_minhash_lsh, 0),
         ("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, 4),
-        ("sim_ann_lsh", similarity.sim_ann_lsh, 2),
+        # r12: sim_ann_lsh signatures moved to the Arrow/BLAS twin — the
+        # hyperplane crossJoin left the plan entirely
+        ("sim_ann_lsh", similarity.sim_ann_lsh, 0),
         ("sim_ann_ivf", similarity.sim_ann_ivf, 4),
     ],
 )
@@ -158,13 +160,13 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "dedup_ngram_jaccard": 4,  # 1-row corpus count under 4 shingle consumers
     "dedup_containment": 4,  # same unfiltered kernel, same 4 corpus-count crosses
     "sim_topk_bruteforce": 1,  # 8-row query set broadcast
-    "sim_ann_lsh": 2,  # 16x64 hyperplane table
+    "sim_ann_lsh": 0,  # r12: BLAS signature twin — no hyperplane cross left
     "dedup_embedding_lsh": 2,  # same 16x64 hyperplane table build
     "dedup_embedding_recall": 5,  # hyperplane build (x2 static prints) + 1-row count cross
     "sim_ann_ivf": 4,  # 16-row centroid table
     "sketch_kmv_union": 1,  # 1-row merged-kth crossJoin
     "sketch_bloom_join": 3,  # crossJoins of four 1-row summary aggregates
-    "sim_ann_recall": 3,  # inherits bruteforce (1) + ann_lsh (2) constants
+    "sim_ann_recall": 1,  # inherits bruteforce (1); ann_lsh constants gone (r12)
     "sim_ann_ivf_recall": 5,  # inherits bruteforce (1) + ann_ivf (4) constants
     "sim_ann_pq_recall": 1,  # inherits bruteforce (1); PQ itself has none
     "sketch_cms_topk": 2,  # 3-row hash-row table crossed twice (build+probe)
@@ -262,6 +264,11 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # hybrid probe (r11): the stats cross re-printed under the lexical
     # list + the ANN probe's LUT/centroid broadcast subtrees
     "sim_hybrid_probe": 3,
+    # batched hybrid (r12): same constants — the batch shares ONE stats
+    # cross and the ANN probe subtrees; batch size adds no BNLJ
+    "sim_hybrid_probe_batch": 3,
+    # DSIR (r12): the 1-row w_max cross under the Bernoulli keep rule
+    "curate_dsir_sample": 1,
 }
 
 
