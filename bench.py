@@ -60,6 +60,30 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+def host_factor(timings: dict[str, float]) -> float | None:
+    """Host-calibration factor (r11 VERDICT item 1): the median ratio of
+    this run's r01-subset queries to their BENCH_r01 lines. Those 38
+    queries' code and inputs are frozen, so the median ratio measures the
+    HOST, not the engine — a per-query line that looks 2-3x its r01
+    value on a run whose host_factor is ~2 is host noise; the same line
+    on a host_factor ~1 run is a real regression. Median (not mean): a
+    genuine single-query regression must not move the calibration."""
+    import statistics
+
+    path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_r01.json")
+    try:
+        with open(path) as f:
+            r01 = json.load(f)["parsed"]["queries"]
+    except (OSError, KeyError, TypeError, ValueError):
+        return None
+    ratios = [
+        timings[q] / r01[q]
+        for q in R01_BENCH_SET
+        if q in timings and r01.get(q)
+    ]
+    return round(statistics.median(ratios), 3) if ratios else None
+
+
 def headline_queries() -> dict:
     """The benched subset of __spark_entry__.queries(): the reference views
     plus the heaviest relational + extended operators."""
@@ -280,12 +304,17 @@ def main() -> int:
     r01_subset = round(
         sum(t for n, t in timings.items() if n in R01_BENCH_SET), 3
     )
+    hf = host_factor(timings)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "value_r01_subset": r01_subset,
         "n_r01_subset": sum(1 for n in timings if n in R01_BENCH_SET),
+        # median ratio of the frozen r01-subset queries vs their r01
+        # lines — the host-calibration number that separates host noise
+        # from real per-query regressions (r11 VERDICT item 1)
+        "host_factor": hf,
         "queries": timings,
         # the streaming latency lane (separate metric: cold replay in a
         # fresh state root, harness included — see bench_stream_queries)
@@ -309,6 +338,13 @@ def main() -> int:
     # 8: BENCH_r08's tail opened mid-JSON on the full line)
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
         json.dump(full, f)
+    # optional second artifact path (r11 VERDICT item 1): the builder's
+    # closing quiet-host run passes BENCH_QUIET_r{N}.json here and commits
+    # it, so per-query cross-round adjudication has a full-fidelity record
+    # (the driver's BENCH_r{N}.json tail-truncates the per-query map)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump(full, f)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     compact = {
         "metric": "headline_queries_total_wall",
@@ -316,6 +352,7 @@ def main() -> int:
         "unit": "sec",
         "value_r01_subset": r01_subset,
         "n_r01_subset": full["n_r01_subset"],
+        "host_factor": hf,
         "n_queries": len(timings),
         "queries": slowest,
         "queries_truncated": True,

@@ -1,0 +1,97 @@
+"""Bench adjudication tooling (r12: VERDICT r11 items 1 + 8).
+
+No Spark here — these pin the pure-Python calibration/diff logic that
+PERF.md adjudication rests on: host_factor is the MEDIAN ratio over the
+frozen r01 subset (robust to one genuine regression), and bench_diff
+divides per-query ratios by the two runs' host-factor ratio so a
+uniformly slower host flags nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_host_factor_is_median_over_r01_subset():
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    r01 = json.load(open(REPO / "BENCH_r01.json"))["parsed"]["queries"]
+    # a uniform 2x-inflated run of the exact r01 queries -> factor 2.0
+    timings = {q: t * 2 for q, t in r01.items()}
+    assert bench.host_factor(timings) == 2.0
+    # one genuinely regressed query must not move the median
+    timings[next(iter(timings))] *= 50
+    assert bench.host_factor(timings) == 2.0
+    # no overlap -> None, not a crash
+    assert bench.host_factor({"not_a_query": 1.0}) is None
+
+
+def test_bench_diff_calibrates_away_uniform_host_inflation(tmp_path):
+    cur = {
+        "value": 100.0,
+        "host_factor": 2.0,
+        "queries": {"steady": 2.0, "regressed": 4.0},
+        "stream_queries": {"s_ok": 10.0, "s_bad": 20.0},
+        "stream_total": 30.0,
+    }
+    base = {
+        "value": 50.0,
+        "host_factor": 1.0,
+        "queries": {"steady": 1.0, "regressed": 1.0},
+        "stream_queries": {"s_ok": 5.0, "s_bad": 5.0},
+        "stream_total": 10.0,
+    }
+    cp, bp = tmp_path / "cur.json", tmp_path / "base.json"
+    cp.write_text(json.dumps(cur))
+    bp.write_text(json.dumps(base))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_diff.py"), str(cp), str(bp)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    report = json.loads(out.stdout)
+    assert report["host_calibration"] == 2.0
+    # the uniformly-inflated query is NOT flagged; the real one is
+    assert "steady" not in report["headline"]["flagged"]
+    assert report["headline"]["flagged"]["regressed"]["calibrated_ratio"] == 2.0
+    assert "s_ok" not in report["stream"]["flagged"]
+    assert "s_bad" in report["stream"]["flagged"]
+
+
+def test_bench_diff_skips_truncated_per_query_maps(tmp_path):
+    """Driver artifacts tail-truncate the headline map to the slowest 10;
+    diffing those against a full map would flag the wrong things — the
+    lane must be skipped with a note, totals still reported."""
+    cur = {
+        "value": 10.0,
+        "queries": {"a": 9.0},
+        "queries_truncated": True,
+        "stream_queries": {"s": 1.0},
+        "stream_total": 1.0,
+    }
+    base = {
+        "value": 8.0,
+        "queries": {"a": 1.0, "b": 1.0},
+        "stream_queries": {"s": 1.0},
+        "stream_total": 1.0,
+    }
+    cp, bp = tmp_path / "cur.json", tmp_path / "base.json"
+    cp.write_text(json.dumps(cur))
+    bp.write_text(json.dumps(base))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_diff.py"), str(cp), str(bp)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    report = json.loads(out.stdout)
+    assert report["headline"]["compared"] == 0
+    assert report["stream"]["compared"] == 1
+    assert report["totals"]["headline"] == {"cur": 10.0, "base": 8.0}

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Cross-round bench regression check (r11 VERDICT item 8).
+
+Compares a current bench artifact (default ``BENCH_LAST.json``) against
+the best available prior-round baseline and flags UNCHANGED-op
+regressions above ``FLAG_RATIO`` — separately for the headline lane and
+the streaming lane (which got its first recorded baseline in r11 and
+previously had no regression visibility at all).
+
+Baseline resolution, best first:
+
+1. an explicit second CLI argument;
+2. the newest committed ``BENCH_QUIET_r*.json`` (full per-query maps —
+   the quiet-host closing artifact bench.py writes when given a path);
+3. the newest ``BENCH_r*.json`` whose ``parsed`` block carries per-query
+   maps (the driver's stdout capture; headline map is tail-truncated to
+   the slowest 10, so coverage is partial);
+4. totals only (lane totals compared, per-query skipped with a note).
+
+Host noise handling: per-query ratios are divided by the ratio of the
+two runs' ``host_factor`` values when both artifacts carry one, so a
+uniformly 1.4x-slower host does not flag 40 false regressions.
+
+Prints one JSON line::
+
+    {"baseline": "...", "headline": {"compared": N, "flagged": {...}},
+     "stream": {"compared": N, "flagged": {...}},
+     "totals": {...}, "flag_ratio": 1.5}
+
+Exit code 0 always — the report is for PERF.md adjudication, not CI
+(wall-clock on a shared host is not a deterministic gate; the plan pins
+in tests/test_plans.py are the CI-grade perf contracts).
+
+Usage::
+
+    python tools/bench_diff.py [current.json] [baseline.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLAG_RATIO = 1.5
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        data = json.load(f)
+    # driver artifacts wrap the summary in "parsed"
+    if "parsed" in data and isinstance(data.get("parsed"), dict):
+        return data["parsed"]
+    return data
+
+
+def _round_of(path: str) -> int:
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _pick_baseline(current_path: str) -> str | None:
+    cur_round = _round_of(current_path)
+    candidates = []
+    for pattern in ("BENCH_QUIET_r*.json", "BENCH_r*.json"):
+        for p in glob.glob(os.path.join(REPO, pattern)):
+            r = _round_of(p)
+            if cur_round == -1 or r < cur_round or (
+                cur_round == -1 and p != current_path
+            ):
+                if os.path.abspath(p) != os.path.abspath(current_path):
+                    candidates.append((pattern.startswith("BENCH_QUIET"), r, p))
+    if not candidates:
+        return None
+    # prefer quiet artifacts, then the newest round
+    candidates.sort(key=lambda t: (t[0], t[1]))
+    return candidates[-1][2]
+
+
+def _lane_diff(
+    cur: dict | None, base: dict | None, calib: float
+) -> dict:
+    if not cur or not base:
+        return {"compared": 0, "note": "per-query map missing on one side"}
+    flagged = {}
+    improved = {}
+    for q, t in cur.items():
+        b = base.get(q)
+        if not b or not t:
+            continue
+        ratio = round((t / b) / calib, 3)
+        if ratio > FLAG_RATIO:
+            flagged[q] = {"cur": t, "base": b, "calibrated_ratio": ratio}
+        elif ratio < 1 / FLAG_RATIO:
+            improved[q] = {"cur": t, "base": b, "calibrated_ratio": ratio}
+    return {
+        "compared": len(set(cur) & set(base)),
+        "flagged": dict(sorted(flagged.items(), key=lambda kv: -kv[1]["calibrated_ratio"])),
+        "improved": dict(sorted(improved.items(), key=lambda kv: kv[1]["calibrated_ratio"])),
+    }
+
+
+def main() -> int:
+    current_path = (
+        sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_LAST.json")
+    )
+    cur = _load(current_path)
+    baseline_path = sys.argv[2] if len(sys.argv) > 2 else _pick_baseline(current_path)
+    if not baseline_path:
+        print(json.dumps({"error": "no baseline artifact found"}))
+        return 0
+    base = _load(baseline_path)
+
+    hf_cur, hf_base = cur.get("host_factor"), base.get("host_factor")
+    calib = (hf_cur / hf_base) if (hf_cur and hf_base) else 1.0
+
+    report = {
+        "current": os.path.basename(current_path),
+        "baseline": os.path.basename(baseline_path),
+        "flag_ratio": FLAG_RATIO,
+        "host_calibration": round(calib, 3),
+        "headline": _lane_diff(
+            None if cur.get("queries_truncated") else cur.get("queries"),
+            None if base.get("queries_truncated") else base.get("queries"),
+            calib,
+        ),
+        "stream": _lane_diff(
+            cur.get("stream_queries"), base.get("stream_queries"), calib
+        ),
+        "totals": {
+            "headline": {"cur": cur.get("value"), "base": base.get("value")},
+            "r01_subset": {
+                "cur": cur.get("value_r01_subset"),
+                "base": base.get("value_r01_subset"),
+            },
+            "stream": {
+                "cur": cur.get("stream_total"),
+                "base": base.get("stream_total"),
+            },
+        },
+    }
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
