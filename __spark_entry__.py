@@ -63,38 +63,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS DELIBERATE: the driver's correctness run grades the first
     50 entries, so each round the registry front-loads the queries whose
-    driver row carries the most NEW information. Round-11 rotation
-    (VERDICT r10 item 1): after this window EVERY registry entry has at
-    least one driver-green row — full closure (all 226 r10 entries plus
-    the 10 r11 additions = 236/236). The window holds
-    (a) the §2 reference surface (always graded, 7 rows), (b) ALL 25
-    never-driver-graded entries — sim_ann_rerank_recall plus the r10-late
-    batch (LM store lifecycle incl. forget, BPE train/apply, repetition
-    filters, streaming signature-store appends + quality funnel, snapshot
-    expiry, the curation-policy batch, pair-store forget, the NPROBE
-    sweep, MRR eval, index deletion) — (c) the TEN operators ADDED this
-    round: the full bm25_index_* lexical-index lifecycle (build / probe
-    / append / compact / forget) with its streaming twin
-    stream_bm25_append, the store-served hybrid sim_hybrid_probe
-    (IVF-PQ probe + postings probe, RRF-fused), and the takedown purges
-    mm_phash_forget / mm_afp_forget / cluster_labels_forget (VERDICT
-    r10 item 4) — and (d) the 8 stalest green rows: the r1 pair
-    (dedup_exact, text_top_ngrams — the latter also this round's
-    perf-watch item, VERDICT r10 item 7), the r4 pair (q_forward_fill,
-    q_unpivot), and the oldest r6 rows (q_sessionize ..
-    sketch_kmv_union; the r6 block's tail — q_interval_overlap through
-    q_asof_join — leads position 51+, displaced by the r11 additions;
-    all r6-green, age 4, within the freshness contract).
+    driver row carries the most NEW information. The registry holds 240
+    entries (237 after r11 + the three r12 additions); every entry has at
+    least one driver-green row (closure reached in r11) and the freshness
+    contract (tools/grading_age.py, MAX_AGE_ROUNDS=6) is CI-enforced.
 
-    Positions 51+ keep their prior relative order; all were driver-graded
-    green in r1-r10 with code+oracle unchanged since, or changed only by
-    this round's pytest-pinned refactors (the store-served
-    sim_eval_mrr/sim_ann_param_sweep, the dedup_semantic cluster-size
-    cap — each hash-unchanged by construction, oracle identical). Every
-    registered query is verified locally every round by
+    Round-12 window (VERDICT r11 item 3): (a) the §2 reference surface
+    (always graded, 7 rows), (b) the THREE r12 additions —
+    dedup_dup_spans (maximal duplicated spans, item 9),
+    curate_dsir_sample (DSIR importance resampling, item 7),
+    sim_hybrid_probe_batch (the N-query hybrid batch, item 5) — (c) the
+    two r12-CHANGED entries regraded: sim_filtered_ann (now served from
+    the persisted index, item 4; hash-unchanged by construction) and
+    sim_ann_lsh (signature build moved to the BLAS twin, item 2;
+    bit-identical signatures), (d) ALL 27 rows whose last driver grade
+    is r6 — the exact list item 3 named, ages 5 — and (e) the 11 oldest
+    r7 rows (q_pricing_summary .. kmeans_inertia), filling the window
+    to 50. Positions 51+ keep their prior relative order; all were
+    driver-graded green in r7-r11 with code+oracle unchanged since.
+    Every registered query is verified locally every round by
     tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
     regardless of grading position.
     """
+
     return {
         # --- graded window (first 50) ---
         # §2 reference surface (always graded)
@@ -105,16 +96,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
-        # new in r12 (VERDICT r11 item 9): maximal duplicated spans —
-        # exact-substring windows merged by gaps-and-islands
+        # r12 additions (VERDICT r11 items 9, 7, 5)
         "dedup_dup_spans": dedup.dedup_dup_spans,
-        # new in r12 (VERDICT r11 item 7): DSIR importance resampling —
-        # hashed-bigram target/raw ratio weights, md5 Bernoulli draw
         "curate_dsir_sample": curate.curate_dsir_sample,
-        # new in r12 (VERDICT r11 item 5): the N-query hybrid batch —
-        # one DPP-pruned codes scan + one union-bucket postings scan
         "sim_hybrid_probe_batch": lexical.sim_hybrid_probe_batch,
-        # ALL 25 never-driver-graded entries (r10 park list) — first rows
+        # r12-changed serving paths, regraded (items 4, 2)
+        "sim_filtered_ann": similarity.sim_filtered_ann,
+        "sim_ann_lsh": similarity.sim_ann_lsh,
+        # the 27 r6-stale rows (item 3 — freshness rotation)
+        "sketch_kmv_union": sketches.sketch_kmv_union,
+        "q_interval_overlap": advanced.q_interval_overlap,
+        "q_reservoir_sample": relational.q_reservoir_sample,
+        "mm_arrow_resize": multimodal.mm_arrow_resize,
+        "sim_ann_ivf": similarity.sim_ann_ivf,
+        "q_scd2_dim": warehouse.q_scd2_dim,
+        "q_window_extras": warehouse.q_window_extras,
+        "q_lateral_topn": warehouse.q_lateral_topn,
+        "q_bucketed_join": warehouse.q_bucketed_join,
+        "q_udtf_surface": analytics.q_udtf_surface,
+        "q_asof_join": advanced.q_asof_join,
+        "stream_event_summary": views_stream.stream_event_summary,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "text_bpe_tokens": text.text_bpe_tokens,
+        "q_range_join": analytics.q_range_join,
+        "q_gaps_islands": analytics.q_gaps_islands,
+        "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
+        "q_semi_anti_join": relational.q_semi_anti_join,
+        "q_set_ops": relational.q_set_ops,
+        "q_pivot_events": relational.q_pivot_events,
+        "text_langid": text.text_langid,
+        "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
+        "sim_ann_recall": similarity.sim_ann_recall,
+        "sketch_cms_topk": sketches.sketch_cms_topk,
+        "text_contamination_check": text.text_contamination_check,
+        "q_shipping_priority": relational.q_shipping_priority,
+        "q_local_supplier_volume": relational.q_local_supplier_volume,
+        # the 11 oldest r7 rows (window fill)
+        "q_pricing_summary": relational.q_pricing_summary,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_lsh_recall": dedup.dedup_lsh_recall,
+        "dedup_lsh_recall_sampled": dedup.dedup_lsh_recall_sampled,
+        "mm_features": multimodal.mm_features,
+        "mm_decode_image": multimodal.mm_decode_image,
+        "mm_decode_audio": multimodal.mm_decode_audio,
+        "sim_ann_ivf_recall": similarity.sim_ann_ivf_recall,
+        "sim_ann_pq": similarity.sim_ann_pq,
+        "kmeans_lloyd": cluster.kmeans_lloyd,
+        "kmeans_inertia": cluster.kmeans_inertia,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # prior relative order preserved; every entry below has a
+        # driver-green row from r7-r11 with code+oracle unchanged
         "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
         "sim_eval_mrr": similarity.sim_eval_mrr,
         "sim_ann_param_sweep": similarity.sim_ann_param_sweep,
@@ -140,7 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_quality_funnel": curate.curate_quality_funnel,
         "curate_ccnet_buckets": curate.curate_ccnet_buckets,
         "pipeline_curate_policy": curate.pipeline_curate_policy,
-        # stalest green rows: r1 pair, r4 pair, oldest r6 block
         "dedup_exact": dedup.dedup_exact,
         "text_top_ngrams": text.text_top_ngrams,
         "q_forward_fill": analytics.q_forward_fill,
@@ -148,47 +178,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": advanced.q_sessionize,
         "q_time_rollup": analytics.q_time_rollup,
         "q_recursive_cte": warehouse.q_recursive_cte,
-        # new in r11: the data-skipping READ over the z-ordered store
-        # (redundant Morton-range predicate prunes files; oracle = box)
         "q_zorder_probe": warehouse.q_zorder_probe,
-        # new in r11: streaming maintenance of the lexical store —
-        # per-batch postings/doclens/additive-stats appends; probe
-        # hash-equal to text_bm25 (fourth execution path)
         "stream_bm25_append": lexical_stream.stream_bm25_append,
-        # new in r11: the persisted LEXICAL index lifecycle — term-bucket-
-        # partitioned postings store (build/probe/append/forget), probe
-        # hash-equal to text_bm25 (one oracle, three execution paths)
         "bm25_index_build": lexical.bm25_index_build,
         "bm25_index_probe": lexical.bm25_index_probe,
         "bm25_index_append": lexical.bm25_index_append,
         "bm25_index_forget": lexical.bm25_index_forget,
         "bm25_index_compact": lexical.bm25_index_compact,
-        # new in r11: hybrid retrieval served from BOTH persisted
-        # indexes (IVF-PQ probe + postings probe, RRF fusion)
         "sim_hybrid_probe": lexical.sim_hybrid_probe,
-        # new in r11 (VERDICT r10 item 4): the remaining stores' forget
-        # paths — image/audio signature stores and the Lloyd label store
-        # get the same rewrite-then-swap purge as the MinHash pair store
         "mm_phash_forget": multimodal.mm_phash_forget,
         "mm_afp_forget": multimodal.mm_afp_forget,
         "cluster_labels_forget": cluster.cluster_labels_forget,
-        # ---- position 51+ (ungraded by the driver this round) ----
-        # prior relative order preserved; every entry below already has
-        # at least one driver-green row (r1-r10). The four stale rows
-        # displaced by the bm25 lifecycle (sim_ann_ivf, q_scd2_dim,
-        # q_window_extras, q_lateral_topn — r6-green, age 4, within the freshness
-        # contract) lead the parked list.
-        "sketch_kmv_union": sketches.sketch_kmv_union,
-        "q_interval_overlap": advanced.q_interval_overlap,
-        "q_reservoir_sample": relational.q_reservoir_sample,
-        "mm_arrow_resize": multimodal.mm_arrow_resize,
-        "sim_ann_ivf": similarity.sim_ann_ivf,
-        "q_scd2_dim": warehouse.q_scd2_dim,
-        "q_window_extras": warehouse.q_window_extras,
-        "q_lateral_topn": warehouse.q_lateral_topn,
-        "q_bucketed_join": warehouse.q_bucketed_join,
-        "q_udtf_surface": analytics.q_udtf_surface,
-        "q_asof_join": advanced.q_asof_join,
         "q_min_cost_supplier": tpch.q_min_cost_supplier,
         "q_order_priority_check": tpch.q_order_priority_check,
         "q_nation_trade_volume": tpch.q_nation_trade_volume,
@@ -275,11 +275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention_cohorts": analytics.q_retention_cohorts,
         "sketch_hll_union": sketches.sketch_hll_union,
         "q_incremental_agg": warehouse.q_incremental_agg,
-        "stream_event_summary": views_stream.stream_event_summary,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
         "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
         "curate_boilerplate": curate.curate_boilerplate,
@@ -287,7 +285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_index_build": similarity.sim_index_build,
         "sim_index_probe": similarity.sim_index_probe,
         "sim_index_append": similarity.sim_index_append,
-        "sim_filtered_ann": similarity.sim_filtered_ann,
         "q_table_profile_approx": warehouse.q_table_profile_approx,
         "dedup_edit_distance": dedup.dedup_edit_distance,
         "dedup_cc_names": graph.dedup_cc_names,
@@ -308,7 +305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": curate.pipeline_curate,
         "mm_frame_sample": multimodal.mm_frame_sample,
         "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
-        "sim_ann_lsh": similarity.sim_ann_lsh,
         "sketch_bloom_join": sketches.sketch_bloom_join,
         "q_top_customers": relational.q_top_customers,
         "q_rollup_sales": relational.q_rollup_sales,
@@ -318,17 +314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_range_frame": analytics.q_window_range_frame,
         "q_exact_median": analytics.q_exact_median,
         "q_approx_quantile": analytics.q_approx_quantile,
-        "q_pricing_summary": relational.q_pricing_summary,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_lsh_recall": dedup.dedup_lsh_recall,
-        "dedup_lsh_recall_sampled": dedup.dedup_lsh_recall_sampled,
-        "mm_features": multimodal.mm_features,
-        "mm_decode_image": multimodal.mm_decode_image,
-        "mm_decode_audio": multimodal.mm_decode_audio,
-        "sim_ann_ivf_recall": similarity.sim_ann_ivf_recall,
-        "sim_ann_pq": similarity.sim_ann_pq,
-        "kmeans_lloyd": cluster.kmeans_lloyd,
-        "kmeans_inertia": cluster.kmeans_inertia,
         "text_tfidf": text.text_tfidf,
         "sketch_theta_intersect": sketches.sketch_theta_intersect,
         "sim_ann_ivf_kmeans": similarity.sim_ann_ivf_kmeans,
@@ -351,20 +336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": graph.pagerank,
         "sketch_hll_registers": sketches.sketch_hll_registers,
         "text_redact": text.text_redact,
-        "text_bpe_tokens": text.text_bpe_tokens,
-        "q_range_join": analytics.q_range_join,
-        "q_gaps_islands": analytics.q_gaps_islands,
-        "dedup_fuzzy_names": analytics.dedup_fuzzy_names,
-        "q_semi_anti_join": relational.q_semi_anti_join,
-        "q_set_ops": relational.q_set_ops,
-        "q_pivot_events": relational.q_pivot_events,
-        "text_langid": text.text_langid,
-        "sketch_kmv_distinct": sketches.sketch_kmv_distinct,
-        "sim_ann_recall": similarity.sim_ann_recall,
-        "sketch_cms_topk": sketches.sketch_cms_topk,
-        "text_contamination_check": text.text_contamination_check,
-        "q_shipping_priority": relational.q_shipping_priority,
-        "q_local_supplier_volume": relational.q_local_supplier_volume,
     }
 
 
