@@ -147,3 +147,28 @@ def test_dsir_discriminates_target_like_from_off_target(spark, tmp_path):
     assert a_rate > 0.5, f"target-like keep rate collapsed: {a_rate}"
     assert b_rate < 0.2, f"off-target keep rate too high: {b_rate}"
     assert a_rate > b_rate
+
+
+def test_dsir_shift_gate_resampled_is_closer_to_target(spark, tmp_path):
+    """The acceptance gate's substance: on the adversarial corpus the
+    resampled pool's bucket distribution must sit strictly closer to the
+    target's than the raw pool's (exact cross-multiplied comparison of
+    the integer numerator/denominator pairs)."""
+    from zylyty_data_engineer_challenge_spark.operators.curate import (
+        curate_dsir_shift,
+    )
+
+    rows = _two_dist_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["cmp"]: (int(r["dist_num"]), int(r["denom"]))
+        for r in curate_dsir_shift(spark, str(tmp_path)).collect()
+    }
+    raw_n, raw_d = got["raw_vs_target"]
+    res_n, res_d = got["resampled_vs_target"]
+    assert res_n * raw_d < raw_n * res_d, got
+    # and the gap is substantial on this corpus (half the raw pool is
+    # off-distribution; the resample drops almost all of it)
+    assert res_n * raw_d * 2 < raw_n * res_d, got

@@ -174,3 +174,42 @@ def test_dup_spans_matches_pure_python_model(spark, tmp_path):
         spark, tmp_path, [(d, " ".join(t)) for d, t in docs.items()]
     )
     assert _spans(spark, sf) == sorted(want)
+
+
+def test_dup_excise_removes_long_spans_and_keeps_short_ones(spark, tmp_path):
+    """The removal policy: a duplicated run >= EXCISE_MIN_TOKENS is cut
+    out (reassembly in order), a duplicated run below the threshold is
+    flagged by dup_spans but KEPT by excision."""
+    import hashlib
+
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        EXCISE_MIN_TOKENS,
+        dedup_dup_excise,
+    )
+
+    long_run = [f"s{i}" for i in range(EXCISE_MIN_TOKENS)]       # excised
+    short_run = [f"t{i}" for i in range(K_SPAN)]                 # kept (= K < MIN)
+    head = [f"h{i}" for i in range(3)]
+    tail = [f"z{i}" for i in range(3)]
+    doc0 = head + long_run + short_run + tail
+    rows = [
+        (0, " ".join(doc0)),
+        (1, " ".join(long_run)),   # fully excised (whole doc is the run)
+        (2, " ".join(short_run)),  # fully flagged but BELOW the threshold
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        int(r["doc_id"]): (
+            int(r["n_tokens"]),
+            int(r["n_removed"]),
+            r["kept_hash"],
+            int(r["kept_chars"]),
+        )
+        for r in dedup_dup_excise(spark, sf).collect()
+    }
+    kept0 = " ".join(head + short_run + tail)
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[0] == (len(doc0), EXCISE_MIN_TOKENS, h(kept0), len(kept0))
+    assert out[1] == (EXCISE_MIN_TOKENS, EXCISE_MIN_TOKENS, h(""), 0)
+    kept2 = " ".join(short_run)
+    assert out[2] == (K_SPAN, 0, h(kept2), len(kept2))

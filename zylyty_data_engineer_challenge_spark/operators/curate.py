@@ -1675,34 +1675,7 @@ def _dsir_weights(docs: DataFrame) -> DataFrame:
     (the length-normalized log-importance surrogate: long documents
     don't dominate by gram count alone). Documents with fewer than two
     tokens have no features and are not weighted (excluded)."""
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.expr("filter(split(text, '\\\\s+'), x -> x <> '')").alias("tk"),
-    )
-    grams = toks.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.when(
-                F.size("tk") >= 2,
-                F.expr(
-                    "transform(sequence(1, size(tk) - 1), "
-                    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
-                ),
-            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-        ).alias("gram"),
-    )
-    gb = grams.select(
-        "doc_id",
-        "lang",
-        (
-            F.expr(
-                "CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)"
-            )
-            % DSIR_BUCKETS
-        ).alias("b"),
-    )
+    gb = _dsir_gb(docs)  # shared feature extraction (the shift gate too)
     rawb = gb.groupBy("b").agg(F.count("*").cast("long").alias("r"))
     tgtb = (
         gb.filter(F.col("lang") == CURATE_LANG)
@@ -1819,3 +1792,161 @@ ORACLE_SQL["curate_dsir_sample"] = f"""
     WHERE u * wmax < w * {DSIR_U_MOD}
     ORDER BY doc_id
 """
+
+
+def curate_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for :func:`curate_dsir_sample` — the repo-wide law
+    that every lossy/selective operator ships a measurable gate (the
+    recall gates of the dedup family, the descent law of kmeans): DSIR's
+    point is that the RESAMPLED corpus's feature distribution sits closer
+    to the target's than the raw pool's does, so this op measures exactly
+    that. Distance is total-variation-shaped and EXACT: for bucket-count
+    distributions P (counts p_b, mass P_T) and Q, ``dist_num =
+    Σ_b |p_b·Q_T − q_b·P_T|`` over the union bucket set with ``denom =
+    P_T·Q_T`` (the L1 distance's exact integer numerator/denominator —
+    all products bounded by gram-mass², inside int64 at any fixture
+    scale; the reported ``dist`` double is ONE division of exact ints,
+    IEEE-identical cross-engine). Two rows out: raw-vs-target and
+    resampled-vs-target. The pytest gate asserts
+    ``dist(resampled, target) < dist(raw, target)`` via exact
+    cross-multiplication; the oracle pins both rows bit-for-bit.
+
+    Scale: three DSIR_BUCKETS-row aggregates (the sample composes
+    :func:`curate_dsir_sample`'s kept set — an output-sized semi-join on
+    doc_id) and a 64-row map; nothing corpus-shaped beyond the one
+    feature pass DSIR already makes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = curate_dsir_sample(spark, sf_dir).select("doc_id")
+    gb = _dsir_gb(docs)
+    tgt = (
+        gb.filter(F.col("lang") == CURATE_LANG)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    raw = gb.groupBy("b").agg(F.count("*").cast("long").alias("c"))
+    res = (
+        gb.join(kept_ids, "doc_id")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+    def dist(p: DataFrame, label: str) -> DataFrame:
+        pt = p.agg(F.sum("c").cast("long").alias("p_total"))
+        qt = tgt.agg(F.sum("c").cast("long").alias("q_total"))
+        both = (
+            p.select("b", F.col("c").alias("p"))
+            .join(tgt.select("b", F.col("c").alias("q")), "b", "full_outer")
+            .select(
+                F.coalesce("p", F.lit(0)).alias("p"),
+                F.coalesce("q", F.lit(0)).alias("q"),
+            )
+            .crossJoin(F.broadcast(pt))
+            .crossJoin(F.broadcast(qt))
+        )
+        return both.agg(
+            F.sum(F.expr("abs(p * q_total - q * p_total)"))
+            .cast("long")
+            .alias("dist_num"),
+            F.expr("CAST(min(p_total) * min(q_total) AS BIGINT)").alias("denom"),
+        ).select(
+            F.lit(label).alias("cmp"),
+            "dist_num",
+            "denom",
+            F.expr("CAST(dist_num AS DOUBLE) / CAST(denom AS DOUBLE)").alias(
+                "dist"
+            ),
+        )
+
+    return dist(raw, "raw_vs_target").unionByName(
+        dist(res, "resampled_vs_target")
+    ).orderBy("cmp")
+
+
+def _dsir_gb(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): the hashed-bigram bucket stream — the shared
+    feature extraction of :func:`_dsir_weights` and the shift gate."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, '\\\\s+'), x -> x <> '')").alias("tk"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("gram"),
+    )
+    return grams.select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+
+
+def _dsir_shift_oracle() -> str:
+    """Derived from the dsir-sample oracle's own CTE chain (fail-loud
+    anchor) so the kept set and feature hashing can never drift."""
+    sample_sql = ORACLE_SQL["curate_dsir_sample"]
+    anchor = "    SELECT doc_id, lang, n_grams, w, u"
+    if sample_sql.count(anchor) != 1:  # explicit: survives python -O
+        raise RuntimeError("dsir-sample oracle anchor drifted")
+    ctes = sample_sql.split("WITH", 1)[1].rsplit(anchor, 1)[0].rstrip().rstrip(",")
+    return f"""
+    WITH {ctes},
+    kept AS (
+        SELECT doc_id FROM sel, wm WHERE u * wmax < w * {DSIR_U_MOD}
+    ),
+    tgtc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gb WHERE lang = '{CURATE_LANG}' GROUP BY b
+    ),
+    rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM gb GROUP BY b),
+    resc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gb JOIN kept USING (doc_id) GROUP BY b
+    ),
+    pair_raw AS (
+        SELECT COALESCE(p.c, 0) AS p, COALESCE(q.c, 0) AS q
+        FROM rawc p FULL OUTER JOIN tgtc q USING (b)
+    ),
+    pair_res AS (
+        SELECT COALESCE(p.c, 0) AS p, COALESCE(q.c, 0) AS q
+        FROM resc p FULL OUTER JOIN tgtc q USING (b)
+    ),
+    d_raw AS (
+        SELECT 'raw_vs_target' AS cmp,
+               CAST(SUM(ABS(p * (SELECT SUM(c) FROM tgtc)
+                            - q * (SELECT SUM(c) FROM rawc))) AS BIGINT)
+                   AS dist_num,
+               CAST((SELECT SUM(c) FROM rawc) * (SELECT SUM(c) FROM tgtc)
+                   AS BIGINT) AS denom
+        FROM pair_raw
+    ),
+    d_res AS (
+        SELECT 'resampled_vs_target' AS cmp,
+               CAST(SUM(ABS(p * (SELECT SUM(c) FROM tgtc)
+                            - q * (SELECT SUM(c) FROM resc))) AS BIGINT)
+                   AS dist_num,
+               CAST((SELECT SUM(c) FROM resc) * (SELECT SUM(c) FROM tgtc)
+                   AS BIGINT) AS denom
+        FROM pair_res
+    ),
+    u AS (SELECT * FROM d_raw UNION ALL SELECT * FROM d_res)
+    SELECT cmp, dist_num, denom,
+           CAST(dist_num AS DOUBLE) / CAST(denom AS DOUBLE) AS dist
+    FROM u ORDER BY cmp
+"""
+
+
+ORACLE_SQL["curate_dsir_shift"] = _dsir_shift_oracle()

@@ -1298,6 +1298,131 @@ ORACLE_SQL["dedup_dup_spans"] = f"""
 """
 
 
+EXCISE_MIN_TOKENS = 12  # spans at least this long are removed (Lee et al.
+# use 50 on web documents; the fixture's documents are 30-80 tokens, so a
+# proportional threshold above K_SPAN exercises both kept and excised spans)
+
+
+def dedup_dup_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span EXCISION — the removal policy of Lee et al. 2022's
+    ExactSubstr applied to :func:`dedup_dup_spans`'s output: every
+    maximal duplicated span of at least EXCISE_MIN_TOKENS tokens is cut
+    out of its document and the survivors are reassembled IN ORDER (the
+    :func:`..curate.curate_boilerplate` reassembly discipline). Emits
+    per document: token counts before/removed, and the md5 + length of
+    the excised text — integer/string-exact gate columns, so the
+    differential pins the reassembled bytes without shipping them.
+
+    Plan: the spans table is aggregated to a per-doc array (few spans
+    per doc — output-sized), LEFT-joined back to documents on the doc_id
+    equi-key, and the cut is a single map over the token array: keep
+    position i iff no span covers it (`filter` + `exists` HOFs — NO
+    range join, so no nested-loop risk; the span list rides along as an
+    array column). At 100 TB this is the dup_spans pass plus one
+    output-sized equi-join and a narrow map — same scaling class as the
+    detection itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans_arr = (
+        _dup_spans(docs)
+        .filter(F.col("span_tokens") >= EXCISE_MIN_TOKENS)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(span_start AS s, span_end AS e)))"
+            ).alias("sp")
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, '\\\\s+'), x -> x <> '')").alias("tk")
+    )
+    joined = toks.join(spans_arr, "doc_id", "left").withColumn(
+        "sp",
+        F.coalesce(
+            "sp", F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")
+        ),
+    )
+    kept = joined.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        # size guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+        # returning empty, and element_at(tk, 0) throws — zero-token docs
+        # must short-circuit (DuckDB's range(1, 1) is just empty)
+        F.expr(
+            "CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>) "
+            "ELSE transform(filter(sequence(1, size(tk)),"
+            " i -> NOT exists(sp, x -> i >= x.s AND i <= x.e)),"
+            " i -> element_at(tk, i)) END"
+        ).alias("kept"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.md5(F.array_join("kept", " ")).alias("kept_hash"),
+        F.length(F.array_join("kept", " ")).cast("long").alias("kept_chars"),
+    ).orderBy("doc_id")
+
+
+def _dup_excise_oracle() -> str:
+    """The dup_spans oracle's CTE chain + the per-doc excision — derived
+    textually from the registered SQL (fail-loud anchor) so the span
+    semantics can never drift between detection and removal."""
+    sql = ORACLE_SQL["dedup_dup_spans"]
+    anchor = "SELECT doc_id,"
+    head, sep, tail = sql.rpartition(anchor)
+    if not sep or "FROM spans" not in tail:  # explicit: survives python -O
+        raise RuntimeError("dup_spans oracle tail anchor drifted")
+    return f"""
+    WITH {head.split("WITH", 1)[1]}
+    , allspans AS (
+        SELECT doc_id,
+               CAST(span_start AS BIGINT) AS s,
+               CAST(last_w + {K_SPAN - 1} AS BIGINT) AS e,
+               CAST(last_w - span_start + {K_SPAN} AS BIGINT) AS span_tokens
+        FROM spans
+    ),
+    spans_arr AS (
+        SELECT doc_id,
+               list_sort(list(struct_pack(s := s, e := e))) AS sp
+        FROM allspans WHERE span_tokens >= {EXCISE_MIN_TOKENS}
+        GROUP BY doc_id
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    joined AS (
+        SELECT t.doc_id, t.tk, COALESCE(a.sp, []) AS sp
+        FROM tok t LEFT JOIN spans_arr a USING (doc_id)
+    ),
+    kept AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               list_transform(
+                   list_filter(range(1, len(tk) + 1),
+                               i -> len(list_filter(sp,
+                                        x -> i >= x.s AND i <= x.e)) = 0),
+                   i -> tk[i]) AS kept
+        FROM joined
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           -- DuckDB's array_to_string([]) is NULL, not '' (Spark's
+           -- array_join is ''): coalesce so fully-excised docs agree
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_hash,
+           CAST(length(COALESCE(array_to_string(kept, ' '), '')) AS BIGINT)
+               AS kept_chars
+    FROM kept
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["dedup_dup_excise"] = _dup_excise_oracle()
+
+
 SEM_CLUSTER_CAP = 4096  # max members per semantic-dedup matmul block
 
 
