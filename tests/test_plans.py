@@ -269,6 +269,10 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "sim_hybrid_probe_batch": 3,
     # DSIR (r12): the 1-row w_max cross under the Bernoulli keep rule
     "curate_dsir_sample": 1,
+    # DSIR shift gate (r12): two distance rows x (1-row mass crosses for
+    # P_T and Q_T) + the sample's w_max cross under the resampled
+    # branch's kept-set subtree — all 1-row broadcast aggregates
+    "curate_dsir_shift": 6,
 }
 
 
