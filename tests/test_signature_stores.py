@@ -248,3 +248,34 @@ def test_labels_forget_physically_purges_and_matches_frozen_assignment(
         if r["vec_id"] % cluster.LABELS_FORGET_MOD != cluster.LABELS_FORGET_REM
     ]
     assert sorted(tuple(r) for r in stored) == sorted(want)
+
+
+def test_cluster_labels_append_equals_single_shot_train(spark, sf_dir, pair_cache):
+    """cluster_labels_append (r12): the two-installment frozen-centroid
+    store must be byte-identical to kmeans_lloyd's single-shot full
+    assignment (assignment is per-vector deterministic given the stored
+    centroids — split invariance IS the maintenance proof), a re-run is
+    a pure store read, and both installments physically landed."""
+    from zylyty_data_engineer_challenge_spark.operators import cluster
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        APPEND_MOD,
+        _pair_cache_dir,
+    )
+
+    first = [tuple(r) for r in cluster.cluster_labels_append(spark, sf_dir).collect()]
+    want = [tuple(r) for r in cluster.kmeans_lloyd(spark, sf_dir).collect()]
+    assert first == want
+    # marker-idempotent: the second call reads the store, same rows
+    again = [tuple(r) for r in cluster.cluster_labels_append(spark, sf_dir).collect()]
+    assert again == first
+
+    base = _pair_cache_dir(
+        spark, sf_dir, modality="lloyd-append", src="embeddings.parquet"
+    )
+    stored = spark.read.parquet(f"{base}/labels").collect()
+    batch = {r["vec_id"] for r in stored if r["vec_id"] % APPEND_MOD == 0}
+    standing = {r["vec_id"] for r in stored if r["vec_id"] % APPEND_MOD != 0}
+    assert batch and standing  # both installments present
+    # the frozen codebook itself is persisted beside the labels
+    cents = spark.read.parquet(f"{base}/centroids").collect()
+    assert len(cents) == cluster.K_CLUSTERS

@@ -165,6 +165,16 @@ HEAVY = [
     "mm_phash_forget",
     "mm_afp_forget",
     "cluster_labels_forget",
+    # r12: span detection is the exact-substring shuffle + an
+    # output-sized islands window; excision adds one equi-join + a
+    # narrow map; DSIR is two explode passes + 64-row aggregates; the
+    # shift gate composes the sample; the batch hybrid is two pruned
+    # index seeks + per-query windows
+    "dedup_dup_spans",
+    "dedup_dup_excise",
+    "curate_dsir_sample",
+    "curate_dsir_shift",
+    "sim_hybrid_probe_batch",
 ]
 
 

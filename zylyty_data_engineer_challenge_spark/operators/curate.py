@@ -1676,23 +1676,19 @@ def _dsir_weights(docs: DataFrame) -> DataFrame:
     don't dominate by gram count alone). Documents with fewer than two
     tokens have no features and are not weighted (excluded)."""
     gb = _dsir_gb(docs)  # shared feature extraction (the shift gate too)
-    rawb = gb.groupBy("b").agg(F.count("*").cast("long").alias("r"))
-    tgtb = (
-        gb.filter(F.col("lang") == CURATE_LANG)
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("tc"))
+    # BOTH distribution estimates from ONE aggregate pass (a conditional
+    # count folds the target filter in) — raw+target as separate
+    # aggregates would re-explode the whole bigram stream twice
+    dists = gb.groupBy("b").agg(
+        F.count("*").cast("long").alias("r"),
+        F.count(F.when(F.col("lang") == CURATE_LANG, 1))
+        .cast("long")
+        .alias("tc"),
     )
-    per_gram = (
-        gb.join(F.broadcast(rawb), "b")
-        .join(F.broadcast(tgtb), "b", "left")
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                f"((coalesce(tc, CAST(0 AS BIGINT)) + 1) * {DSIR_SCALE})"
-                f" div (r + 1)"
-            ).alias("wg"),
-        )
+    per_gram = gb.join(F.broadcast(dists), "b").select(
+        "doc_id",
+        "lang",
+        F.expr(f"((tc + 1) * {DSIR_SCALE}) div (r + 1)").alias("wg"),
     )
     return per_gram.groupBy("doc_id", "lang").agg(
         F.count("*").cast("long").alias("n_grams"),
@@ -1819,12 +1815,17 @@ def curate_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kept_ids = curate_dsir_sample(spark, sf_dir).select("doc_id")
     gb = _dsir_gb(docs)
-    tgt = (
-        gb.filter(F.col("lang") == CURATE_LANG)
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("c"))
+    # raw and target counts from ONE aggregate pass over the bigram
+    # stream (conditional count — the _dsir_weights discipline); the
+    # resampled side needs its own pass through the kept-set semi-join
+    rt = gb.groupBy("b").agg(
+        F.count("*").cast("long").alias("r"),
+        F.count(F.when(F.col("lang") == CURATE_LANG, 1))
+        .cast("long")
+        .alias("tc"),
     )
-    raw = gb.groupBy("b").agg(F.count("*").cast("long").alias("c"))
+    tgt = rt.select("b", F.col("tc").alias("c")).filter(F.col("c") > 0)
+    raw = rt.select("b", F.col("r").alias("c"))
     res = (
         gb.join(kept_ids, "doc_id")
         .groupBy("b")
