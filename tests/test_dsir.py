@@ -172,3 +172,50 @@ def test_dsir_shift_gate_resampled_is_closer_to_target(spark, tmp_path):
     # and the gap is substantial on this corpus (half the raw pool is
     # off-distribution; the resample drops almost all of it)
     assert res_n * raw_d * 2 < raw_n * res_d, got
+
+
+def test_stream_dsir_counts_equals_batch_across_micro_batches(spark, tmp_path):
+    """The additive law: the bucket counters maintained over a genuine
+    3-micro-batch replay must equal the one-pass batch counts exactly,
+    regardless of the split (integer SUMs of row-local events)."""
+    import shutil
+
+    from zylyty_data_engineer_challenge_spark.operators.curate import (
+        _dsir_gb,
+        dsir_bucket_counts,
+    )
+    from zylyty_data_engineer_challenge_spark.schemas import DOCUMENTS
+    from zylyty_data_engineer_challenge_spark.streaming.curate_stream import (
+        dsir_counts_stream,
+    )
+
+    rows = _two_dist_corpus()
+    df = spark.createDataFrame(
+        [(d, t, lang, "synthetic", len(t)) for d, lang, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feed = tmp_path / "feed"
+    for i in range(3):
+        staging = tmp_path / "staging" / f"chunk_{i}"
+        df.filter(df.doc_id % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        [part] = staging.glob("part-*.parquet")
+        feed.mkdir(parents=True, exist_ok=True)
+        shutil.copy(part, feed / f"chunk_{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    streamed = sorted(
+        (int(r["b"]), int(r["r"]), int(r["tc"]))
+        for r in dsir_counts_stream(spark, stream).collect()
+    )
+    batch = sorted(
+        (int(r["b"]), int(r["r"]), int(r["tc"]))
+        for r in dsir_bucket_counts(_dsir_gb(df)).collect()
+    )
+    assert streamed == batch
+    assert sum(tc for _, _, tc in streamed) > 0  # target mass present

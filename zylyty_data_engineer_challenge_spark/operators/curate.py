@@ -1676,15 +1676,7 @@ def _dsir_weights(docs: DataFrame) -> DataFrame:
     don't dominate by gram count alone). Documents with fewer than two
     tokens have no features and are not weighted (excluded)."""
     gb = _dsir_gb(docs)  # shared feature extraction (the shift gate too)
-    # BOTH distribution estimates from ONE aggregate pass (a conditional
-    # count folds the target filter in) — raw+target as separate
-    # aggregates would re-explode the whole bigram stream twice
-    dists = gb.groupBy("b").agg(
-        F.count("*").cast("long").alias("r"),
-        F.count(F.when(F.col("lang") == CURATE_LANG, 1))
-        .cast("long")
-        .alias("tc"),
-    )
+    dists = dsir_bucket_counts(gb)
     per_gram = gb.join(F.broadcast(dists), "b").select(
         "doc_id",
         "lang",
@@ -1818,12 +1810,7 @@ def curate_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw and target counts from ONE aggregate pass over the bigram
     # stream (conditional count — the _dsir_weights discipline); the
     # resampled side needs its own pass through the kept-set semi-join
-    rt = gb.groupBy("b").agg(
-        F.count("*").cast("long").alias("r"),
-        F.count(F.when(F.col("lang") == CURATE_LANG, 1))
-        .cast("long")
-        .alias("tc"),
-    )
+    rt = dsir_bucket_counts(gb)
     tgt = rt.select("b", F.col("tc").alias("c")).filter(F.col("c") > 0)
     raw = rt.select("b", F.col("r").alias("c"))
     res = (
@@ -1862,6 +1849,20 @@ def curate_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist(raw, "raw_vs_target").unionByName(
         dist(res, "resampled_vs_target")
     ).orderBy("cmp")
+
+
+def dsir_bucket_counts(gb: DataFrame) -> DataFrame:
+    """(b, r, tc): raw and target gram counts per bucket from ONE
+    aggregate pass (conditional count folds the target filter in) — the
+    two distribution estimates DSIR needs, shared by the weight kernel,
+    the shift gate, and the streaming maintainer (the counts are plain
+    integer SUMs, so the streamed state merges additively)."""
+    return gb.groupBy("b").agg(
+        F.count("*").cast("long").alias("r"),
+        F.count(F.when(F.col("lang") == CURATE_LANG, 1))
+        .cast("long")
+        .alias("tc"),
+    )
 
 
 def _dsir_gb(docs: DataFrame) -> DataFrame:

@@ -80,3 +80,79 @@ def _stream_funnel_oracle() -> str:
 
 
 ORACLE_SQL = {"stream_quality_funnel": _stream_funnel_oracle()}
+
+
+def stream_dsir_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR importance estimator maintained LIVE — the streaming
+    twin of :func:`..operators.curate.dsir_bucket_counts`: the hashed
+    word-bigram bucket counts (raw mass and target-language mass per
+    bucket) that :func:`..operators.curate.curate_dsir_sample`'s weights
+    are built from, kept current over an arriving document stream. This
+    is how a production DSIR deployment actually runs: the target/raw
+    distribution estimates update continuously with ingestion, and the
+    resampling weights for any batch are computed against the CURRENT
+    counts — re-estimating the distributions from scratch per batch
+    would re-read the whole standing corpus.
+
+    The law: both counters are plain integer SUMs of row-local events
+    (each bigram contributes 1 to its bucket's raw count and, when the
+    document is target-language, 1 to its target count), so the
+    streamed state — DSIR_BUCKETS rows of two counters, complete mode —
+    is additive and batch-split-invariant, and the oracle is the batch
+    bucket-count SQL verbatim (the ``stream_quality_funnel`` /
+    ``stream_cms_topk`` additive-merge family, applied to the importance
+    estimator). Feature extraction (tokenize, bigram, md5 bucket) is
+    stateless and runs map-side inside the stream; the state store
+    holds 64 rows regardless of stream volume.
+    """
+    from ..schemas import DOCUMENTS
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    return dsir_counts_stream(spark, stream)
+
+
+def dsir_counts_stream(spark: SparkSession, docs_stream: DataFrame) -> DataFrame:
+    """Kernel over any documents stream (injectable for the multi-file
+    replay test, which pins streamed == batch on a 3-way split)."""
+    from ..operators.curate import _dsir_gb, dsir_bucket_counts
+
+    sink = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+    with _stream_conf(spark):
+        agg = dsir_bucket_counts(_dsir_gb(docs_stream))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).select("b", "r", "tc").orderBy("b")
+
+
+def _stream_dsir_oracle() -> str:
+    """The batch bucket-count SQL, spliced from the dsir-sample oracle's
+    own feature CTEs (fail-loud anchor) so stream and sampler hash the
+    same buckets forever."""
+    from ..operators.curate import CURATE_LANG, ORACLE_SQL as _C
+
+    sample_sql = _C["curate_dsir_sample"]
+    anchor = "    rawb AS"
+    if sample_sql.count(anchor) != 1:  # explicit: survives `python -O`
+        raise RuntimeError("dsir-sample oracle rawb anchor drifted")
+    ctes = sample_sql.split("WITH", 1)[1].split(anchor, 1)[0].rstrip().rstrip(",")
+    return f"""
+    WITH {ctes}
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+           CAST(SUM(CASE WHEN lang = '{CURATE_LANG}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS tc
+    FROM gb GROUP BY b ORDER BY b
+"""
+
+
+ORACLE_SQL["stream_dsir_counts"] = _stream_dsir_oracle()
