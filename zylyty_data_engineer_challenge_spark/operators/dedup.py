@@ -1116,9 +1116,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     dup = (
+        # ">= 2 distinct docs" as min != max: same predicate, but plain
+        # min/max partials shrink the shuffle to one row per (partition,
+        # hash) where distinct-count state carries every (hash, doc) pair
+        # — measured at the r12 x100 smoke (100M windows) as the
+        # dominant stage cost
         w.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("h", F.lit(1).alias("isdup"))
     )
     per = (
@@ -1162,7 +1167,7 @@ ORACLE_SQL["dedup_exact_substring"] = f"""
         FROM w0
     ),
     dup AS (
-        SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        SELECT h FROM w GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
     ),
     per AS (
         SELECT w.doc_id,
@@ -1205,9 +1210,10 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
         ).alias("wh"),
     ).select("doc_id", F.col("wh.i").alias("i"), F.col("wh.h").alias("h"))
     dup = (
+        # min != max == ">= 2 distinct docs" (see dedup_exact_substring)
         w.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("h")
     )
     flagged = w.join(dup, "h").select("doc_id", "i")
@@ -1275,7 +1281,7 @@ ORACLE_SQL["dedup_dup_spans"] = f"""
         FROM w0
     ),
     dup AS (
-        SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        SELECT h FROM w GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
     ),
     flagged AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (h)),
     grp AS (
