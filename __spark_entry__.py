@@ -63,8 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS DELIBERATE: the driver's correctness run grades the first
     50 entries, so each round the registry front-loads the queries whose
-    driver row carries the most NEW information. The registry holds 244
-    entries (237 after r11 + the seven r12 additions); every entry has at
+    driver row carries the most NEW information. The registry holds 246
+    entries (237 after r11 + the nine r12 additions); every entry has at
     least one driver-green row (closure reached in r11) and the freshness
     contract (tools/grading_age.py, MAX_AGE_ROUNDS=6) is CI-enforced.
 
@@ -77,10 +77,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the persisted index, item 4; hash-unchanged by construction) and
     sim_ann_lsh (signature build moved to the BLAS twin, item 2;
     bit-identical signatures), (d) ALL 27 rows whose last driver grade
-    is r6 — the exact list item 3 named, ages 5 — and (e) the 7 oldest
-    r7 rows (q_pricing_summary .. mm_decode_audio), filling the window
-    to 50 (sim_ann_ivf_recall/sim_ann_pq/kmeans_lloyd/kmeans_inertia,
-    also r7 and within the freshness contract, lead the parked list). Positions 51+ keep their prior relative order; all were
+    is r6 — the exact list item 3 named, ages 5 — and (e) the 5 oldest
+    r7 rows (q_pricing_summary .. mm_features), filling the window to 50
+    (mm_decode_image .. kmeans_inertia, also r7 and within the freshness
+    contract, lead the parked list). Positions 51+ keep their prior relative order; all were
     driver-graded green in r7-r11 with code+oracle unchanged since.
     Every registered query is verified locally every round by
     tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_dsir_shift": curate.curate_dsir_shift,
         "cluster_labels_append": cluster.cluster_labels_append,
         "stream_dsir_counts": curate_stream.stream_dsir_counts,
+        "sim_mrl_probe": similarity.sim_mrl_probe,
+        "sim_mrl_recall": similarity.sim_mrl_recall,
         # r12-changed serving paths, regraded (items 4, 2)
         "sim_filtered_ann": similarity.sim_filtered_ann,
         "sim_ann_lsh": similarity.sim_ann_lsh,
@@ -142,11 +144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": dedup.dedup_lsh_recall,
         "dedup_lsh_recall_sampled": dedup.dedup_lsh_recall_sampled,
         "mm_features": multimodal.mm_features,
-        "mm_decode_image": multimodal.mm_decode_image,
-        "mm_decode_audio": multimodal.mm_decode_audio,
         # ---- position 51+ (ungraded by the driver this round) ----
         # prior relative order preserved; every entry below has a
         # driver-green row from r7-r11 with code+oracle unchanged
+        "mm_decode_image": multimodal.mm_decode_image,
+        "mm_decode_audio": multimodal.mm_decode_audio,
         "sim_ann_ivf_recall": similarity.sim_ann_ivf_recall,
         "sim_ann_pq": similarity.sim_ann_pq,
         "kmeans_lloyd": cluster.kmeans_lloyd,

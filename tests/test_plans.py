@@ -273,6 +273,10 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # P_T and Q_T) + the sample's w_max cross under the resampled
     # branch's kept-set subtree — all 1-row broadcast aggregates
     "curate_dsir_shift": 6,
+    # MRL probe (r12): the 8-row truncated-query broadcast of the
+    # prefix-scan stage (the bruteforce shape on a 4x-narrower vector)
+    "sim_mrl_probe": 1,
+    "sim_mrl_recall": 2,  # inherits bruteforce (1) + probe (1)
 }
 
 

@@ -2397,3 +2397,148 @@ def _param_sweep_oracle() -> str:
 
 
 ORACLE_SQL["sim_ann_param_sweep"] = _param_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncated-dimension retrieval (r12)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 16  # truncated prefix dimensionality (64 -> 16)
+MRL_SHORTLIST = 20  # prefix-scored candidates fed to the full-dim rerank
+
+
+def sim_mrl_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive retrieval over TRUNCATED embedding prefixes (Kusupati et
+    al. 2022, arXiv:2205.13147 "Matryoshka Representation Learning" —
+    the public serving recipe: score cheaply at a low prefix
+    dimensionality, rerank the shortlist at full dimensionality): stage
+    1 ranks the corpus by exact integer cosine over the FIRST MRL_DIMS
+    components only (a 4x-cheaper scan than full-dim brute force — at
+    serving scale the prefix is also what sits in fast memory) and keeps
+    MRL_SHORTLIST candidates per query; stage 2 reranks only the
+    shortlist with full-dimension integer cosine and returns the final
+    top-k. Complements the PQ shortlist (:func:`sim_ann_rerank`): PQ
+    compresses per-subspace with a trained codebook, MRL simply
+    truncates — no training, and the quality depends on how much of the
+    norm mass the prefix carries (the recall gate
+    :func:`sim_mrl_recall` measures exactly that).
+
+    Scale: stage 1 is the brute-force plan shape on a 4x-narrower
+    vector (broadcast queries, per-partition codegen dots, per-query
+    top-k window); stage 2 is an output-sized equi-join reading
+    queries x MRL_SHORTLIST full vectors — corpus-independent, the
+    rerank law. The fixture's deterministic embeddings make both stages
+    integer-exact, so the oracle agrees bit-for-bit.
+    """
+    emb = _quantized(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    qpref = queries.select(
+        "query_id", F.expr(f"slice(qv, 1, {MRL_DIMS})").alias("qp")
+    )
+    pref = corpus.select(
+        "vec_id",
+        F.expr(f"slice(q, 1, {MRL_DIMS})").alias("p"),
+        F.expr(
+            f"aggregate(slice(q, 1, {MRL_DIMS}), CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + x * x)"
+        ).alias("pn"),
+    )
+    stage1 = pref.crossJoin(F.broadcast(qpref)).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(qp, p, (x, y) -> x * y), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x)"
+        ).alias("dot"),
+        F.col("pn").alias("n2"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        stage1.withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= MRL_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        shortlist.join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "n2",
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        _rank_key().desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "vec_id", "dot", "n2")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_SQL["sim_mrl_probe"] = f"""
+    WITH {_QUANT_CTE},
+    pnorms AS (
+        SELECT vec_id, CAST(SUM(qd * qd) AS BIGINT) AS pn
+        FROM pos WHERE d < {MRL_DIMS} GROUP BY 1
+    ),
+    pdots AS (
+        SELECT qp.vec_id AS query_id, cp.vec_id AS vec_id,
+               CAST(SUM(qp.qd * cp.qd) AS BIGINT) AS dot
+        FROM pos qp
+        JOIN pos cp ON qp.d = cp.d
+        WHERE qp.vec_id < {N_QUERIES} AND cp.vec_id >= {N_QUERIES}
+          AND qp.d < {MRL_DIMS} AND cp.d < {MRL_DIMS}
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, pdots.vec_id AS vec_id, dot, pn.pn AS n2,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_RANK_KEY_SQL} DESC, pdots.vec_id ASC) AS prk
+            FROM pdots JOIN pnorms pn ON pdots.vec_id = pn.vec_id
+        ) WHERE prk <= {MRL_SHORTLIST}
+    ),
+    dots AS (
+        SELECT s.query_id, s.vec_id, CAST(SUM(qp.qd * cp.qd) AS BIGINT) AS dot
+        FROM short s
+        JOIN pos qp ON qp.vec_id = s.query_id
+        JOIN pos cp ON cp.vec_id = s.vec_id AND cp.d = qp.d
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, dots.vec_id AS vec_id, dot, n.n AS n2,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_RANK_KEY_SQL} DESC, dots.vec_id ASC) AS rank
+        FROM dots JOIN norms n ON dots.vec_id = n.vec_id
+    )
+    SELECT query_id, rank, vec_id, dot, n2
+    FROM scored WHERE rank <= {ANN_TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+def sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the truncated-prefix probe — the measurement
+    MRL's trade lives or dies by (how much neighbor order the prefix
+    preserves), directly comparable with the PQ rerank's gate
+    (:func:`sim_ann_rerank_recall`) since both feed the same
+    RERANK/SHORTLIST-then-exact pattern and the same exact ground
+    truth."""
+    return _recall_at_k(spark, sf_dir, sim_mrl_probe)
+
+
+ORACLE_SQL["sim_mrl_recall"] = _recall_oracle(ORACLE_SQL["sim_mrl_probe"])
