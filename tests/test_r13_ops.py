@@ -1,0 +1,93 @@
+"""Round-13 operator tests: decontamination-as-removal, the DSIR
+estimator store, the MRL prefix store, and best-fit sequence packing."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import Row  # noqa: E402
+
+from zylyty_data_engineer_challenge_spark.operators.text import (  # noqa: E402
+    _contamination_excise_kernel,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in rows]
+    )
+
+
+class TestContaminationExcise:
+    """Planted-corpus pins for text_contamination_excise: the eval
+    passage is excised at exact token positions, clean text survives."""
+
+    PASSAGE = " ".join(f"p{i}" for i in range(10))  # 10-token eval passage
+
+    def test_planted_eval_passage_excised_exactly(self, spark):
+        prefix = " ".join(f"a{i}" for i in range(5))
+        suffix = " ".join(f"z{i}" for i in range(5))
+        eval_text = (
+            " ".join(f"c{i}" for i in range(4))
+            + " " + self.PASSAGE + " "
+            + " ".join(f"d{i}" for i in range(4))
+        )
+        contaminated = f"{prefix} {self.PASSAGE} {suffix}"
+        clean = " ".join(f"q{i}" for i in range(12))
+        out = {
+            r.doc_id: r
+            for r in _contamination_excise_kernel(
+                _docs(
+                    spark,
+                    [
+                        (0, eval_text),  # eval (doc_id < 20)
+                        (30, clean),
+                        (31, contaminated),
+                        (32, eval_text),  # verbatim eval copy
+                    ],
+                )
+            ).collect()
+        }
+        # eval docs are not in the output; every train doc is
+        assert set(out) == {30, 31, 32}
+        # clean doc untouched
+        assert out[30].n_removed == 0
+        assert out[30].kept_hash == _md5(clean)
+        # the 10-token passage (positions 6..15) is excised exactly:
+        # 3 consecutive flagged 8-windows merge into the maximal span
+        assert out[31].n_tokens == 20
+        assert out[31].n_removed == 10
+        assert out[31].kept_hash == _md5(f"{prefix} {suffix}")
+        # a full verbatim copy of an eval doc is fully excised
+        assert out[32].n_removed == out[32].n_tokens
+        assert out[32].kept_chars == 0
+        assert out[32].kept_hash == _md5("")
+
+    def test_sub_window_docs_and_partial_overlap_survive(self, spark):
+        # train doc shorter than the window can never be flagged; a
+        # 7-token (sub-K) overlap with eval text is below the window
+        # size and survives too
+        short = "s0 s1 s2 s3 s4"
+        seven = " ".join(f"p{i}" for i in range(7))  # 7 of the 10 passage tokens
+        partial = f"u0 u1 u2 {seven} v0 v1 v2"
+        eval_text = (
+            " ".join(f"c{i}" for i in range(4))
+            + " " + self.PASSAGE + " "
+            + " ".join(f"d{i}" for i in range(4))
+        )
+        out = {
+            r.doc_id: r
+            for r in _contamination_excise_kernel(
+                _docs(spark, [(0, eval_text), (40, short), (41, partial)])
+            ).collect()
+        }
+        assert out[40].n_removed == 0 and out[40].kept_hash == _md5(short)
+        assert out[41].n_removed == 0 and out[41].kept_hash == _md5(partial)

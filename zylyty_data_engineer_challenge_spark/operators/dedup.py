@@ -1186,17 +1186,14 @@ ORACLE_SQL["dedup_exact_substring"] = f"""
 """
 
 
-def _dup_spans(docs: DataFrame) -> DataFrame:
-    """Kernel of :func:`dedup_dup_spans` (DataFrame-in so the property
-    tests can drive crafted corpora through the exact production plan):
-    flag every K_SPAN-token window whose span repeats in another
-    document (:func:`dedup_exact_substring`'s window/repeat stages, with
-    the window START POSITION carried through), then merge RUNS of
-    consecutive flagged windows into maximal spans with the
-    gaps-and-islands grouping (``i - row_number()`` is constant exactly
-    on consecutive positions — the ``q_gaps_islands`` kernel)."""
+def _span_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, h): every K_SPAN-token window of every document with
+    its 1-based start position and span hash — the shared window kernel
+    of the span family (:func:`dedup_dup_spans` flags repeats against
+    the corpus itself; :func:`..text.text_contamination_excise` flags
+    matches against a held-out eval set)."""
     toks = docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
-    w = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.when(
@@ -1209,6 +1206,18 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
             ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<i: INT, h: STRING>>)"))
         ).alias("wh"),
     ).select("doc_id", F.col("wh.i").alias("i"), F.col("wh.h").alias("h"))
+
+
+def _dup_spans(docs: DataFrame) -> DataFrame:
+    """Kernel of :func:`dedup_dup_spans` (DataFrame-in so the property
+    tests can drive crafted corpora through the exact production plan):
+    flag every K_SPAN-token window whose span repeats in another
+    document (:func:`dedup_exact_substring`'s window/repeat stages, with
+    the window START POSITION carried through), then merge RUNS of
+    consecutive flagged windows into maximal spans with the
+    gaps-and-islands grouping (``i - row_number()`` is constant exactly
+    on consecutive positions — the ``q_gaps_islands`` kernel)."""
+    w = _span_windows(docs)
     dup = (
         # min != max == ">= 2 distinct docs" (see dedup_exact_substring)
         w.groupBy("h")
@@ -1216,7 +1225,14 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
         .filter(F.col("d_lo") != F.col("d_hi"))
         .select("h")
     )
-    flagged = w.join(dup, "h").select("doc_id", "i")
+    return _merge_flagged_spans(w.join(dup, "h").select("doc_id", "i"))
+
+
+def _merge_flagged_spans(flagged: DataFrame) -> DataFrame:
+    """Islands-merge of flagged window positions: runs of CONSECUTIVE
+    flagged K_SPAN-token windows collapse into one maximal span row
+    (doc_id, span_start, span_end, span_tokens, n_dup_windows) — the
+    shared tail of every span detector (dup spans, contamination)."""
     grp = flagged.withColumn(
         "g",
         F.col("i")
@@ -1329,9 +1345,20 @@ def dedup_dup_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection itself.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _excise_spans(docs, _dup_spans(docs), EXCISE_MIN_TOKENS)
+
+
+def _excise_spans(
+    docs: DataFrame, spans: DataFrame, min_tokens: int
+) -> DataFrame:
+    """Span-excision tail shared by :func:`dedup_dup_excise` and
+    :func:`..text.text_contamination_excise`: cut every span of at least
+    ``min_tokens`` tokens out of its document, reassemble the survivors
+    in order, and emit the integer/string-exact gate columns (doc_id,
+    n_tokens, n_removed, kept_hash, kept_chars)."""
     spans_arr = (
-        _dup_spans(docs)
-        .filter(F.col("span_tokens") >= EXCISE_MIN_TOKENS)
+        spans
+        .filter(F.col("span_tokens") >= min_tokens)
         .groupBy("doc_id")
         .agg(
             F.expr(

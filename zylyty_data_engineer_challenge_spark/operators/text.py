@@ -503,6 +503,128 @@ ORACLE_SQL["text_contamination_check"] = f"""
 """
 
 
+def text_contamination_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a REMOVAL stage (r12 VERDICT item 1) — the
+    step :func:`text_contamination_check` only reports on: every
+    training-document token run that verbatim-matches a K_SPAN-token
+    window of the held-out eval set (doc_id < CONTAM_EVAL_DOCS, the
+    benchmark stand-in) is excised and the survivors reassembled in
+    order, so eval answers cannot leak into the training corpus by
+    construction. Any flagged maximal span is removed — a verbatim
+    >= K_SPAN-token overlap with a benchmark IS contamination, so unlike
+    the boilerplate policy (:func:`..dedup.dedup_dup_excise`, which
+    keeps short duplicated runs below Lee et al.'s removal threshold)
+    there is no minimum length beyond the window size itself. Output:
+    one row per TRAINING document — (doc_id, n_tokens, n_removed,
+    kept_hash, kept_chars), the span family's integer/string-exact gate
+    columns.
+
+    Composition of two proven kernels: the span family's window hashing
+    + gaps-and-islands merge (:func:`..dedup._span_windows` /
+    :func:`.._merge_flagged_spans`) with the flag source swapped from
+    "repeats in another document" to "appears in the eval window set",
+    then the shared excision tail (:func:`..dedup._excise_spans`).
+
+    Scale: the eval window universe is benchmark-sized and BROADCASTS
+    (like the check's shingle join), so flagging is a map-side hash join
+    over the corpus window stream — no shuffle keyed on window hash at
+    all, which makes this CHEAPER than dup-span detection at the same
+    corpus size; the islands merge and excision are output-sized.
+    """
+    return _contamination_excise_kernel(load_table(spark, sf_dir, "documents"))
+
+
+def _contamination_excise_kernel(docs: DataFrame) -> DataFrame:
+    """DataFrame-in kernel of :func:`text_contamination_excise` (so the
+    planted-corpus tests drive the exact production plan)."""
+    from .dedup import K_SPAN, _excise_spans, _merge_flagged_spans, _span_windows
+
+    if K_SPAN != CONTAM_K:  # oracle built from the local constant —
+        raise RuntimeError("CONTAM_K drifted from dedup.K_SPAN")
+    w = _span_windows(docs)
+    eval_h = w.filter(F.col("doc_id") < CONTAM_EVAL_DOCS).select("h").distinct()
+    flagged = (
+        w.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS)
+        .join(F.broadcast(eval_h), "h")
+        .select("doc_id", "i")
+    )
+    train = docs.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS)
+    return _excise_spans(train, _merge_flagged_spans(flagged), K_SPAN)
+
+
+CONTAM_K = 8  # MUST equal dedup.K_SPAN (runtime-asserted above; a module-
+# load import of dedup here would close the text -> dedup -> similarity ->
+# text oracle-splice cycle, so the value is mirrored instead)
+
+
+def _contamination_excise_oracle() -> str:
+    K_SPAN = CONTAM_K
+    return f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    w0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - {K_SPAN} + 2)) AS i FROM t
+    ),
+    w AS (
+        SELECT doc_id, i,
+               md5(array_to_string(list_slice(toks, i, i + {K_SPAN} - 1), ' ')) AS h
+        FROM w0
+    ),
+    ev AS (SELECT DISTINCT h FROM w WHERE doc_id < {CONTAM_EVAL_DOCS}),
+    flagged AS (
+        SELECT w.doc_id, w.i FROM w JOIN ev USING (h)
+        WHERE w.doc_id >= {CONTAM_EVAL_DOCS}
+    ),
+    grp AS (
+        SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, MIN(i) AS span_start, MAX(i) AS last_w
+        FROM grp GROUP BY doc_id, g
+    ),
+    spans_arr AS (
+        SELECT doc_id,
+               list_sort(list(struct_pack(
+                   s := CAST(span_start AS BIGINT),
+                   e := CAST(last_w + {K_SPAN - 1} AS BIGINT)))) AS sp
+        FROM spans GROUP BY doc_id
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents WHERE doc_id >= {CONTAM_EVAL_DOCS}
+    ),
+    joined AS (
+        SELECT t.doc_id, t.tk, COALESCE(a.sp, []) AS sp
+        FROM tok t LEFT JOIN spans_arr a USING (doc_id)
+    ),
+    kept AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               list_transform(
+                   list_filter(range(1, len(tk) + 1),
+                               i -> len(list_filter(sp,
+                                        x -> i >= x.s AND i <= x.e)) = 0),
+                   i -> tk[i]) AS kept
+        FROM joined
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_hash,
+           CAST(length(COALESCE(array_to_string(kept, ' '), '')) AS BIGINT)
+               AS kept_chars
+    FROM kept
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["text_contamination_excise"] = _contamination_excise_oracle()
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF keyword extraction
 # ---------------------------------------------------------------------------
