@@ -1651,10 +1651,13 @@ DSIR_SCALE = 1_000_000  # per-gram ratio fixed-point scale
 DSIR_U_MOD = 1 << 32  # md5 draw modulus (8 hex digits)
 
 
-def _dsir_weights(docs: DataFrame) -> DataFrame:
+def _dsir_weights(docs: DataFrame, dists: DataFrame | None = None) -> DataFrame:
     """Kernel of :func:`curate_dsir_sample` (DataFrame-in for the
     property tests): per-document integer importance weights under the
-    hashed-bigram bag model.
+    hashed-bigram bag model. ``dists`` overrides the in-plan bucket
+    counts with a stored estimator (the r13 store path — see
+    :func:`build_dsir_counts`); counts are identical either way, so the
+    sampler's output is hash-unchanged.
 
     Feature extraction: word bigrams of the whitespace tokens, hashed
     into DSIR_BUCKETS buckets via the repo's md5 bucket convention (the
@@ -1676,7 +1679,8 @@ def _dsir_weights(docs: DataFrame) -> DataFrame:
     don't dominate by gram count alone). Documents with fewer than two
     tokens have no features and are not weighted (excluded)."""
     gb = _dsir_gb(docs)  # shared feature extraction (the shift gate too)
-    dists = dsir_bucket_counts(gb)
+    if dists is None:
+        dists = dsir_bucket_counts(gb)
     per_gram = gb.join(F.broadcast(dists), "b").select(
         "doc_id",
         "lang",
@@ -1718,7 +1722,13 @@ def curate_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the corpus, which is the property that lets DSIR select
     from web-scale raw pools.
     """
-    weights = _dsir_weights(load_table(spark, sf_dir, "documents"))
+    weights = _dsir_weights(
+        load_table(spark, sf_dir, "documents"),
+        # r13 (VERDICT item 3): the bucket counts come from the persisted
+        # estimator — identical values, so the kept set is hash-unchanged,
+        # but the plan loses its count-derivation corpus passes
+        dists=_dsir_counts_stored(spark, sf_dir),
+    )
     wmax = weights.agg(F.max("w").alias("wmax"))
     return (
         weights.withColumn(
@@ -1807,10 +1817,10 @@ def curate_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kept_ids = curate_dsir_sample(spark, sf_dir).select("doc_id")
     gb = _dsir_gb(docs)
-    # raw and target counts from ONE aggregate pass over the bigram
-    # stream (conditional count — the _dsir_weights discipline); the
-    # resampled side needs its own pass through the kept-set semi-join
-    rt = dsir_bucket_counts(gb)
+    # raw and target counts from the persisted estimator (r13: one store
+    # read replaces the bucket-aggregate corpus pass); the resampled
+    # side needs its own pass through the kept-set semi-join
+    rt = _dsir_counts_stored(spark, sf_dir)
     tgt = rt.select("b", F.col("tc").alias("c")).filter(F.col("c") > 0)
     raw = rt.select("b", F.col("r").alias("c"))
     res = (
@@ -1952,3 +1962,179 @@ def _dsir_shift_oracle() -> str:
 
 
 ORACLE_SQL["curate_dsir_shift"] = _dsir_shift_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Persisted DSIR estimator store (r13): build once, probe many
+# ---------------------------------------------------------------------------
+
+
+def build_dsir_counts(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the persisted DSIR estimator — the 64-row
+    raw/target bucket-count table :func:`dsir_bucket_counts` derives,
+    written ONCE per source identity (the ANN-index/pair-cache store
+    contract, via the shared identity-keyed cache dir) and probed by the
+    sampler and the shift gate instead of re-deriving the counts from a
+    corpus pass per run (three bucket-aggregate passes each run before
+    r13). Returns the store directory.
+
+    At 100 TB the counts table IS the trained DSIR model (the hashed
+    n-gram importance estimator of Xie et al. 2023): one corpus-sized
+    build, then every selection run reads 64 parquet rows.
+    """
+    from ..catalog import hadoop_fs
+    from .dedup import _pair_cache_dir
+
+    base = _pair_cache_dir(spark, sf_dir, modality="dsir-counts")
+    fs, marker = hadoop_fs(spark, f"{base}/_DSIR_COUNTS_READY")
+    if not fs.exists(marker):
+        dsir_bucket_counts(
+            _dsir_gb(load_table(spark, sf_dir, "documents"))
+        ).write.mode("overwrite").parquet(f"{base}/counts")
+        fs.create(marker, True).close()
+    return base
+
+
+def _dsir_counts_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored (b, r, tc) estimator table, building it if absent."""
+    base = build_dsir_counts(spark, sf_dir)
+    return spark.read.parquet(f"{base}/counts").select("b", "r", "tc")
+
+
+def dsir_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered gate for :func:`build_dsir_counts`: build (or reuse)
+    the persisted estimator and return it READ BACK from disk, so the
+    differential proves what landed in the store — the oracle recomputes
+    the same 64-row table from the shared feature-extraction CTE chain.
+    """
+    return _dsir_counts_stored(spark, sf_dir).orderBy("b")
+
+
+ORACLE_SQL["dsir_counts_cached"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i FROM t
+    ),
+    g AS (
+        SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS gram FROM g0
+    ),
+    gb AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+        FROM g
+    )
+    SELECT b,
+           CAST(COUNT(*) AS BIGINT) AS r,
+           CAST(SUM(CASE WHEN lang = '{CURATE_LANG}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS tc
+    FROM gb GROUP BY b ORDER BY b
+"""
+
+
+def dsir_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental estimator maintenance — the append twin
+    :func:`..streaming.curate_stream.stream_dsir_counts` proves the
+    merge law for (additive integer counts), landed on the batch store:
+    the base corpus's (doc_id % APPEND_MOD != 0) counts persist once;
+    the arriving batch appends ONLY its own partial counts; reads
+    sum-merge. Append ≡ full rebuild holds exactly (the counts are plain
+    SUMs), so the oracle is :func:`dsir_counts_cached`'s full-corpus SQL
+    verbatim and hash-equality is the proof. Marker-idempotent.
+    """
+    from ..catalog import hadoop_fs
+    from .dedup import APPEND_MOD, _pair_cache_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % APPEND_MOD == 0
+
+    base = _pair_cache_dir(spark, sf_dir, modality="dsir-append")
+    fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
+    if not fs.exists(built):
+        dsir_bucket_counts(_dsir_gb(docs.filter(~is_new))).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/counts")
+        fs.create(built, True).close()
+
+    _, appended = hadoop_fs(spark, f"{base}/_APPEND_READY")
+    if not fs.exists(appended):
+        dsir_bucket_counts(_dsir_gb(docs.filter(is_new))).write.mode(
+            "append"
+        ).parquet(f"{base}/counts")
+        fs.create(appended, True).close()
+
+    return (
+        spark.read.parquet(f"{base}/counts")
+        .groupBy("b")
+        .agg(
+            F.sum("r").cast("long").alias("r"),
+            F.sum("tc").cast("long").alias("tc"),
+        )
+        .orderBy("b")
+    )
+
+
+# append ≡ full rebuild (additive counts): same oracle, second path
+ORACLE_SQL["dsir_counts_append"] = ORACLE_SQL["dsir_counts_cached"]
+
+
+def dsir_counts_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator UNLEARNING (the :func:`..text.text_lm_forget` pattern):
+    a revoked source's gram counts are appended NEGATED into the partial
+    tree, the read-time sum-merge cancels them exactly (additive ints),
+    and buckets that net to zero raw mass drop — bit-equal to retraining
+    the estimator on the surviving corpus, at O(revoked-slice) cost.
+    The oracle is the full retrain-without-the-source SQL."""
+    from ..catalog import hadoop_fs
+    from .dedup import _pair_cache_dir
+    from .text import FORGET_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    revoked = F.col("source") == FORGET_SOURCE
+
+    base = _pair_cache_dir(spark, sf_dir, modality="dsir-forget")
+    fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
+    if not fs.exists(built):
+        dsir_bucket_counts(_dsir_gb(docs)).write.mode("overwrite").parquet(
+            f"{base}/counts"
+        )
+        fs.create(built, True).close()
+
+    _, forgotten = hadoop_fs(spark, f"{base}/_FORGET_READY")
+    if not fs.exists(forgotten):
+        dsir_bucket_counts(_dsir_gb(docs.filter(revoked))).select(
+            "b", (-F.col("r")).alias("r"), (-F.col("tc")).alias("tc")
+        ).write.mode("append").parquet(f"{base}/counts")
+        fs.create(forgotten, True).close()
+
+    return (
+        spark.read.parquet(f"{base}/counts")
+        .groupBy("b")
+        .agg(
+            F.sum("r").cast("long").alias("r"),
+            F.sum("tc").cast("long").alias("tc"),
+        )
+        .filter(F.col("r") > 0)
+        .orderBy("b")
+    )
+
+
+def _dsir_forget_oracle() -> str:
+    # unlearning must be indistinguishable from never having seen the
+    # source: the full rebuild on the surviving corpus
+    from .text import FORGET_SOURCE
+
+    sql = ORACLE_SQL["dsir_counts_cached"]
+    if sql.count("FROM documents") != 1:  # explicit: survives python -O
+        raise RuntimeError("dsir_counts_cached oracle anchor drifted")
+    return sql.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE source <> '{FORGET_SOURCE}')",
+    )
+
+
+ORACLE_SQL["dsir_counts_forget"] = _dsir_forget_oracle()
