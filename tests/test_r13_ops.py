@@ -152,3 +152,59 @@ class TestDsirStore:
             .collect()
         ]
         assert got == want
+
+
+class TestMrlStore:
+    """The persisted MRL prefix store: stage 1 of sim_mrl_probe scans
+    the stored prefix table, bit-identical to the in-plan slice."""
+
+    def test_probe_stage1_scans_prefix_store(self, spark, tmp_path, sf_dir):
+        import contextlib
+        import io
+
+        from zylyty_data_engineer_challenge_spark.operators import similarity
+
+        spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+        try:
+            df = similarity.sim_mrl_probe(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            spark.conf.unset("spark.zylyty.annIndexDir")
+        assert "mrl_prefix" in plan, f"stage 1 not store-served:\n{plan}"
+
+    def test_stored_prefixes_equal_in_plan_slice(self, spark, tmp_path, sf_dir):
+        from pyspark.sql import functions as F
+
+        from zylyty_data_engineer_challenge_spark.operators import similarity
+
+        spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+        try:
+            base = similarity.build_mrl_store(spark, sf_dir)
+            stored = [
+                tuple(r)
+                for r in spark.read.parquet(f"{base}/mrl_prefix")
+                .select("vec_id", "p", "pn")
+                .orderBy("vec_id")
+                .collect()
+            ]
+        finally:
+            spark.conf.unset("spark.zylyty.annIndexDir")
+        emb = similarity._quantized(spark, sf_dir)
+        inplan = [
+            tuple(r)
+            for r in emb.filter(F.col("vec_id") >= similarity.N_QUERIES)
+            .select(
+                "vec_id",
+                F.expr(f"slice(q, 1, {similarity.MRL_DIMS})").alias("p"),
+                F.expr(
+                    f"aggregate(slice(q, 1, {similarity.MRL_DIMS}),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+                ).alias("pn"),
+            )
+            .orderBy("vec_id")
+            .collect()
+        ]
+        assert stored == inplan
