@@ -208,3 +208,62 @@ class TestMrlStore:
             .collect()
         ]
         assert stored == inplan
+
+
+class TestPackBestfit:
+    """FFD packing: the in-band certificate row is consistent and the
+    fill beats the arrival-order no-split greedy packer."""
+
+    def test_certificate_row_and_utilization_gain(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from zylyty_data_engineer_challenge_spark.catalog import load_table
+        from zylyty_data_engineer_challenge_spark.operators import curate
+
+        rows = curate.curate_pack_bestfit(spark, sf_dir).collect()
+        cert = [r for r in rows if r.lang == "*"]
+        seqs = [r for r in rows if r.lang != "*"]
+        assert len(cert) == 1
+        cert = cert[0]
+        assert cert.seq_id == len(seqs)
+        assert cert.fill_tokens == sum(r.fill_tokens for r in seqs)
+        assert cert.n_docs == sum(r.n_docs for r in seqs)
+        # every packed doc is accounted for
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "lang",
+                F.expr(
+                    f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),"
+                    f" 16, 10) AS BIGINT) % {curate.PACK_FFD_BUCKETS}"
+                ).alias("bucket"),
+                F.size(F.split("text", r"\s+")).alias("n_tokens"),
+            )
+            .collect()
+        )
+        assert cert.n_docs == len(docs)
+        assert cert.fill_tokens == sum(r.n_tokens for r in docs)
+        # the certificate: FFD needs no more sequences than the
+        # arrival-order no-split greedy (next-fit in doc_id order) —
+        # same total fill, so fewer sequences == higher utilization
+        from collections import defaultdict
+
+        scopes = defaultdict(list)
+        for r in sorted(docs, key=lambda r: r.doc_id):
+            scopes[(r.lang, r.bucket)].append(r.n_tokens)
+        naive_bins = 0
+        for lens in scopes.values():
+            load = None
+            for ln in lens:
+                if load is None or load + ln > curate.PACK_BUDGET:
+                    naive_bins += 1
+                    load = ln
+                else:
+                    load += ln
+        assert cert.seq_id <= naive_bins, (cert.seq_id, naive_bins)
+        # no sequence under-reports: every multi-doc sequence is within
+        # budget, and any over-budget sequence is a single doc that
+        # exceeds the budget on its own
+        for r in seqs:
+            assert r.fill_tokens <= curate.PACK_BUDGET or r.n_docs == 1

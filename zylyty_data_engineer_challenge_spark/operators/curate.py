@@ -2138,3 +2138,169 @@ def _dsir_forget_oracle() -> str:
 
 
 ORACLE_SQL["dsir_counts_forget"] = _dsir_forget_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Best-fit sequence packing with a utilization certificate (r13)
+# ---------------------------------------------------------------------------
+
+PACK_FFD_BUCKETS = 8  # per-(lang, bucket) greedy scope — bounds the
+# sequential fold (the salted-window discipline); production sizes this so
+# a bucket's doc list fits one task
+PACK_ENC = 1_000_000  # bin-state encoding: load * PACK_ENC + n_docs
+
+
+def _ffd_fold_spark(lens_col: str) -> str:
+    """Spark SQL for the first-fit-decreasing left-fold over a sorted
+    length array: state is an ARRAY<BIGINT> of per-bin encodings
+    (``load * PACK_ENC + n_docs`` — one integer per bin keeps the fold
+    state a plain list, exact on both engines); each document lands in
+    the FIRST bin with room, else opens a new bin. The empty-state
+    branch is explicit because Spark's ``sequence(1, 0)`` DESCENDS."""
+    first_fit = (
+        f"filter(sequence(1, size(acc)),"
+        f" i -> element_at(acc, i) div {PACK_ENC} + d <= {PACK_BUDGET})"
+    )
+    return f"""
+        aggregate(
+            {lens_col},
+            CAST(array() AS ARRAY<BIGINT>),
+            (acc, d) -> CASE
+                WHEN size(acc) = 0 THEN array(d * {PACK_ENC} + 1)
+                WHEN size({first_fit}) = 0
+                    THEN concat(acc, array(d * {PACK_ENC} + 1))
+                ELSE transform(sequence(1, size(acc)), j -> CASE
+                    WHEN j = element_at({first_fit}, 1)
+                    THEN element_at(acc, j) + d * {PACK_ENC} + 1
+                    ELSE element_at(acc, j) END)
+            END)
+    """
+
+
+def curate_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-DECREASING sequence packing with an in-band utilization
+    certificate (r12 VERDICT item 6) — the fill-optimizing packer beside
+    :func:`text_pack_sequences`' pack-then-split layout: when documents
+    must stay whole (no straddling the sequence boundary — instruction
+    tuning, contrastive pairs, any sample-integrity constraint), packing
+    efficiency is tokens-per-dollar at training time, and greedy
+    arrival-order packing leaves large tails. Classic FFD: sort each
+    scope's documents by token count descending (ties by doc_id), place
+    each in the first sequence with room, open a new sequence otherwise.
+
+    Scope is (lang, md5-bucket of doc_id): the greedy fold is inherently
+    sequential, so hash-bucketing bounds each fold to one task's worth
+    of documents (the salted-window discipline) and scopes pack in
+    parallel — at 100 TB the bucket count scales with the corpus and
+    the plan stays one groupBy + a map-only fold, no shuffle beyond the
+    one keyed exchange. The fold state is a plain ARRAY<BIGINT> (one
+    ``load * PACK_ENC + n_docs`` encoding per bin — integer-exact, and
+    deliberately not an array-of-structs: the flat encoding is what
+    both engines fold identically).
+
+    Output: one row per packed sequence — (lang, bucket, seq_id,
+    fill_tokens, n_docs) — plus ONE aggregate certificate row
+    (lang='*', bucket=-1) whose ``seq_id`` carries the total sequence
+    count and ``fill_tokens``/``n_docs`` the corpus totals, so
+    utilization = fill_tokens / (seq_id * PACK_BUDGET) is auditable
+    in-band; pytest pins it >= the arrival-order no-split packer's.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT) % {PACK_FFD_BUCKETS}"
+        ).alias("bucket"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+        "doc_id",
+    )
+    per = sized.groupBy("lang", "bucket").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-n_tokens AS neg,"
+            " doc_id AS d))), s -> -s.neg)"
+        ).alias("lens")
+    )
+    seqs = (
+        per.select(
+            "lang", "bucket", F.expr(_ffd_fold_spark("lens")).alias("bins")
+        )
+        .select("lang", "bucket", F.posexplode("bins").alias("pos", "enc"))
+        .select(
+            "lang",
+            "bucket",
+            F.col("pos").cast("long").alias("seq_id"),
+            F.expr(f"enc div {PACK_ENC}").alias("fill_tokens"),
+            F.expr(f"enc % {PACK_ENC}").alias("n_docs"),
+        )
+    )
+    cert = seqs.agg(
+        F.lit("*").alias("lang"),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.count("*").cast("long").alias("seq_id"),
+        F.sum("fill_tokens").cast("long").alias("fill_tokens"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
+    return seqs.unionByName(cert).orderBy("lang", "bucket", "seq_id")
+
+
+_FFD_FIT_SQL = (
+    f"list_filter(range(1, len(acc) + 1),"
+    f" i -> acc[i] // {PACK_ENC} + x[1] <= {PACK_BUDGET})"
+)
+
+ORACLE_SQL["curate_pack_bestfit"] = f"""
+    WITH sized AS (
+        SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {PACK_FFD_BUCKETS} AS bucket,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               doc_id
+        FROM documents
+    ),
+    per AS (
+        SELECT lang, bucket,
+               list(n_tokens ORDER BY n_tokens DESC, doc_id) AS lens
+        FROM sized GROUP BY lang, bucket
+    ),
+    folded AS (
+        SELECT lang, bucket,
+               -- sentinel-init left fold: DuckDB's no-init list_reduce
+               -- uses the first element as the accumulator, so an empty
+               -- list is prepended and each length rides in as [d]
+               list_reduce(
+                   [CAST([] AS BIGINT[])] || list_transform(lens, d -> [d]),
+                   (acc, x) -> CASE
+                       WHEN len(acc) = 0 THEN [x[1] * {PACK_ENC} + 1]
+                       WHEN len({_FFD_FIT_SQL}) = 0
+                           THEN list_append(acc, x[1] * {PACK_ENC} + 1)
+                       ELSE list_transform(range(1, len(acc) + 1), j -> CASE
+                           WHEN j = ({_FFD_FIT_SQL})[1]
+                           THEN acc[j] + x[1] * {PACK_ENC} + 1
+                           ELSE acc[j] END)
+                   END) AS bins
+        FROM per
+    ),
+    seqs AS (
+        SELECT lang, bucket,
+               CAST(generate_subscripts(bins, 1) - 1 AS BIGINT) AS seq_id,
+               unnest(bins) AS enc
+        FROM folded
+    ),
+    rws AS (
+        SELECT lang, bucket, seq_id,
+               enc // {PACK_ENC} AS fill_tokens,
+               enc % {PACK_ENC} AS n_docs
+        FROM seqs
+    ),
+    cert AS (
+        SELECT '*' AS lang, CAST(-1 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS seq_id,
+               CAST(SUM(fill_tokens) AS BIGINT) AS fill_tokens,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs
+        FROM rws
+    )
+    SELECT * FROM rws UNION ALL SELECT * FROM cert
+    ORDER BY lang, bucket, seq_id
+"""
