@@ -267,3 +267,49 @@ class TestPackBestfit:
         # exceeds the budget on its own
         for r in seqs:
             assert r.fill_tokens <= curate.PACK_BUDGET or r.n_docs == 1
+
+
+class TestPipelineCurateV2:
+    """Set-algebra reconciliation: the composed manifest equals the
+    intersection of its stage survivor sets, and packing coordinates
+    are consistent per (split, lang)."""
+
+    def test_stage_reconciliation_and_packing(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from pyspark.sql import functions as F
+
+        from zylyty_data_engineer_challenge_spark.operators import curate, text
+
+        v2 = curate.pipeline_curate_v2(spark, sf_dir).collect()
+        v2_ids = {r.doc_id for r in v2}
+        policy = {
+            r.doc_id
+            for r in curate.pipeline_curate_policy(spark, sf_dir).collect()
+        }
+        contaminated = {
+            r.doc_id
+            for r in text.text_contamination_excise(spark, sf_dir)
+            .filter(F.col("n_removed") > 0)
+            .collect()
+        }
+        kept = {
+            r.doc_id for r in curate.curate_dsir_sample(spark, sf_dir).collect()
+        }
+        want = {
+            d
+            for d in policy
+            if d >= text.CONTAM_EVAL_DOCS and d not in contaminated and d in kept
+        }
+        assert v2_ids == want
+        assert v2_ids, "empty manifest would make the pins vacuous"
+        # packing law per (split, lang): doc_id order, running offsets
+        groups = defaultdict(list)
+        for r in sorted(v2, key=lambda r: r.doc_id):
+            groups[(r.split, r.lang)].append(r)
+        for rows in groups.values():
+            cum = 0
+            for r in rows:
+                assert r.seq_id == cum // curate.PACK_BUDGET
+                assert r.seq_offset == cum % curate.PACK_BUDGET
+                cum += r.n_tokens

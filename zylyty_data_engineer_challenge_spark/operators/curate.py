@@ -2304,3 +2304,216 @@ ORACLE_SQL["curate_pack_bestfit"] = f"""
     SELECT * FROM rws UNION ALL SELECT * FROM cert
     ORDER BY lang, bucket, seq_id
 """
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curate_v2: the full loader-ready composition (r13)
+# ---------------------------------------------------------------------------
+
+
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12-13 operator families composed into ONE loader-ready
+    manifest (r12 VERDICT item 7): a document ships to training iff it
+
+    1. passes every quality-funnel gate (:func:`curate_quality_funnel`'s
+       cascade — the :func:`pipeline_curate_policy` stage, lang kept);
+    2. is DECONTAMINATED by construction: not an eval document
+       (doc_id < CONTAM_EVAL_DOCS) and free of any K-token run matching
+       the eval window set (:func:`..text.text_contamination_excise`'s
+       flag stage as a gate — the r12 VERDICT item 1 policy hookup);
+    3. is the canonical of its near-dup component
+       (:func:`..graph.dedup_canonical_pick`);
+    4. survives DSIR importance resampling toward the target
+       distribution (:func:`curate_dsir_sample`'s kept set, served from
+       the persisted estimator);
+
+    and each survivor carries its leakage-safe split
+    (:func:`curate_leakage_split`) and its packed-sequence coordinates
+    (:func:`text_pack_sequences`' pack-then-split layout, per
+    (split, lang) so each loader packs independently). One declarative
+    plan: cheap gates push to the scan, component labels and the DSIR
+    estimator come from persisted identity-keyed artifacts, the
+    contamination universe broadcasts, and the only new shuffle beyond
+    the stages' own is the final packing window. The oracle NESTS the
+    stage SQLs verbatim (the fail-loud splice discipline), so the
+    composition can never drift from its parts; pytest reconciles each
+    stage's survivor set.
+    """
+    from .dedup import _span_windows
+    from .graph import dedup_canonical_pick
+    from .text import CONTAM_EVAL_DOCS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _TEXT_STOPS])
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    bg = (
+        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> array_join(slice(toks, i + 1, 2), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n2"),
+            F.max("c").cast("bigint").alias("top2"),
+        )
+    )
+    passing = (
+        base.join(bg, "doc_id", "left")
+        .filter(
+            (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+            & (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_stop") * 20 >= F.col("n_tokens"))
+            & (F.coalesce("top2", F.lit(0)) * 5 < F.coalesce("n2", F.lit(0)))
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+    # decontamination gate: the excise op's flag stage as an anti-join
+    # (a doc has excised content iff it has >= 1 flagged window, so the
+    # gate set equals the oracle's n_removed > 0 nest exactly)
+    w = _span_windows(docs)
+    eval_h = w.filter(F.col("doc_id") < CONTAM_EVAL_DOCS).select("h").distinct()
+    contam = (
+        w.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS)
+        .join(F.broadcast(eval_h), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    decontam = passing.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS).join(
+        contam, "doc_id", "left_anti"
+    )
+    canon = (
+        dedup_canonical_pick(spark, sf_dir)
+        .filter(F.col("is_canonical") == 1)
+        .select("doc_id")
+    )
+    kept = curate_dsir_sample(spark, sf_dir).select("doc_id")
+    split = curate_leakage_split(spark, sf_dir).select("doc_id", "split")
+    surv = (
+        decontam.join(canon, "doc_id").join(kept, "doc_id").join(split, "doc_id")
+    )
+    wp = Window.partitionBy("split", "lang").orderBy("doc_id")
+    packed = surv.withColumn(
+        "cum_end",
+        F.sum("n_tokens").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "split",
+        F.expr(f"(cum_end - n_tokens) div {PACK_BUDGET}").alias("seq_id"),
+        F.expr(f"(cum_end - n_tokens) % {PACK_BUDGET}").alias("seq_offset"),
+    ).orderBy("doc_id")
+
+
+def _curate_v2_oracle() -> str:
+    from ..oracle_utils import strip_order_by as _strip
+    from .graph import ORACLE_SQL as _G
+    from .text import ORACLE_SQL as _T
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars,
+                   regexp_split_to_array(text, '\\s+') AS toks
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, lang,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks, w -> list_contains(
+                       [{_FUNNEL_STOPS}], w)))
+                       AS BIGINT) AS n_stop
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM t WHERE len(toks) >= 2)
+        ),
+        hist AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        bg AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+                   CAST(MAX(c) AS BIGINT) AS top2
+            FROM hist GROUP BY doc_id
+        ),
+        passing AS (
+            SELECT b.doc_id, b.lang, b.n_tokens
+            FROM base b LEFT JOIN bg ON b.doc_id = bg.doc_id
+            WHERE b.n_chars >= {FUNNEL_MIN_CHARS}
+              AND b.n_tokens >= {MIN_TOKENS}
+              AND b.n_stop * 20 >= b.n_tokens
+              AND COALESCE(bg.top2, 0) * 5 < COALESCE(bg.n2, 0)
+        ),
+        contam AS (
+            SELECT doc_id FROM ({_strip(_T["text_contamination_excise"])})
+            WHERE n_removed > 0
+        ),
+        decontam AS (
+            SELECT p.doc_id, p.lang, p.n_tokens
+            FROM passing p
+            WHERE p.doc_id >= {_CONTAM_EVAL_DOCS_SQL}
+              AND p.doc_id NOT IN (SELECT doc_id FROM contam)
+        ),
+        canon AS (
+            SELECT doc_id FROM ({_strip(_G["dedup_canonical_pick"])})
+            WHERE is_canonical = 1
+        ),
+        kept AS (
+            SELECT doc_id FROM ({_strip(ORACLE_SQL["curate_dsir_sample"])})
+        ),
+        spl AS (
+            SELECT doc_id, split
+            FROM ({_strip(ORACLE_SQL["curate_leakage_split"])})
+        ),
+        surv AS (
+            SELECT d.doc_id, d.lang, d.n_tokens, s.split
+            FROM decontam d
+            JOIN canon c ON d.doc_id = c.doc_id
+            JOIN kept k ON d.doc_id = k.doc_id
+            JOIN spl s ON d.doc_id = s.doc_id
+        ),
+        packed AS (
+            SELECT doc_id, lang, n_tokens, split,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY split, lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_end
+            FROM surv
+        )
+        SELECT doc_id, lang, n_tokens, split,
+               (cum_end - n_tokens) // {PACK_BUDGET} AS seq_id,
+               (cum_end - n_tokens) % {PACK_BUDGET} AS seq_offset
+        FROM packed
+        ORDER BY doc_id
+    """
+
+
+def _contam_eval_docs_sql() -> int:
+    from .text import CONTAM_EVAL_DOCS
+
+    return CONTAM_EVAL_DOCS
+
+
+_CONTAM_EVAL_DOCS_SQL = _contam_eval_docs_sql()
+
+ORACLE_SQL["pipeline_curate_v2"] = _curate_v2_oracle()
