@@ -84,6 +84,40 @@ def host_factor(timings: dict[str, float]) -> float | None:
     return round(statistics.median(ratios), 3) if ratios else None
 
 
+def stream_host_factor(stream_timings: dict[str, float]) -> float | None:
+    """Lane-local host calibration for the streaming lane (r12 VERDICT
+    item 5): the headline lane has ``host_factor`` to separate host
+    noise from regressions, but the stream lane swung 1.5-1.9x across
+    r12 runs of identical code with no calibrator at all. Same
+    construction, lane-local baseline: the median ratio of this run's
+    stream ops to their lines in the newest committed full-fidelity
+    artifact (BENCH_QUIET_r*.json carries the complete stream map; the
+    driver's BENCH_r*.json tail-truncates). Median over ~20 ops is
+    robust to the few ops that genuinely changed in a round; ops new
+    this round simply have no baseline line and drop out."""
+    import glob
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(
+        glob.glob(os.path.join(here, "BENCH_QUIET_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not arts:
+        return None
+    try:
+        with open(arts[-1]) as f:
+            base = json.load(f).get("stream_queries") or {}
+    except (OSError, ValueError):
+        return None
+    ratios = [
+        stream_timings[q] / base[q]
+        for q in stream_timings
+        if base.get(q)
+    ]
+    return round(statistics.median(ratios), 3) if ratios else None
+
+
 def headline_queries() -> dict:
     """The benched subset of __spark_entry__.queries(): the reference views
     plus the heaviest relational + extended operators."""
@@ -321,6 +355,10 @@ def main() -> int:
         "stream_queries": stream_timings,
         "stream_total": stream_total,
         "n_stream_queries": len(stream_timings),
+        # lane-local host calibration vs the newest committed quiet
+        # artifact (r12 VERDICT item 5) — bench_diff applies it to the
+        # stream block the way host_factor settles the headline
+        "stream_host_factor": stream_host_factor(stream_timings),
         "sf": _sf_from_dir(SF_DIR),
         # cross-round caveat: r4/r5 hosts run this same best-of-2
         # harness ~1.4x slower than r3's on queries whose code and
@@ -358,6 +396,7 @@ def main() -> int:
         "queries_truncated": True,
         "stream_total": stream_total,
         "n_stream_queries": len(stream_timings),
+        "stream_host_factor": full["stream_host_factor"],
         "sf": full["sf"],
         "full_artifact": "BENCH_LAST.json",
     }

@@ -33,19 +33,22 @@ def test_host_factor_is_median_over_r01_subset():
 
 
 def test_bench_diff_calibrates_away_uniform_host_inflation(tmp_path):
+    # stream lane: uniformly 2x-inflated host (s1-s3) plus one real
+    # regression — the lane-local median calibrator (r12 VERDICT item 5)
+    # must divide out the 2x and flag only s_bad
     cur = {
         "value": 100.0,
         "host_factor": 2.0,
         "queries": {"steady": 2.0, "regressed": 4.0},
-        "stream_queries": {"s_ok": 10.0, "s_bad": 20.0},
-        "stream_total": 30.0,
+        "stream_queries": {"s1": 10.0, "s2": 6.0, "s3": 4.0, "s_bad": 40.0},
+        "stream_total": 60.0,
     }
     base = {
         "value": 50.0,
         "host_factor": 1.0,
         "queries": {"steady": 1.0, "regressed": 1.0},
-        "stream_queries": {"s_ok": 5.0, "s_bad": 5.0},
-        "stream_total": 10.0,
+        "stream_queries": {"s1": 5.0, "s2": 3.0, "s3": 2.0, "s_bad": 5.0},
+        "stream_total": 15.0,
     }
     cp, bp = tmp_path / "cur.json", tmp_path / "base.json"
     cp.write_text(json.dumps(cur))
@@ -61,8 +64,9 @@ def test_bench_diff_calibrates_away_uniform_host_inflation(tmp_path):
     # the uniformly-inflated query is NOT flagged; the real one is
     assert "steady" not in report["headline"]["flagged"]
     assert report["headline"]["flagged"]["regressed"]["calibrated_ratio"] == 2.0
-    assert "s_ok" not in report["stream"]["flagged"]
-    assert "s_bad" in report["stream"]["flagged"]
+    assert report["stream_calibration"] == 2.0
+    assert not {"s1", "s2", "s3"} & set(report["stream"]["flagged"])
+    assert report["stream"]["flagged"]["s_bad"]["calibrated_ratio"] == 4.0
 
 
 def test_bench_diff_skips_truncated_per_query_maps(tmp_path):

@@ -103,6 +103,20 @@ def _lane_diff(
     }
 
 
+def _stream_calibration(cur: dict | None, base: dict | None) -> float:
+    """Lane-local calibrator (r12 VERDICT item 5): the median cur/base
+    ratio over the stream ops present in both artifacts — the stream
+    twin of the host_factor ratio. Median over ~20 ops absorbs the few
+    that genuinely changed; a uniformly slower host moves every ratio
+    and is exactly what gets divided out."""
+    import statistics
+
+    if not cur or not base:
+        return 1.0
+    ratios = [cur[q] / base[q] for q in set(cur) & set(base) if base[q] and cur[q]]
+    return statistics.median(ratios) if ratios else 1.0
+
+
 def main() -> int:
     current_path = (
         sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_LAST.json")
@@ -116,6 +130,9 @@ def main() -> int:
 
     hf_cur, hf_base = cur.get("host_factor"), base.get("host_factor")
     calib = (hf_cur / hf_base) if (hf_cur and hf_base) else 1.0
+    stream_calib = _stream_calibration(
+        cur.get("stream_queries"), base.get("stream_queries")
+    )
 
     report = {
         "current": os.path.basename(current_path),
@@ -127,8 +144,9 @@ def main() -> int:
             None if base.get("queries_truncated") else base.get("queries"),
             calib,
         ),
+        "stream_calibration": round(stream_calib, 3),
         "stream": _lane_diff(
-            cur.get("stream_queries"), base.get("stream_queries"), calib
+            cur.get("stream_queries"), base.get("stream_queries"), stream_calib
         ),
         "totals": {
             "headline": {"cur": cur.get("value"), "base": base.get("value")},
