@@ -63,28 +63,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS DELIBERATE: the driver's correctness run grades the first
     50 entries, so each round the registry front-loads the queries whose
-    driver row carries the most NEW information. The registry holds 246
-    entries (237 after r11 + the nine r12 additions); every entry has at
+    driver row carries the most NEW information. The registry holds 253
+    entries (246 after r12 + the seven r13 additions); every entry has at
     least one driver-green row (closure reached in r11) and the freshness
     contract (tools/grading_age.py, MAX_AGE_ROUNDS=6) is CI-enforced.
 
-    Round-12 window (VERDICT r11 item 3): (a) the §2 reference surface
-    (always graded, 7 rows), (b) the THREE r12 additions —
-    dedup_dup_spans (maximal duplicated spans, item 9),
-    curate_dsir_sample (DSIR importance resampling, item 7),
-    sim_hybrid_probe_batch (the N-query hybrid batch, item 5) — (c) the
-    two r12-CHANGED entries regraded: sim_filtered_ann (now served from
-    the persisted index, item 4; hash-unchanged by construction) and
-    sim_ann_lsh (signature build moved to the BLAS twin, item 2;
-    bit-identical signatures), (d) ALL 27 rows whose last driver grade
-    is r6 — the exact list item 3 named, ages 5 — and (e) the 5 oldest
-    r7 rows (q_pricing_summary .. mm_features), filling the window to 50
-    (mm_decode_image .. kmeans_inertia, also r7 and within the freshness
-    contract, lead the parked list). Positions 51+ keep their prior relative order; all were
-    driver-graded green in r7-r11 with code+oracle unchanged since.
-    Every registered query is verified locally every round by
-    tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
-    regardless of grading position.
+    Round-13 window (VERDICT r12 items 1-4, 6-7): (a) the §2 reference
+    surface (always graded, 7 rows), (b) the SEVEN r13 additions —
+    text_contamination_excise (decontamination as removal, item 1), the
+    DSIR estimator store lifecycle dsir_counts_cached/append/forget
+    (item 3), sim_mrl_store (the persisted MRL prefix table, item 4),
+    curate_pack_bestfit (FFD packing + utilization certificate, item 6),
+    and pipeline_curate_v2 (the full loader-ready composition, items
+    1+7) — (c) the four r13-CHANGED entries regraded: curate_dsir_sample
+    and curate_dsir_shift (now probing the persisted estimator) plus
+    sim_mrl_probe and sim_mrl_recall (stage 1 served from the prefix
+    store) — all four hash-unchanged by construction, (d) ALL 28 rows
+    whose last driver grade is r7 (item 2's rotation: they reach the
+    MAX_AGE_ROUNDS=6 wall at r13 grading), and (e) the 4 alphabetically
+    first r8 rows (curate_boilerplate .. dedup_edit_recall_sampled)
+    filling the window to 50. Positions 51+ keep their prior relative
+    order; all were driver-graded green in r8-r12 with code+oracle
+    unchanged since. Every registered query is verified locally every
+    round by tools/oracle_check.py (and the tests/test_oracle_gate.py
+    suite gate) regardless of grading position.
     """
 
     return {
@@ -97,20 +99,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
-        # r12 additions (VERDICT r11 items 9, 7, 5)
-        "dedup_dup_spans": dedup.dedup_dup_spans,
+        # r13 additions (VERDICT r12 items 1, 3, 4, 6, 7)
+        "text_contamination_excise": text.text_contamination_excise,
+        "dsir_counts_cached": curate.dsir_counts_cached,
+        "dsir_counts_append": curate.dsir_counts_append,
+        "dsir_counts_forget": curate.dsir_counts_forget,
+        "sim_mrl_store": similarity.sim_mrl_store,
+        "curate_pack_bestfit": curate.curate_pack_bestfit,
+        "pipeline_curate_v2": curate.pipeline_curate_v2,
+        # r13-changed serving paths, regraded (items 3, 4; hash-unchanged)
         "curate_dsir_sample": curate.curate_dsir_sample,
-        "sim_hybrid_probe_batch": lexical.sim_hybrid_probe_batch,
-        "dedup_dup_excise": dedup.dedup_dup_excise,
         "curate_dsir_shift": curate.curate_dsir_shift,
-        "cluster_labels_append": cluster.cluster_labels_append,
-        "stream_dsir_counts": curate_stream.stream_dsir_counts,
         "sim_mrl_probe": similarity.sim_mrl_probe,
         "sim_mrl_recall": similarity.sim_mrl_recall,
-        # r12-changed serving paths, regraded (items 4, 2)
+        # the 28 rows last graded in r7 (item 2 - freshness rotation)
+        "curate_lang_temperature": curate.curate_lang_temperature,
+        "curate_source_mix": curate.curate_source_mix,
+        "dedup_containment": dedup.dedup_containment,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "kmeans_inertia": cluster.kmeans_inertia,
+        "kmeans_lloyd": cluster.kmeans_lloyd,
+        "mm_decode_audio": multimodal.mm_decode_audio,
+        "mm_decode_image": multimodal.mm_decode_image,
+        "pagerank": graph.pagerank,
+        "q_histogram": analytics.q_histogram,
+        "q_outer_joins": advanced.q_outer_joins,
+        "q_scalar_functions": relational.q_scalar_functions,
+        "q_table_profile": warehouse.q_table_profile,
+        "q_udf_surface": analytics.q_udf_surface,
+        "q_window_running_total": relational.q_window_running_total,
+        "sim_ann_ivf_kmeans": similarity.sim_ann_ivf_kmeans,
+        "sim_ann_ivf_kmeans_recall": similarity.sim_ann_ivf_kmeans_recall,
+        "sim_ann_ivf_recall": similarity.sim_ann_ivf_recall,
+        "sim_ann_ivfpq": similarity.sim_ann_ivfpq,
+        "sim_ann_ivfpq_recall": similarity.sim_ann_ivfpq_recall,
+        "sim_ann_pq": similarity.sim_ann_pq,
+        "sim_hybrid_rrf": similarity.sim_hybrid_rrf,
+        "sketch_hll_registers": sketches.sketch_hll_registers,
+        "sketch_theta_intersect": sketches.sketch_theta_intersect,
+        "stream_hll_registers": sketch_stream.stream_hll_registers,
+        "text_bm25": text.text_bm25,
+        "text_redact": text.text_redact,
+        "text_tfidf": text.text_tfidf,
+        # the 4 oldest r8 rows (window fill)
+        "curate_boilerplate": curate.curate_boilerplate,
+        "dedup_cc_names": graph.dedup_cc_names,
+        "dedup_edit_distance": dedup.dedup_edit_distance,
+        "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # prior relative order preserved; every entry below has a
+        # driver-green row from r8-r12 with code+oracle unchanged
+        "dedup_dup_spans": dedup.dedup_dup_spans,
+        "sim_hybrid_probe_batch": lexical.sim_hybrid_probe_batch,
+        "dedup_dup_excise": dedup.dedup_dup_excise,
+        "cluster_labels_append": cluster.cluster_labels_append,
+        "stream_dsir_counts": curate_stream.stream_dsir_counts,
         "sim_filtered_ann": similarity.sim_filtered_ann,
         "sim_ann_lsh": similarity.sim_ann_lsh,
-        # the 27 r6-stale rows (item 3 — freshness rotation)
         "sketch_kmv_union": sketches.sketch_kmv_union,
         "q_interval_overlap": advanced.q_interval_overlap,
         "q_reservoir_sample": relational.q_reservoir_sample,
@@ -138,21 +183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_check": text.text_contamination_check,
         "q_shipping_priority": relational.q_shipping_priority,
         "q_local_supplier_volume": relational.q_local_supplier_volume,
-        # the 11 oldest r7 rows (window fill)
         "q_pricing_summary": relational.q_pricing_summary,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_lsh_recall": dedup.dedup_lsh_recall,
         "dedup_lsh_recall_sampled": dedup.dedup_lsh_recall_sampled,
         "mm_features": multimodal.mm_features,
-        # ---- position 51+ (ungraded by the driver this round) ----
-        # prior relative order preserved; every entry below has a
-        # driver-green row from r7-r11 with code+oracle unchanged
-        "mm_decode_image": multimodal.mm_decode_image,
-        "mm_decode_audio": multimodal.mm_decode_audio,
-        "sim_ann_ivf_recall": similarity.sim_ann_ivf_recall,
-        "sim_ann_pq": similarity.sim_ann_pq,
-        "kmeans_lloyd": cluster.kmeans_lloyd,
-        "kmeans_inertia": cluster.kmeans_inertia,
         "sim_ann_rerank_recall": similarity.sim_ann_rerank_recall,
         "sim_eval_mrr": similarity.sim_eval_mrr,
         "sim_ann_param_sweep": similarity.sim_ann_param_sweep,
@@ -285,16 +320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "q_orc_roundtrip": warehouse.q_orc_roundtrip,
         "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,
-        "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
         "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
-        "curate_boilerplate": curate.curate_boilerplate,
         "pipeline_curate_clean": curate.pipeline_curate_clean,
         "sim_index_build": similarity.sim_index_build,
         "sim_index_probe": similarity.sim_index_probe,
         "sim_index_append": similarity.sim_index_append,
         "q_table_profile_approx": warehouse.q_table_profile_approx,
-        "dedup_edit_distance": dedup.dedup_edit_distance,
-        "dedup_cc_names": graph.dedup_cc_names,
         "stream_parquet_sink": views_stream.stream_parquet_sink,
         "mm_pixel_decode": multimodal.mm_pixel_decode,
         "mm_audio_energy": multimodal.mm_audio_energy,
@@ -321,28 +352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_range_frame": analytics.q_window_range_frame,
         "q_exact_median": analytics.q_exact_median,
         "q_approx_quantile": analytics.q_approx_quantile,
-        "text_tfidf": text.text_tfidf,
-        "sketch_theta_intersect": sketches.sketch_theta_intersect,
-        "sim_ann_ivf_kmeans": similarity.sim_ann_ivf_kmeans,
-        "sim_ann_ivf_kmeans_recall": similarity.sim_ann_ivf_kmeans_recall,
-        "curate_source_mix": curate.curate_source_mix,
-        "dedup_containment": dedup.dedup_containment,
-        "sim_ann_ivfpq": similarity.sim_ann_ivfpq,
-        "sim_ann_ivfpq_recall": similarity.sim_ann_ivfpq_recall,
-        "stream_hll_registers": sketch_stream.stream_hll_registers,
-        "text_bm25": text.text_bm25,
-        "sim_hybrid_rrf": similarity.sim_hybrid_rrf,
-        "curate_lang_temperature": curate.curate_lang_temperature,
-        "q_table_profile": warehouse.q_table_profile,
-        "q_udf_surface": analytics.q_udf_surface,
-        "q_histogram": analytics.q_histogram,
-        "q_window_running_total": relational.q_window_running_total,
-        "q_scalar_functions": relational.q_scalar_functions,
-        "q_outer_joins": advanced.q_outer_joins,
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-        "pagerank": graph.pagerank,
-        "sketch_hll_registers": sketches.sketch_hll_registers,
-        "text_redact": text.text_redact,
     }
 
 

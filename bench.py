@@ -209,6 +209,7 @@ def headline_queries() -> dict:
         "q_time_travel",
         "q_snapshot_expire",
         "pipeline_curate_policy",
+        "pipeline_curate_v2",
         "graph_neighbor_jaccard",
         "graph_bfs",
         "q_skew_profile",
@@ -231,7 +232,7 @@ def headline_queries() -> dict:
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = (
         "dedup_", "sim_", "text_", "mm_", "sketch_", "curate_", "bm25_",
-        "cluster_",
+        "cluster_", "dsir_",
     )
     names += [n for n in all_q if n.startswith(extended_prefixes)]
     # EXCLUSION LIST (documented, not silent): the stream_* family is

@@ -2501,8 +2501,9 @@ def _curate_v2_oracle() -> str:
             FROM surv
         )
         SELECT doc_id, lang, n_tokens, split,
-               (cum_end - n_tokens) // {PACK_BUDGET} AS seq_id,
-               (cum_end - n_tokens) % {PACK_BUDGET} AS seq_offset
+               -- DuckDB's windowed SUM is HUGEINT: cast back to BIGINT
+               CAST((cum_end - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+               CAST((cum_end - n_tokens) % {PACK_BUDGET} AS BIGINT) AS seq_offset
         FROM packed
         ORDER BY doc_id
     """
