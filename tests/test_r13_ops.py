@@ -209,6 +209,34 @@ class TestMrlStore:
         ]
         assert stored == inplan
 
+    def test_pruned_probe_prefix_scan_is_dynamically_pruned(
+        self, spark, tmp_path, sf_dir
+    ):
+        import contextlib
+        import io
+
+        from zylyty_data_engineer_challenge_spark.operators import similarity
+
+        spark.conf.set("spark.zylyty.annIndexDir", str(tmp_path / "ann"))
+        try:
+            df = similarity.sim_mrl_probe_pruned(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            spark.conf.unset("spark.zylyty.annIndexDir")
+        assert "mrl_prefix" in plan, f"stage 1 not store-served:\n{plan}"
+        pf = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "cid" in ln
+        ]
+        assert pf, f"prefix scan lost its cid partition filter:\n{plan}"
+        assert any("dynamicpruning" in ln for ln in pf), (
+            f"cid filter is not dynamic pruning:\n{pf}"
+        )
+
 
 class TestPackBestfit:
     """FFD packing: the in-band certificate row is consistent and the
@@ -313,3 +341,28 @@ class TestPipelineCurateV2:
                 assert r.seq_id == cum // curate.PACK_BUDGET
                 assert r.seq_offset == cum % curate.PACK_BUDGET
                 cum += r.n_tokens
+
+
+def test_dsir_compact_single_file_and_equal_rows(spark, tmp_path, sf_dir):
+    """Compaction is a pure layout change: one data file, rows equal to
+    the append path's read-time merge."""
+    from zylyty_data_engineer_challenge_spark.operators import curate
+
+    spark.conf.set("spark.zylyty.pairCacheDir", str(tmp_path / "pc"))
+    try:
+        merged = [tuple(r) for r in curate.dsir_counts_append(spark, sf_dir).collect()]
+        compacted = [
+            tuple(r) for r in curate.dsir_counts_compact(spark, sf_dir).collect()
+        ]
+        from zylyty_data_engineer_challenge_spark.operators.dedup import (
+            _pair_cache_dir,
+        )
+
+        base = _pair_cache_dir(spark, sf_dir, modality="dsir-append")
+    finally:
+        spark.conf.unset("spark.zylyty.pairCacheDir")
+    assert compacted == merged
+    import glob
+
+    files = glob.glob(f"{base.removeprefix('file:')}/counts_compact/*.parquet")
+    assert len(files) == curate.DSIR_COMPACT_FILES, files

@@ -2518,3 +2518,45 @@ def _contam_eval_docs_sql() -> int:
 _CONTAM_EVAL_DOCS_SQL = _contam_eval_docs_sql()
 
 ORACLE_SQL["pipeline_curate_v2"] = _curate_v2_oracle()
+
+
+DSIR_COMPACT_FILES = 1  # the merged estimator is 64 rows — one file
+
+
+def dsir_counts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-store maintenance: COMPACTION of the partial-count tree
+    :func:`dsir_counts_append` accumulates (one small parquet file per
+    appended batch, read-time sum-merge cost growing per append). The
+    compactor materializes the merge into exactly DSIR_COMPACT_FILES
+    file(s) (the :func:`..text.text_lm_compact` shape at 64-row scale),
+    so post-compaction reads pay neither small-file overhead nor the
+    merge aggregate. Marker-idempotent; same oracle as the full rebuild
+    (third execution path of the estimator), and pytest pins the
+    single-file layout. Completes the estimator lifecycle: build →
+    append → compact → forget — the arc every persisted store carries.
+    """
+    from ..catalog import hadoop_fs
+    from .dedup import _pair_cache_dir
+
+    base = _pair_cache_dir(spark, sf_dir, modality="dsir-append")
+    dsir_counts_append(spark, sf_dir)  # ensure base + append exist
+    fs, marker = hadoop_fs(spark, f"{base}/_COUNTS_COMPACT_READY")
+    dest = f"{base}/counts_compact"
+    if not fs.exists(marker):
+        (
+            spark.read.parquet(f"{base}/counts")
+            .groupBy("b")
+            .agg(
+                F.sum("r").cast("long").alias("r"),
+                F.sum("tc").cast("long").alias("tc"),
+            )
+            .repartition(DSIR_COMPACT_FILES)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        fs.create(marker, True).close()
+    return spark.read.parquet(dest).select("b", "r", "tc").orderBy("b")
+
+
+# compaction is a pure layout change: same oracle, third execution path
+ORACLE_SQL["dsir_counts_compact"] = ORACLE_SQL["dsir_counts_cached"]
