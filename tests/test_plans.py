@@ -277,6 +277,14 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # prefix-scan stage (the bruteforce shape on a 4x-narrower vector)
     "sim_mrl_probe": 1,
     "sim_mrl_recall": 2,  # inherits bruteforce (1) + probe (1)
+    # r13 — pipeline_curate_v2 nests the DSIR sampler, inheriting its
+    # 1-row w_max cross (the curate_dsir_sample sanction above)
+    "pipeline_curate_v2": 1,
+    # pruned MRL probe (r13): the K x 64-int trained-centroid table
+    # crossed under the query probe assignment + the 8-row
+    # truncated-query broadcast (the sim_ann_ivf_kmeans shape)
+    "sim_mrl_probe_pruned": 2,
+    "sim_mrl_pruned_recall": 3,  # inherits bruteforce (1) + pruned probe (2)
 }
 
 
