@@ -2156,11 +2156,19 @@ def _ffd_fold_spark(lens_col: str) -> str:
     (``load * PACK_ENC + n_docs`` — one integer per bin keeps the fold
     state a plain list, exact on both engines); each document lands in
     the FIRST bin with room, else opens a new bin. The empty-state
-    branch is explicit because Spark's ``sequence(1, 0)`` DESCENDS."""
+    branch is explicit because Spark's ``sequence(1, 0)`` DESCENDS.
+
+    The placement is slice/concat around the fit index — NOT a
+    per-element ``transform`` whose lambda re-finds the index for every
+    bin: that form re-evaluates the O(bins) first-fit filter once PER
+    BIN per step (O(bins²) per document — measured 937 s at the x10
+    corpus vs ~15 s for this form; semantics identical, so the DuckDB
+    oracle is unchanged and hash equality pins the rewrite)."""
     first_fit = (
         f"filter(sequence(1, size(acc)),"
         f" i -> element_at(acc, i) div {PACK_ENC} + d <= {PACK_BUDGET})"
     )
+    idx = f"element_at({first_fit}, 1)"
     return f"""
         aggregate(
             {lens_col},
@@ -2169,10 +2177,10 @@ def _ffd_fold_spark(lens_col: str) -> str:
                 WHEN size(acc) = 0 THEN array(d * {PACK_ENC} + 1)
                 WHEN size({first_fit}) = 0
                     THEN concat(acc, array(d * {PACK_ENC} + 1))
-                ELSE transform(sequence(1, size(acc)), j -> CASE
-                    WHEN j = element_at({first_fit}, 1)
-                    THEN element_at(acc, j) + d * {PACK_ENC} + 1
-                    ELSE element_at(acc, j) END)
+                ELSE concat(
+                    slice(acc, 1, {idx} - 1),
+                    array(element_at(acc, {idx}) + d * {PACK_ENC} + 1),
+                    slice(acc, {idx} + 1, size(acc) - {idx}))
             END)
     """
 
