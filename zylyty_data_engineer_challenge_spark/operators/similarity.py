@@ -2559,28 +2559,39 @@ def build_mrl_store(spark: SparkSession, sf_dir: str) -> str:
 
     base = _ann_index_dir(spark, sf_dir)
     fs, marker = _hadoop_fs(spark, f"{base}/_MRL_READY")
-    if fs.exists(marker):
+    _, cents_marker = _hadoop_fs(spark, f"{base}/_MRL_CENTS_READY")
+    need_prefix = not fs.exists(marker)
+    need_cents = not fs.exists(cents_marker)
+    if not (need_prefix or need_cents):
         return base
-    emb = _quantized(spark, sf_dir)
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
-    assign = _l2_nearest_lists(
-        lloyd_centroids(spark, sf_dir), corpus.select("vec_id", "q"), "vec_id", 1
-    )
-    pref = corpus.select(
-        "vec_id",
-        F.expr(f"slice(q, 1, {MRL_DIMS})").alias("p"),
-        F.expr(
-            f"aggregate(slice(q, 1, {MRL_DIMS}), CAST(0 AS BIGINT),"
-            f" (acc, x) -> acc + x * x)"
-        ).alias("pn"),
-    )
-    (
-        pref.join(assign, "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{base}/mrl_prefix")
-    )
-    fs.create(marker, True).close()
+    # the coarse codebook persists BESIDE the prefixes (own marker, so a
+    # pre-centroid store upgrades in place) — the pruned probe reads it
+    # instead of re-training lloyd at query time; training is
+    # deterministic per source, so the upgrade reproduces the exact
+    # centroids the prefixes were assigned with
+    cents = lloyd_centroids(spark, sf_dir)
+    if need_cents:
+        cents.write.mode("overwrite").parquet(f"{base}/mrl_centroids")
+        fs.create(cents_marker, True).close()
+    if need_prefix:
+        emb = _quantized(spark, sf_dir)
+        corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+        assign = _l2_nearest_lists(cents, corpus.select("vec_id", "q"), "vec_id", 1)
+        pref = corpus.select(
+            "vec_id",
+            F.expr(f"slice(q, 1, {MRL_DIMS})").alias("p"),
+            F.expr(
+                f"aggregate(slice(q, 1, {MRL_DIMS}), CAST(0 AS BIGINT),"
+                f" (acc, x) -> acc + x * x)"
+            ).alias("pn"),
+        )
+        (
+            pref.join(assign, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{base}/mrl_prefix")
+        )
+        fs.create(marker, True).close()
     return base
 
 
@@ -2632,16 +2643,17 @@ def sim_mrl_probe_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`sim_mrl_pruned_recall` gates it against the same exact
     ground truth every index shares.
     """
-    from .cluster import lloyd_centroids
-
     base = build_mrl_store(spark, sf_dir)
     pref = spark.read.parquet(f"{base}/mrl_prefix")  # (vec_id, p, pn, cid)
     emb = _quantized(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
+    # probe against the STORED codebook — no lloyd training at query
+    # time (the sim_index_probe discipline; 3.0 -> sub-second per batch
+    # at sf0.1, and at scale the training never rides the query path)
     probes = _l2_nearest_lists(
-        lloyd_centroids(spark, sf_dir), 
+        spark.read.parquet(f"{base}/mrl_centroids"),
         queries.select("query_id", F.col("qv").alias("q")),
         "query_id",
         NPROBE,
