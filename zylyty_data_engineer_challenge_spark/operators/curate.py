@@ -2213,12 +2213,25 @@ def curate_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     utilization = fill_tokens / (seq_id * PACK_BUDGET) is auditable
     in-band; pytest pins it >= the arrival-order no-split packer's.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _pack_bestfit_kernel(
+        load_table(spark, sf_dir, "documents"), PACK_FFD_BUCKETS
+    )
+
+
+def _pack_bestfit_kernel(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """DataFrame-in kernel of :func:`curate_pack_bestfit` with the
+    bucket count as a parameter: the registered query pins
+    PACK_FFD_BUCKETS (the oracle needs the constant), but the SCALING
+    CONTRACT is buckets ∝ corpus so each scope's doc list stays
+    near-constant — the fold is O(scope_docs x scope_bins) per scope,
+    so bounded scopes make total cost linear while a fixed bucket count
+    makes it quadratic (the fixed-K SemDeDup harness artifact, same
+    shape). ``tools/scale_smoke.py --packb`` measures exactly that."""
     sized = docs.select(
         "lang",
         F.expr(
             f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
-            f" AS BIGINT) % {PACK_FFD_BUCKETS}"
+            f" AS BIGINT) % {n_buckets}"
         ).alias("bucket"),
         F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
         "doc_id",
