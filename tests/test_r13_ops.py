@@ -358,7 +358,7 @@ def test_dsir_compact_single_file_and_equal_rows(spark, tmp_path, sf_dir):
             _pair_cache_dir,
         )
 
-        base = _pair_cache_dir(spark, sf_dir, modality="dsir-append")
+        base = _pair_cache_dir(spark, sf_dir, modality="dsir-batch")
     finally:
         spark.conf.unset("spark.zylyty.pairCacheDir")
     assert compacted == merged
@@ -366,3 +366,39 @@ def test_dsir_compact_single_file_and_equal_rows(spark, tmp_path, sf_dir):
 
     files = glob.glob(f"{base.removeprefix('file:')}/counts_compact/*.parquet")
     assert len(files) == curate.DSIR_COMPACT_FILES, files
+
+
+def test_dsir_staged_install_reheals_every_crash_point(spark, tmp_path, sf_dir):
+    """The additive store's double-append hazard: a crash between the
+    batch installment's parquet commit and its marker must NOT make the
+    re-run install the partials twice. Both worst-point states re-heal
+    to the same merged counts."""
+    import shutil
+    from pathlib import Path
+
+    from zylyty_data_engineer_challenge_spark.operators import curate
+    from zylyty_data_engineer_challenge_spark.operators.dedup import (
+        _pair_cache_dir,
+    )
+
+    spark.conf.set("spark.zylyty.pairCacheDir", str(tmp_path / "pc"))
+    try:
+        want = [tuple(r) for r in curate.dsir_counts_append(spark, sf_dir).collect()]
+        base = Path(_pair_cache_dir(spark, sf_dir, modality="dsir-batch"))
+
+        # crash AFTER the batch rename, BEFORE its marker: data present,
+        # marker gone — the re-run must skip the rewrite (no double count)
+        (base / "_BATCH_READY").unlink()
+        got = [tuple(r) for r in curate.dsir_counts_append(spark, sf_dir).collect()]
+        assert got == want
+
+        # crash BEFORE the rename: _next debris, no data dir, no marker —
+        # the re-run overwrites the staging dir and installs once
+        (base / "_BATCH_READY").unlink()
+        shutil.move(base / "batch", base / "batch_next")
+        got = [tuple(r) for r in curate.dsir_counts_append(spark, sf_dir).collect()]
+        assert got == want
+        assert (base / "batch").exists()
+        assert (base / "_BATCH_READY").exists()
+    finally:
+        spark.conf.unset("spark.zylyty.pairCacheDir")

@@ -2036,46 +2036,68 @@ ORACLE_SQL["dsir_counts_cached"] = f"""
 """
 
 
+def _staged_install(spark, partials: DataFrame, base: str, name: str) -> None:
+    """Crash-safe one-shot installment of a partial-count table into an
+    additive store: write to ``<name>_next``, atomic-rename to
+    ``<name>``, then mark. The plain append-then-mark form (the LM
+    store's) has a double-append window — a crash after the parquet job
+    commits but before the marker lands makes the re-run append the same
+    partials AGAIN, silently corrupting the additive state. Here every
+    crash point re-heals: before the rename the re-run overwrites
+    ``_next``; after it, the data directory's existence (not the marker)
+    is what skips the rewrite, so nothing is ever double-counted."""
+    from ..catalog import hadoop_fs
+
+    fs, marker = hadoop_fs(spark, f"{base}/_{name.upper()}_READY")
+    if fs.exists(marker):
+        return
+    _, dest = hadoop_fs(spark, f"{base}/{name}")
+    if not fs.exists(dest):
+        _, nxt = hadoop_fs(spark, f"{base}/{name}_next")
+        partials.write.mode("overwrite").parquet(f"{base}/{name}_next")
+        if not fs.rename(nxt, dest):
+            raise RuntimeError(f"staged install rename failed for {name}")
+    fs.create(marker, True).close()
+
+
+def _merged_counts(spark, base: str, *names: str) -> DataFrame:
+    """Read-time sum-merge of the store's installment tables."""
+    df = None
+    for name in names:
+        part = spark.read.parquet(f"{base}/{name}")
+        df = part if df is None else df.unionByName(part)
+    return df.groupBy("b").agg(
+        F.sum("r").cast("long").alias("r"),
+        F.sum("tc").cast("long").alias("tc"),
+    )
+
+
 def dsir_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental estimator maintenance — the append twin
     :func:`..streaming.curate_stream.stream_dsir_counts` proves the
     merge law for (additive integer counts), landed on the batch store:
     the base corpus's (doc_id % APPEND_MOD != 0) counts persist once;
-    the arriving batch appends ONLY its own partial counts; reads
+    the arriving batch installs ONLY its own partial counts; reads
     sum-merge. Append ≡ full rebuild holds exactly (the counts are plain
     SUMs), so the oracle is :func:`dsir_counts_cached`'s full-corpus SQL
-    verbatim and hash-equality is the proof. Marker-idempotent.
+    verbatim and hash-equality is the proof. Installments land via
+    :func:`_staged_install` (write-aside + atomic rename), so every
+    crash point re-heals without double-counting — pinned by
+    tests/test_r13_ops.py's worst-point crash simulations.
     """
-    from ..catalog import hadoop_fs
     from .dedup import APPEND_MOD, _pair_cache_dir
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % APPEND_MOD == 0
 
-    base = _pair_cache_dir(spark, sf_dir, modality="dsir-append")
-    fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
-    if not fs.exists(built):
-        dsir_bucket_counts(_dsir_gb(docs.filter(~is_new))).write.mode(
-            "overwrite"
-        ).parquet(f"{base}/counts")
-        fs.create(built, True).close()
-
-    _, appended = hadoop_fs(spark, f"{base}/_APPEND_READY")
-    if not fs.exists(appended):
-        dsir_bucket_counts(_dsir_gb(docs.filter(is_new))).write.mode(
-            "append"
-        ).parquet(f"{base}/counts")
-        fs.create(appended, True).close()
-
-    return (
-        spark.read.parquet(f"{base}/counts")
-        .groupBy("b")
-        .agg(
-            F.sum("r").cast("long").alias("r"),
-            F.sum("tc").cast("long").alias("tc"),
-        )
-        .orderBy("b")
+    base = _pair_cache_dir(spark, sf_dir, modality="dsir-batch")
+    _staged_install(
+        spark, dsir_bucket_counts(_dsir_gb(docs.filter(~is_new))), base, "base"
     )
+    _staged_install(
+        spark, dsir_bucket_counts(_dsir_gb(docs.filter(is_new))), base, "batch"
+    )
+    return _merged_counts(spark, base, "base", "batch").orderBy("b")
 
 
 # append ≡ full rebuild (additive counts): same oracle, second path
@@ -2083,41 +2105,27 @@ ORACLE_SQL["dsir_counts_append"] = ORACLE_SQL["dsir_counts_cached"]
 
 
 def dsir_counts_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Estimator UNLEARNING (the :func:`..text.text_lm_forget` pattern):
-    a revoked source's gram counts are appended NEGATED into the partial
-    tree, the read-time sum-merge cancels them exactly (additive ints),
-    and buckets that net to zero raw mass drop — bit-equal to retraining
-    the estimator on the surviving corpus, at O(revoked-slice) cost.
-    The oracle is the full retrain-without-the-source SQL."""
-    from ..catalog import hadoop_fs
+    """Estimator UNLEARNING: a revoked source's gram counts are
+    installed NEGATED beside the model (the :func:`..text.text_lm_forget`
+    algebra with the crash-safe :func:`_staged_install` landing), the
+    read-time sum-merge cancels them exactly (additive ints), and
+    buckets that net to zero raw mass drop — bit-equal to retraining the
+    estimator on the surviving corpus, at O(revoked-slice) cost. The
+    oracle is the full retrain-without-the-source SQL."""
     from .dedup import _pair_cache_dir
     from .text import FORGET_SOURCE
 
     docs = load_table(spark, sf_dir, "documents")
     revoked = F.col("source") == FORGET_SOURCE
 
-    base = _pair_cache_dir(spark, sf_dir, modality="dsir-forget")
-    fs, built = hadoop_fs(spark, f"{base}/_BASE_READY")
-    if not fs.exists(built):
-        dsir_bucket_counts(_dsir_gb(docs)).write.mode("overwrite").parquet(
-            f"{base}/counts"
-        )
-        fs.create(built, True).close()
-
-    _, forgotten = hadoop_fs(spark, f"{base}/_FORGET_READY")
-    if not fs.exists(forgotten):
-        dsir_bucket_counts(_dsir_gb(docs.filter(revoked))).select(
-            "b", (-F.col("r")).alias("r"), (-F.col("tc")).alias("tc")
-        ).write.mode("append").parquet(f"{base}/counts")
-        fs.create(forgotten, True).close()
-
+    base = _pair_cache_dir(spark, sf_dir, modality="dsir-unlearn")
+    _staged_install(spark, dsir_bucket_counts(_dsir_gb(docs)), base, "base")
+    negated = dsir_bucket_counts(_dsir_gb(docs.filter(revoked))).select(
+        "b", (-F.col("r")).alias("r"), (-F.col("tc")).alias("tc")
+    )
+    _staged_install(spark, negated, base, "revoked")
     return (
-        spark.read.parquet(f"{base}/counts")
-        .groupBy("b")
-        .agg(
-            F.sum("r").cast("long").alias("r"),
-            F.sum("tc").cast("long").alias("tc"),
-        )
+        _merged_counts(spark, base, "base", "revoked")
         .filter(F.col("r") > 0)
         .orderBy("b")
     )
@@ -2559,18 +2567,13 @@ def dsir_counts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import hadoop_fs
     from .dedup import _pair_cache_dir
 
-    base = _pair_cache_dir(spark, sf_dir, modality="dsir-append")
-    dsir_counts_append(spark, sf_dir)  # ensure base + append exist
+    base = _pair_cache_dir(spark, sf_dir, modality="dsir-batch")
+    dsir_counts_append(spark, sf_dir)  # ensure both installments exist
     fs, marker = hadoop_fs(spark, f"{base}/_COUNTS_COMPACT_READY")
     dest = f"{base}/counts_compact"
     if not fs.exists(marker):
         (
-            spark.read.parquet(f"{base}/counts")
-            .groupBy("b")
-            .agg(
-                F.sum("r").cast("long").alias("r"),
-                F.sum("tc").cast("long").alias("tc"),
-            )
+            _merged_counts(spark, base, "base", "batch")
             .repartition(DSIR_COMPACT_FILES)
             .write.mode("overwrite")
             .parquet(dest)
