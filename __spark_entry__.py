@@ -63,32 +63,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS DELIBERATE: the driver's correctness run grades the first
     50 entries, so each round the registry front-loads the queries whose
-    driver row carries the most NEW information. The registry holds 256
-    entries (246 after r12 + the ten r13 additions); every entry has at
-    least one driver-green row (closure reached in r11) and the freshness
-    contract (tools/grading_age.py, MAX_AGE_ROUNDS=6) is CI-enforced.
+    driver row carries the most NEW information. The registry holds 261
+    entries (256 after r13 + the five r14 additions); every entry has at
+    least one driver-green row or sits in the current window (closure
+    reached in r11) and the freshness contract (tools/grading_age.py,
+    MAX_AGE_ROUNDS=6) is CI-enforced.
 
-    Round-13 window (VERDICT r12 items 1-4, 6-7): (a) the §2 reference
-    surface (always graded, 7 rows), (b) the TEN r13 additions —
-    text_contamination_excise (decontamination as removal, item 1), the
-    DSIR estimator store lifecycle dsir_counts_cached/append/forget/
-    compact (item 3), sim_mrl_store + the coarse-pruned
-    sim_mrl_probe_pruned / sim_mrl_pruned_recall pair (the persisted MRL
-    prefix table and its DPP-pruned scale path, item 4),
-    curate_pack_bestfit (FFD packing + utilization certificate, item 6),
-    and pipeline_curate_v2 (the full loader-ready composition, items
-    1+7) — (c) the four r13-CHANGED entries regraded: curate_dsir_sample
-    and curate_dsir_shift (now probing the persisted estimator) plus
-    sim_mrl_probe and sim_mrl_recall (stage 1 served from the prefix
-    store) — all four hash-unchanged by construction, (d) ALL 28 rows
-    whose last driver grade is r7 (item 2's rotation: they reach the
-    MAX_AGE_ROUNDS=6 wall at r13 grading), and (e) the alphabetically
-    first r8 row (curate_boilerplate) filling the window to 50.
+    Round-14 window (VERDICT r13 items 1-4): (a) the §2 reference
+    surface (always graded, 7 rows), (b) the FIVE r14 additions — the
+    persisted contamination eval-window index lifecycle
+    contam_index_build/append/forget (item 2: the one broadcast
+    artifact that lacked the store arc; text_contamination_excise and
+    pipeline_curate_v2's gate now probe it), curate_pack_scaled (item
+    3: the graded packing entry exercising the buckets ∝ corpus linear
+    contract, bucket count derived in-plan), and curate_pack_bpe (item
+    4: tokenizer-faithful packing — budgets in as-trained BPE tokens) —
+    and (c) ALL 38 rows whose last driver grade is r8 (item 1's
+    rotation: they reach the MAX_AGE_ROUNDS=6 wall at r14 grading).
+    7 + 5 + 38 = 50 — the window arithmetic the r13 verdict dictated
+    ("only 5 free slots"); text_tokens_cjk (item 6's registered entry)
+    therefore enters the window in r15 — its function, oracle and
+    planted-CJK tests land this round.
     Positions 51+ keep their prior relative order; all were
-    driver-graded green in r8-r12 with code+oracle unchanged since.
-    Every registered query is verified locally every round by
-    tools/oracle_check.py (and the tests/test_oracle_gate.py suite gate)
-    regardless of grading position.
+    driver-graded green in r9-r13. The three r14 store-serving rewires
+    among them (text_contamination_excise, pipeline_curate_v2,
+    dsir_counts_compact) are hash-unchanged by construction — the store
+    holds exactly the set the in-plan form computed — and locally
+    re-verified by tools/oracle_check.py. Every registered query is
+    verified locally every round by tools/oracle_check.py (and the
+    tests/test_oracle_gate.py suite gate) regardless of grading
+    position.
     """
 
     return {
@@ -101,7 +105,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
-        # r13 additions (VERDICT r12 items 1, 3, 4, 6, 7)
+        # r14 additions (VERDICT r13 items 2-4): the contamination
+        # eval-window store lifecycle + the two packing variants
+        "contam_index_build": text.contam_index_build,
+        "contam_index_append": text.contam_index_append,
+        "contam_index_forget": text.contam_index_forget,
+        "curate_pack_scaled": curate.curate_pack_scaled,
+        "curate_pack_bpe": curate.curate_pack_bpe,
+        # the 38 rows last graded in r8 (item 1 - freshness rotation:
+        # they reach the MAX_AGE_ROUNDS=6 wall at r14 grading)
+        "dedup_cc_names": graph.dedup_cc_names,
+        "dedup_edit_distance": dedup.dedup_edit_distance,
+        "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
+        "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
+        "mm_audio_energy": multimodal.mm_audio_energy,
+        "mm_frame_sample": multimodal.mm_frame_sample,
+        "mm_pixel_decode": multimodal.mm_pixel_decode,
+        "pipeline_curate": curate.pipeline_curate,
+        "pipeline_curate_clean": curate.pipeline_curate_clean,
+        "q_approx_quantile": analytics.q_approx_quantile,
+        "q_cdc_apply": warehouse.q_cdc_apply,
+        "q_cube_sales": advanced.q_cube_sales,
+        "q_exact_median": analytics.q_exact_median,
+        "q_grouping_sets": analytics.q_grouping_sets,
+        "q_json_map_ops": advanced.q_json_map_ops,
+        "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,
+        "q_ntile_deciles": analytics.q_ntile_deciles,
+        "q_orc_roundtrip": warehouse.q_orc_roundtrip,
+        "q_rollup_sales": relational.q_rollup_sales,
+        "q_salted_agg": advanced.q_salted_agg,
+        "q_scalar_subquery": advanced.q_scalar_subquery,
+        "q_table_profile_approx": warehouse.q_table_profile_approx,
+        "q_top_customers": relational.q_top_customers,
+        "q_topk_per_group": analytics.q_topk_per_group,
+        "q_window_functions": analytics.q_window_functions,
+        "q_window_range_frame": analytics.q_window_range_frame,
+        "q_zorder_layout": warehouse.q_zorder_layout,
+        "sim_index_append": similarity.sim_index_append,
+        "sim_index_build": similarity.sim_index_build,
+        "sim_index_probe": similarity.sim_index_probe,
+        "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
+        "sketch_bloom_join": sketches.sketch_bloom_join,
+        "sketch_quantile_sample": sketches.sketch_quantile_sample,
+        "sketch_weighted_sample": sketches.sketch_weighted_sample,
+        "sketch_weighted_sample_est": sketches.sketch_weighted_sample_est,
+        "stream_parquet_sink": views_stream.stream_parquet_sink,
+        "stream_watermark_canary": late_stream.stream_watermark_canary,
+        "text_rarity": text.text_rarity,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # prior relative order preserved; every entry below has a
+        # driver-green row from r9-r13 with code+oracle semantics
+        # unchanged since (the r14 store-serving rewires of
+        # text_contamination_excise / pipeline_curate_v2 /
+        # dsir_counts_compact are hash-unchanged by construction and
+        # locally re-verified by tools/oracle_check.py)
         "text_contamination_excise": text.text_contamination_excise,
         "dsir_counts_cached": curate.dsir_counts_cached,
         "dsir_counts_append": curate.dsir_counts_append,
@@ -112,12 +169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_counts_compact": curate.dsir_counts_compact,
         "sim_mrl_probe_pruned": similarity.sim_mrl_probe_pruned,
         "sim_mrl_pruned_recall": similarity.sim_mrl_pruned_recall,
-        # r13-changed serving paths, regraded (items 3, 4; hash-unchanged)
         "curate_dsir_sample": curate.curate_dsir_sample,
         "curate_dsir_shift": curate.curate_dsir_shift,
         "sim_mrl_probe": similarity.sim_mrl_probe,
         "sim_mrl_recall": similarity.sim_mrl_recall,
-        # the 28 rows last graded in r7 (item 2 - freshness rotation)
         "curate_lang_temperature": curate.curate_lang_temperature,
         "curate_source_mix": curate.curate_source_mix,
         "dedup_containment": dedup.dedup_containment,
@@ -146,14 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": text.text_bm25,
         "text_redact": text.text_redact,
         "text_tfidf": text.text_tfidf,
-        # the oldest r8 row (window fill)
         "curate_boilerplate": curate.curate_boilerplate,
-        # ---- position 51+ (ungraded by the driver this round) ----
-        # prior relative order preserved; every entry below has a
-        # driver-green row from r8-r12 with code+oracle unchanged
-        "dedup_cc_names": graph.dedup_cc_names,
-        "dedup_edit_distance": dedup.dedup_edit_distance,
-        "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
         "dedup_dup_spans": dedup.dedup_dup_spans,
         "sim_hybrid_probe_batch": lexical.sim_hybrid_probe_batch,
         "dedup_dup_excise": dedup.dedup_dup_excise,
@@ -322,41 +370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention_cohorts": analytics.q_retention_cohorts,
         "sketch_hll_union": sketches.sketch_hll_union,
         "q_incremental_agg": warehouse.q_incremental_agg,
-        "stream_watermark_canary": late_stream.stream_watermark_canary,
-        "q_orc_roundtrip": warehouse.q_orc_roundtrip,
-        "q_jsonl_roundtrip": warehouse.q_jsonl_roundtrip,
-        "dedup_embedding_recall_sampled": dedup.dedup_embedding_recall_sampled,
-        "pipeline_curate_clean": curate.pipeline_curate_clean,
-        "sim_index_build": similarity.sim_index_build,
-        "sim_index_probe": similarity.sim_index_probe,
-        "sim_index_append": similarity.sim_index_append,
-        "q_table_profile_approx": warehouse.q_table_profile_approx,
-        "stream_parquet_sink": views_stream.stream_parquet_sink,
-        "mm_pixel_decode": multimodal.mm_pixel_decode,
-        "mm_audio_energy": multimodal.mm_audio_energy,
-        "sketch_weighted_sample": sketches.sketch_weighted_sample,
-        "sketch_weighted_sample_est": sketches.sketch_weighted_sample_est,
-        "sketch_quantile_sample": sketches.sketch_quantile_sample,
-        "text_rarity": text.text_rarity,
-        "q_json_map_ops": advanced.q_json_map_ops,
-        "q_salted_agg": advanced.q_salted_agg,
-        "q_scalar_subquery": advanced.q_scalar_subquery,
-        "q_window_functions": analytics.q_window_functions,
-        "q_ntile_deciles": analytics.q_ntile_deciles,
-        "q_topk_per_group": analytics.q_topk_per_group,
-        "q_grouping_sets": analytics.q_grouping_sets,
-        "pipeline_curate": curate.pipeline_curate,
-        "mm_frame_sample": multimodal.mm_frame_sample,
-        "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
-        "sketch_bloom_join": sketches.sketch_bloom_join,
-        "q_top_customers": relational.q_top_customers,
-        "q_rollup_sales": relational.q_rollup_sales,
-        "q_cube_sales": advanced.q_cube_sales,
-        "q_cdc_apply": warehouse.q_cdc_apply,
-        "q_zorder_layout": warehouse.q_zorder_layout,
-        "q_window_range_frame": analytics.q_window_range_frame,
-        "q_exact_median": analytics.q_exact_median,
-        "q_approx_quantile": analytics.q_approx_quantile,
     }
 
 

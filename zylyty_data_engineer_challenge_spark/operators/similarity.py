@@ -2566,13 +2566,17 @@ def build_mrl_store(spark: SparkSession, sf_dir: str) -> str:
         return base
     # the coarse codebook persists BESIDE the prefixes (own marker, so a
     # pre-centroid store upgrades in place) — the pruned probe reads it
-    # instead of re-training lloyd at query time; training is
-    # deterministic per source, so the upgrade reproduces the exact
-    # centroids the prefixes were assigned with
-    cents = lloyd_centroids(spark, sf_dir)
+    # instead of re-training lloyd at query time. r14 (ADVICE): when the
+    # codebook is already persisted, the prefix-assignment RESUME path
+    # reads it back rather than retraining, so the prefixes are provably
+    # assigned with the exact codebook the pruned probe will read —
+    # correctness no longer rests on bit-exact retrain determinism
     if need_cents:
+        cents = lloyd_centroids(spark, sf_dir)
         cents.write.mode("overwrite").parquet(f"{base}/mrl_centroids")
         fs.create(cents_marker, True).close()
+    else:
+        cents = spark.read.parquet(f"{base}/mrl_centroids")
     if need_prefix:
         emb = _quantized(spark, sf_dir)
         corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
