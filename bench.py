@@ -84,36 +84,48 @@ def host_factor(timings: dict[str, float]) -> float | None:
     return round(statistics.median(ratios), 3) if ratios else None
 
 
-def stream_host_factor(stream_timings: dict[str, float]) -> float | None:
+# The stream calibrator's PINNED reference (r14, ADVICE): ops whose code is
+# frozen across rounds (all landed r11 or earlier, untouched since) measured
+# against one FROZEN committed artifact — the host_factor construction
+# applied to the stream lane. The old form (median over ALL ops vs the
+# NEWEST quiet artifact) could not tell a lane-wide harness regression from
+# host noise: both moved every ratio and both got divided out.
+STREAM_CAL_BASELINE = "BENCH_QUIET_r13.json"
+STREAM_CAL_SET = frozenset(
+    {
+        "stream_event_summary", "stream_sliding_window", "stream_static_join",
+        "stream_high_activity_users", "stream_session_window",
+        "stream_sessionize", "stream_dedup_events", "stream_stream_join",
+        "stream_watermark_canary", "stream_parquet_sink", "stream_cdc_apply",
+        "stream_cms_topk", "stream_hll_registers",
+    }
+)
+
+
+def stream_host_factor(stream_cold: dict[str, float]) -> float | None:
     """Lane-local host calibration for the streaming lane (r12 VERDICT
-    item 5): the headline lane has ``host_factor`` to separate host
-    noise from regressions, but the stream lane swung 1.5-1.9x across
-    r12 runs of identical code with no calibrator at all. Same
-    construction, lane-local baseline: the median ratio of this run's
-    stream ops to their lines in the newest committed full-fidelity
-    artifact (BENCH_QUIET_r*.json carries the complete stream map; the
-    driver's BENCH_r*.json tail-truncates). Median over ~20 ops is
-    robust to the few ops that genuinely changed in a round; ops new
-    this round simply have no baseline line and drop out."""
-    import glob
+    item 5; construction hardened per r13 ADVICE): the median ratio of
+    this run's COLD (first-replay) timings over the PINNED frozen-op
+    subset vs their lines in the PINNED r13 quiet artifact. Cold-vs-cold
+    because the r13 artifact recorded one replay per op, while the r14+
+    lane line is best-of-2 replays — the calibrator must compare like
+    with like. Frozen ops + frozen baseline means the ratio measures the
+    HOST; whether it also hides a lane-wide harness change is
+    cross-checked against the headline host_factor downstream
+    (``stream_cal_vs_host`` + warning), since both measure the same
+    host."""
     import statistics
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    arts = sorted(
-        glob.glob(os.path.join(here, "BENCH_QUIET_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not arts:
-        return None
+    path = os.path.join(os.path.dirname(__file__) or ".", STREAM_CAL_BASELINE)
     try:
-        with open(arts[-1]) as f:
+        with open(path) as f:
             base = json.load(f).get("stream_queries") or {}
     except (OSError, ValueError):
         return None
     ratios = [
-        stream_timings[q] / base[q]
-        for q in stream_timings
-        if base.get(q)
+        stream_cold[q] / base[q]
+        for q in STREAM_CAL_SET
+        if stream_cold.get(q) and base.get(q)
     ]
     return round(statistics.median(ratios), 3) if ratios else None
 
@@ -232,7 +244,7 @@ def headline_queries() -> dict:
     # extended ops register themselves under these prefixes as they land
     extended_prefixes = (
         "dedup_", "sim_", "text_", "mm_", "sketch_", "curate_", "bm25_",
-        "cluster_", "dsir_",
+        "cluster_", "dsir_", "contam_",
     )
     names += [n for n in all_q if n.startswith(extended_prefixes)]
     # EXCLUSION LIST (documented, not silent): the stream_* family is
@@ -264,18 +276,22 @@ STREAM_STATE_CONFS = (
 )
 
 
-def bench_stream_queries(spark) -> dict[str, float]:
-    """The streaming latency lane (r10 VERDICT item 5): cold-replay wall
-    seconds per stream query — each op runs ONCE inside a fresh state
-    root (all durable-artifact confs redirected), so the number covers
-    checkpoint setup + any base-store build the op performs + its
-    bounded availableNow micro-batch replay. Deliberately a SEPARATE
-    metric from the headline (a best-of-N wall clock over a replay
-    harness measures the harness, not a query plan — bench.py has
-    excluded stream_* from the headline since r9 for exactly that
-    reason); what this lane buys is round-over-round visibility: the
-    harness is fixed, so a latency regression in the state-store path,
-    the foreachBatch encode, or watermark handling moves these numbers."""
+def bench_stream_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """The streaming latency lane (r10 VERDICT item 5; r13 item 5): wall
+    seconds per stream query, BEST OF 2 REPLAYS — each attempt runs in
+    its OWN fresh state root (all durable-artifact confs redirected), so
+    every attempt actually processes its micro-batches; attempt 1
+    absorbs the per-plan codegen/checkpoint cold start that inflated
+    r13's one-shot lines 3-8x over isolated steady state
+    (stream_phash_append 11.5 s one-shot vs 1.1 s settled — PERF.md),
+    and the min measures the OPERATOR. Returns (best-of-2 map, cold
+    attempt-1 map); the cold map feeds the pinned calibrator
+    (cold-vs-cold against the r13 artifact) and is recorded for
+    methodology continuity. Deliberately a SEPARATE metric from the
+    headline (a replay harness measures setup + plan together); what
+    this lane buys is round-over-round visibility: the harness is
+    fixed, so a latency regression in the state-store path, the
+    foreachBatch encode, or watermark handling moves these numbers."""
     import shutil
     import tempfile
 
@@ -286,16 +302,26 @@ def bench_stream_queries(spark) -> dict[str, float]:
     }
     root = tempfile.mkdtemp(prefix="zylyty_bench_stream_")
     prev = {c: spark.conf.get(c, None) for c in STREAM_STATE_CONFS}
-    for c in STREAM_STATE_CONFS:
-        spark.conf.set(c, os.path.join(root, c.rsplit(".", 1)[-1]))
-    timings: dict[str, float] = {}
+    best: dict[str, float] = {}
+    cold: dict[str, float] = {}
     try:
         for name, fn in stream_q.items():
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]:.2f}s (stream lane)", file=sys.stderr)
+            for attempt in range(2):
+                sub = os.path.join(root, f"{name}_a{attempt}")
+                for c in STREAM_STATE_CONFS:
+                    spark.conf.set(c, os.path.join(sub, c.rsplit(".", 1)[-1]))
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                took = round(time.perf_counter() - t0, 3)
+                if attempt == 0:
+                    cold[name] = took
+                best[name] = min(best.get(name, float("inf")), took)
+                shutil.rmtree(sub, ignore_errors=True)
+            print(
+                f"# {name}: {best[name]:.2f}s (stream lane, cold {cold[name]:.2f}s)",
+                file=sys.stderr,
+            )
     finally:
         for c, v in prev.items():
             if v is None:
@@ -303,7 +329,7 @@ def bench_stream_queries(spark) -> dict[str, float]:
             else:
                 spark.conf.set(c, v)
         shutil.rmtree(root, ignore_errors=True)
-    return timings
+    return best, cold
 
 
 def main() -> int:
@@ -329,7 +355,7 @@ def main() -> int:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
-    stream_timings = bench_stream_queries(spark)
+    stream_timings, stream_cold = bench_stream_queries(spark)
     stream_total = round(sum(stream_timings.values()), 3)
 
     total = round(sum(timings.values()), 3)
@@ -340,6 +366,18 @@ def main() -> int:
         sum(t for n, t in timings.items() if n in R01_BENCH_SET), 3
     )
     hf = host_factor(timings)
+    shf = stream_host_factor(stream_cold)
+    # cross-check (r13 ADVICE): both factors measure the same host, so a
+    # material divergence means a lane-local NON-host change (harness,
+    # session config) is being mistaken for host noise in one lane —
+    # exactly what a lane-internal calibrator cannot see on its own
+    cal_vs_host = round(shf / hf, 3) if (shf and hf) else None
+    cal_warning = (
+        "stream calibrator diverges >1.5x from headline host_factor — "
+        "suspect a lane-wide harness/session change, not host noise"
+        if cal_vs_host is not None and not (1 / 1.5 <= cal_vs_host <= 1.5)
+        else None
+    )
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -351,15 +389,21 @@ def main() -> int:
         # from real per-query regressions (r11 VERDICT item 1)
         "host_factor": hf,
         "queries": timings,
-        # the streaming latency lane (separate metric: cold replay in a
-        # fresh state root, harness included — see bench_stream_queries)
+        # the streaming latency lane (separate metric: best-of-2 replays,
+        # each in a fresh state root — see bench_stream_queries)
         "stream_queries": stream_timings,
         "stream_total": stream_total,
         "n_stream_queries": len(stream_timings),
-        # lane-local host calibration vs the newest committed quiet
-        # artifact (r12 VERDICT item 5) — bench_diff applies it to the
-        # stream block the way host_factor settles the headline
-        "stream_host_factor": stream_host_factor(stream_timings),
+        # attempt-1 (cold) map: methodology-compatible with the pre-r14
+        # one-shot lines, feeds the pinned calibrator
+        "stream_queries_cold": stream_cold,
+        # lane-local host calibration: PINNED frozen-op subset, cold
+        # timings, vs the PINNED r13 quiet artifact (r13 ADVICE) —
+        # bench_diff applies it to the stream block the way host_factor
+        # settles the headline
+        "stream_host_factor": shf,
+        "stream_cal_vs_host": cal_vs_host,
+        "stream_cal_warning": cal_warning,
         "sf": _sf_from_dir(SF_DIR),
         # cross-round caveat: r4/r5 hosts run this same best-of-2
         # harness ~1.4x slower than r3's on queries whose code and
@@ -398,6 +442,8 @@ def main() -> int:
         "stream_total": stream_total,
         "n_stream_queries": len(stream_timings),
         "stream_host_factor": full["stream_host_factor"],
+        "stream_cal_vs_host": cal_vs_host,
+        "stream_cal_warning": cal_warning,
         "sf": full["sf"],
         "full_artifact": "BENCH_LAST.json",
     }

@@ -99,3 +99,82 @@ def test_bench_diff_skips_truncated_per_query_maps(tmp_path):
     assert report["headline"]["compared"] == 0
     assert report["stream"]["compared"] == 1
     assert report["totals"]["headline"] == {"cur": 10.0, "base": 8.0}
+
+
+def test_stream_host_factor_uses_pinned_subset_and_cold_lines():
+    """r14 (r13 ADVICE): the stream calibrator reads ONLY the pinned
+    frozen-op subset against the PINNED r13 artifact — a non-pinned op
+    (whose code may legitimately change) cannot move it, however wild
+    its line is."""
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    base = json.load(open(REPO / "BENCH_QUIET_r13.json"))["stream_queries"]
+    cold = {q: base[q] * 3 for q in bench.STREAM_CAL_SET if q in base}
+    assert len(cold) >= 5
+    assert bench.stream_host_factor(cold) == 3.0
+    # a 100x line on a NON-pinned op is invisible to the calibrator
+    cold["stream_phash_append"] = base["stream_phash_append"] * 100
+    assert bench.stream_host_factor(cold) == 3.0
+    # no pinned overlap -> None, not a crash
+    assert bench.stream_host_factor({"stream_phash_append": 1.0}) is None
+
+
+def test_bench_diff_stream_calibration_pinned_and_cross_checked(tmp_path):
+    """The diff-side calibrator anchors on the pinned frozen ops (a
+    lane-wide slowdown confined to NON-pinned ops is flagged, not
+    divided out), and material stream-vs-host divergence raises the
+    cross-check warning instead of passing silently."""
+    pinned = [
+        "stream_event_summary", "stream_sliding_window", "stream_static_join",
+        "stream_high_activity_users", "stream_session_window",
+    ]
+    base_stream = {q: 2.0 for q in pinned} | {"stream_x": 2.0, "stream_y": 2.0}
+    # pinned ops steady (host 1x); the two non-pinned ops regress 4x
+    cur_stream = {q: 2.0 for q in pinned} | {"stream_x": 8.0, "stream_y": 8.0}
+    cur = {
+        "value": 10.0,
+        "host_factor": 1.0,
+        "queries": {"a": 1.0},
+        "stream_queries": cur_stream,
+        "stream_total": sum(cur_stream.values()),
+    }
+    base = {
+        "value": 10.0,
+        "host_factor": 1.0,
+        "queries": {"a": 1.0},
+        "stream_queries": base_stream,
+        "stream_total": sum(base_stream.values()),
+    }
+    cp, bp = tmp_path / "cur.json", tmp_path / "base.json"
+    cp.write_text(json.dumps(cur))
+    bp.write_text(json.dumps(base))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_diff.py"), str(cp), str(bp)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    report = json.loads(out.stdout)
+    # pinned median is 1.0 — the old all-ops median would have been 1.0
+    # too here, but with most ops regressed it would swallow the shift;
+    # assert the regressed non-pinned ops ARE flagged under the pinned
+    # calibration
+    assert report["stream_calibration"] == 1.0
+    assert {"stream_x", "stream_y"} <= set(report["stream"]["flagged"])
+    assert report["stream_cal_warning"] is None
+
+    # now a LANE-WIDE 4x shift (pinned ops too) with an unmoved headline
+    # host factor: divergence must raise the warning
+    cur["stream_queries"] = {q: v * 4 for q, v in base_stream.items()}
+    cp.write_text(json.dumps(cur))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_diff.py"), str(cp), str(bp)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    report = json.loads(out.stdout)
+    assert report["stream_calibration"] == 4.0
+    assert report["stream_cal_vs_host"] == 4.0
+    assert report["stream_cal_warning"] is not None

@@ -285,6 +285,15 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # truncated-query broadcast (the sim_ann_ivf_kmeans shape)
     "sim_mrl_probe_pruned": 2,
     "sim_mrl_pruned_recall": 3,  # inherits bruteforce (1) + pruned probe (2)
+    # r14 — scaled packing: the 1-row ceil(n_docs/PACK_SCALE_DOCS) bucket
+    # count crossed into the corpus (the w_max discipline), re-printed
+    # under the certificate aggregate's subtree
+    "curate_pack_scaled": 2,
+    # r14 — BPE-budget packing inherits text_bpe_apply's trainer crosses
+    # (7: one 1-row merge-argmax per unrolled round, re-printed under the
+    # final-vocab subtree), doubled by the certificate aggregate's
+    # re-print of the whole lens subtree — all 1-row constants
+    "curate_pack_bpe": 14,
 }
 
 

@@ -103,17 +103,39 @@ def _lane_diff(
     }
 
 
+# mirror of bench.py's pinned frozen-op calibration subset (r13 ADVICE):
+# these ops' code landed r11 or earlier and is unchanged since, so their
+# cur/base ratio measures the host+harness, not the operators — the old
+# all-ops median was computed over the very ops being compared, so a
+# genuine lane-wide regression was indistinguishable from host noise
+STREAM_CAL_SET = frozenset(
+    {
+        "stream_event_summary", "stream_sliding_window", "stream_static_join",
+        "stream_high_activity_users", "stream_session_window",
+        "stream_sessionize", "stream_dedup_events", "stream_stream_join",
+        "stream_watermark_canary", "stream_parquet_sink", "stream_cdc_apply",
+        "stream_cms_topk", "stream_hll_registers",
+    }
+)
+
+
 def _stream_calibration(cur: dict | None, base: dict | None) -> float:
-    """Lane-local calibrator (r12 VERDICT item 5): the median cur/base
-    ratio over the stream ops present in both artifacts — the stream
-    twin of the host_factor ratio. Median over ~20 ops absorbs the few
-    that genuinely changed; a uniformly slower host moves every ratio
-    and is exactly what gets divided out."""
+    """Lane-local calibrator (r12 VERDICT item 5, hardened r14): the
+    median cur/base ratio over the PINNED frozen-op subset present in
+    both artifacts (falls back to all common ops when fewer than 5
+    frozen lines exist on both sides). Whether the result is genuinely
+    host (vs a lane-wide harness change uniformly moving even frozen
+    ops) is cross-checked against the headline host_calibration in the
+    report — the two measure the same host, so material divergence is
+    flagged instead of silently divided out."""
     import statistics
 
     if not cur or not base:
         return 1.0
-    ratios = [cur[q] / base[q] for q in set(cur) & set(base) if base[q] and cur[q]]
+    common = {q for q in set(cur) & set(base) if base[q] and cur[q]}
+    pinned = common & STREAM_CAL_SET
+    use = pinned if len(pinned) >= 5 else common
+    ratios = [cur[q] / base[q] for q in use]
     return statistics.median(ratios) if ratios else 1.0
 
 
@@ -145,6 +167,16 @@ def main() -> int:
             calib,
         ),
         "stream_calibration": round(stream_calib, 3),
+        # cross-check (r13 ADVICE): stream vs headline calibration ratio;
+        # both measure the same host, so >1.5x divergence means a
+        # lane-wide NON-host change is hiding inside the stream factor
+        "stream_cal_vs_host": round(stream_calib / calib, 3) if calib else None,
+        "stream_cal_warning": (
+            "stream calibration diverges >1.5x from host calibration — "
+            "suspect a lane-wide harness/session change, not host noise"
+            if calib and not (1 / 1.5 <= stream_calib / calib <= 1.5)
+            else None
+        ),
         "stream": _lane_diff(
             cur.get("stream_queries"), base.get("stream_queries"), stream_calib
         ),
