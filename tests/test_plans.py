@@ -291,9 +291,10 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "curate_pack_scaled": 2,
     # r14 — BPE-budget packing inherits text_bpe_apply's trainer crosses
     # (7: one 1-row merge-argmax per unrolled round, re-printed under the
-    # final-vocab subtree), doubled by the certificate aggregate's
-    # re-print of the whole lens subtree — all 1-row constants
-    "curate_pack_bpe": 14,
+    # final-vocab subtree) + the scaled-bucket 1-row count cross, doubled
+    # by the certificate aggregate's re-print of the whole lens subtree —
+    # all 1-row constants
+    "curate_pack_bpe": 16,
 }
 
 

@@ -2501,21 +2501,34 @@ def curate_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the vocab join is the apply op's broadcast-sized artifact +
     one doc-keyed aggregate, then the shared FFD tail — same shuffle
     structure as the other packers plus tokenizer application at scan
-    speed. Oracle: the trainer's own CTE chain spliced under the shared
-    fold SQL, so tokenizer and packer can never drift.
+    speed. Buckets follow :func:`curate_pack_scaled`'s LINEAR contract
+    (in-plan ceil(n_docs / PACK_SCALE_DOCS), oracle-mirrored as a
+    scalar subquery) — the fixed-K form re-measured the bestfit
+    harness artifact at x100 (exponent 1.19, 415 s) and the scaled form
+    collapsed it. Oracle: the trainer's own CTE chain spliced under the
+    shared fold SQL, so tokenizer and packer can never drift.
     """
     from .text import _bpe_doc_symbols
 
     docs = load_table(spark, sf_dir, "documents")
     lens = _bpe_doc_symbols(spark, sf_dir).select("doc_id", "n_symbols")
+    nb = docs.agg(
+        F.ceil(F.count("*") / F.lit(float(PACK_SCALE_DOCS)))
+        .cast("long")
+        .alias("nb")
+    )
     sized = (
         docs.select("doc_id", "lang")
         .join(lens, "doc_id", "left")
+        .crossJoin(F.broadcast(nb))
         .select(
             "lang",
-            F.expr(
-                f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
-                f" AS BIGINT) % {PACK_FFD_BUCKETS}"
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),"
+                    " 16, 10) AS BIGINT)"
+                )
+                % F.col("nb")
             ).alias("bucket"),
             F.coalesce("n_symbols", F.lit(0)).cast("long").alias("n_tokens"),
             "doc_id",
@@ -2530,7 +2543,8 @@ def _pack_bpe_oracle() -> str:
     return _pack_oracle(
         f"""SELECT d.lang,
                ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-                   % {PACK_FFD_BUCKETS} AS bucket,
+                   % (SELECT CAST(CEIL(COUNT(*) / {PACK_SCALE_DOCS}.0) AS BIGINT)
+                      FROM documents) AS bucket,
                COALESCE(a.n_symbols, CAST(0 AS BIGINT)) AS n_tokens,
                d.doc_id
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
