@@ -228,9 +228,9 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # full BPE training: one 1-row merge-argmax cross per unrolled round,
     # with earlier rounds' crosses re-printed under later rounds' subtrees
     "text_bpe_train": 4,
-    # apply inherits the trainer's three 1-row crosses; the final-vocab
-    # subtree re-prints them under the doc-words join as well
-    "text_bpe_apply": 7,
+    # r14: apply serves the vocabulary from the persisted bpe-vocab
+    # store — the trainer's merge-argmax crosses left the plan entirely
+    "text_bpe_apply": 0,
     # the NPROBE sweep: trained-centroid broadcast under assign + probe
     # (ivfpq's 2), the 4-row sweep-values cross, the bruteforce ground
     # truth's query-set broadcast (1), with centroid crosses re-printed
@@ -289,12 +289,10 @@ GLOBAL_BNLJ_ALLOWANCE = {
     # count crossed into the corpus (the w_max discipline), re-printed
     # under the certificate aggregate's subtree
     "curate_pack_scaled": 2,
-    # r14 — BPE-budget packing inherits text_bpe_apply's trainer crosses
-    # (7: one 1-row merge-argmax per unrolled round, re-printed under the
-    # final-vocab subtree) + the scaled-bucket 1-row count cross, doubled
-    # by the certificate aggregate's re-print of the whole lens subtree —
-    # all 1-row constants
-    "curate_pack_bpe": 16,
+    # r14 — BPE-budget packing: the scaled-bucket 1-row count cross,
+    # re-printed under the certificate aggregate's subtree (the trainer
+    # crosses are gone — the vocab serves from the persisted store)
+    "curate_pack_bpe": 2,
 }
 
 

@@ -416,6 +416,44 @@ class TestPacking:
         assert cert["fill_tokens"] == total
 
 
+class TestBpeVocabStore:
+    """The persisted trained-BPE vocabulary (r14): application and
+    BPE-budget packing serve the vocab from the store — training never
+    rides the serve path (the MRL codebook lesson)."""
+
+    def test_stored_vocab_equals_trained(self, spark, store_root, sf_dir):
+        base = text.build_bpe_vocab(spark, sf_dir)
+        stored = spark.read.parquet(f"{base}/vocab")
+        _, trained = text._bpe_trained(spark, sf_dir)
+        assert stored.exceptAll(trained).count() == 0
+        assert trained.exceptAll(stored).count() == 0
+
+    def test_apply_is_store_served_and_hash_stable(
+        self, spark, store_root, sf_dir
+    ):
+        df = text.text_bpe_apply(spark, sf_dir)
+        plan = _plan(df)
+        assert "vocab" in plan, f"apply not store-served:\n{plan}"
+        # the trainer's per-round merge argmax is a TakeOrdered(1): its
+        # absence proves no training in the serve plan
+        assert "TakeOrdered" not in plan, plan
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS"
+            f" SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = con.execute(text.ORACLE_SQL["text_bpe_apply"]).fetchall()
+        got = [tuple(r) for r in df.collect()]
+        assert got == [tuple(r) for r in want]
+
+    def test_pack_bpe_plan_has_no_trainer(self, spark, store_root, sf_dir):
+        plan = _plan(curate.curate_pack_bpe(spark, sf_dir))
+        assert "vocab" in plan, plan
+        assert "TakeOrdered" not in plan, plan
+
+
 class TestCjkFallback:
     """The no-whitespace tokenization fallback: degenerate whitespace
     tokenization (CJK) switches to codepoint bigrams; segmented corpora

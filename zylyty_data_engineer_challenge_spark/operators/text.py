@@ -1937,13 +1937,44 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_doc_symbols(spark, sf_dir).orderBy("doc_id")
 
 
+def build_bpe_vocab(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the persisted trained-BPE vocabulary: the final
+    word -> symbolization table (w, freq, sym) after all
+    BPE_TRAIN_ROUNDS merges, written ONCE per source identity (the
+    pair-cache/ANN-index contract). A tokenizer is trained once and
+    applied forever — before r14 every :func:`text_bpe_apply` /
+    :func:`..curate.curate_pack_bpe` call re-ran the full unrolled
+    trainer in-plan (the r13 MRL lesson: training must never ride the
+    serve path). :func:`text_bpe_train` remains the in-plan TRAINING op
+    by definition. Returns the store directory; store-served ≡ in-plan
+    is hash-pinned (tests/test_r14_ops.py)."""
+    from ..catalog import hadoop_fs
+    from .dedup import _pair_cache_dir
+
+    base = _pair_cache_dir(spark, sf_dir, modality="bpe-vocab")
+    fs, marker = hadoop_fs(spark, f"{base}/_BPE_VOCAB_READY")
+    if not fs.exists(marker):
+        _, vocab = _bpe_trained(spark, sf_dir)
+        vocab.write.mode("overwrite").parquet(f"{base}/vocab")
+        fs.create(marker, True).close()
+    return base
+
+
+def _bpe_vocab_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored (w, freq, sym) vocabulary, building it if absent."""
+    base = build_bpe_vocab(spark, sf_dir)
+    return spark.read.parquet(f"{base}/vocab")
+
+
 def _bpe_doc_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_words, n_symbols_initial, n_symbols) per document,
     unsorted — the as-trained tokenizer's per-doc counts, shared by
     :func:`text_bpe_apply` and the tokenizer-faithful packer
     :func:`..curate.curate_pack_bpe` (whose budget is real BPE tokens,
-    not whitespace tokens)."""
-    _, vocab = _bpe_trained(spark, sf_dir)
+    not whitespace tokens). r14: the vocabulary is SERVED from the
+    persisted store (:func:`build_bpe_vocab`) — application is a
+    broadcast vocab join at scan speed with no trainer in the plan."""
+    vocab = _bpe_vocab_stored(spark, sf_dir)
     per_word = vocab.select(
         "w",
         F.length("w").cast("bigint").alias("n_char_syms"),
