@@ -69,30 +69,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reached in r11) and the freshness contract (tools/grading_age.py,
     MAX_AGE_ROUNDS=6) is CI-enforced.
 
-    Round-14 window (VERDICT r13 items 1-4): (a) the §2 reference
-    surface (always graded, 7 rows), (b) the FIVE r14 additions — the
-    persisted contamination eval-window index lifecycle
-    contam_index_build/append/forget (item 2: the one broadcast
-    artifact that lacked the store arc; text_contamination_excise and
-    pipeline_curate_v2's gate now probe it), curate_pack_scaled (item
-    3: the graded packing entry exercising the buckets ∝ corpus linear
-    contract, bucket count derived in-plan), and curate_pack_bpe (item
-    4: tokenizer-faithful packing — budgets in as-trained BPE tokens) —
-    and (c) ALL 38 rows whose last driver grade is r8 (item 1's
-    rotation: they reach the MAX_AGE_ROUNDS=6 wall at r14 grading).
-    7 + 5 + 38 = 50 — the window arithmetic the r13 verdict dictated
-    ("only 5 free slots"); text_tokens_cjk (item 6's registered entry)
-    therefore enters the window in r15 — its function, oracle and
-    planted-CJK tests land this round.
-    Positions 51+ keep their prior relative order; all were
-    driver-graded green in r9-r13. The three r14 store-serving rewires
-    among them (text_contamination_excise, pipeline_curate_v2,
-    dsir_counts_compact) are hash-unchanged by construction — the store
-    holds exactly the set the in-plan form computed — and locally
-    re-verified by tools/oracle_check.py. Every registered query is
-    verified locally every round by tools/oracle_check.py (and the
-    tests/test_oracle_gate.py suite gate) regardless of grading
-    position.
+    Round-15 window (VERDICT r14 item 1, computed by
+    tools/rotate_window.py — the saturated-rotation arithmetic): (a) the
+    §2 reference surface (always graded, 7 rows), (b) the TWO r15
+    registrations — text_tokens_cjk (the CJK effective-token audit op;
+    its kernel is now also wired into the production quality-funnel /
+    BM25 / shingle consumers, VERDICT item 2) and contam_index_compact
+    (the manifest-keyed eval-window index compactor) — both implemented,
+    oracled, and pytest-differentialed since r14, never driver-graded,
+    so the contract forces them into the window; and (c) 41 of the 43
+    rows whose last driver grade is r9 (they reach the MAX_AGE_ROUNDS=6
+    wall at r15 grading). 7 + 2 + 41 = 50; the 2 remaining r9 rows
+    (text_token_stats, text_train_split — last alphabetically in the
+    cohort) are deferred to HEAD the r16 window and grade at age 7, the
+    one-round deferral the contract permits for rows exactly at the
+    wall. No other registry additions this round: rotation slack is 0
+    until the r12 cohort (39 rows) absorbs the cascade in r18.
+    Positions 51+ start with the two deferred rows, then keep prior
+    relative order; all were driver-graded green in r9-r14. Every
+    registered query is verified locally every round by
+    tools/oracle_check.py (and the tests/test_oracle_gate.py suite
+    gate) regardless of grading position.
     """
 
     return {
@@ -105,15 +102,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
-        # r14 additions (VERDICT r13 items 2-4): the contamination
-        # eval-window store lifecycle + the two packing variants
+        # r15 registrations (VERDICT r14 item 1): the CJK effective-token
+        # audit op and the manifest-keyed contamination-index compactor --
+        # both landed (implemented + oracled + pytest-differentialed) in
+        # r14 and waited for this rotation slot
+        "text_tokens_cjk": text.text_tokens_cjk,
+        "contam_index_compact": text.contam_index_compact,
+        # the 41 schedulable rows last graded in r9 (freshness rotation:
+        # they reach the MAX_AGE_ROUNDS=6 wall at r15 grading; the 2
+        # remaining r9 rows are deferred to head the r16 window, grading
+        # at age 7 per the at-the-wall deferral rule)
+        "curate_diversity_sample": curate.curate_diversity_sample,
+        "dedup_cc": graph.dedup_cc,
+        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "dedup_embedding_recall": dedup.dedup_embedding_recall,
+        "dedup_exact_substring": dedup.dedup_exact_substring,
+        "dedup_minhash_append": dedup.dedup_minhash_append,
+        "dedup_multimodal_cc": graph.dedup_multimodal_cc,
+        "dedup_semantic": dedup.dedup_semantic,
+        "dedup_semantic_recall_sampled": dedup.dedup_semantic_recall_sampled,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_simhash_recall_sampled": dedup.dedup_simhash_recall_sampled,
+        "graph_communities": graph.graph_communities,
+        "graph_kcore": graph.graph_kcore,
+        "graph_triangles": graph.graph_triangles,
+        "mm_audio_dedup": multimodal.mm_audio_dedup,
+        "mm_phash_dedup": multimodal.mm_phash_dedup,
+        "mm_scene_cuts": multimodal.mm_scene_cuts,
+        "pipeline_curate_d4": curate.pipeline_curate_d4,
+        "pipeline_curate_near": curate.pipeline_curate_near,
+        "q_funnel": analytics.q_funnel,
+        "q_incremental_agg": warehouse.q_incremental_agg,
+        "q_null_semantics": advanced.q_null_semantics,
+        "q_retention_cohorts": analytics.q_retention_cohorts,
+        "q_revenue_filter": relational.q_revenue_filter,
+        "q_sliding_window": analytics.q_sliding_window,
+        "sim_ann_pq_recall": similarity.sim_ann_pq_recall,
+        "sim_ann_rerank": similarity.sim_ann_rerank,
+        "sketch_hll_union": sketches.sketch_hll_union,
+        "sketch_quantile_err": sketches.sketch_quantile_err,
+        "stream_dedup_events": dedup_stream.stream_dedup_events,
+        "stream_dedup_pairs": dedup_stream.stream_dedup_pairs,
+        "stream_high_activity_users": views_stream.stream_high_activity_users,
+        "stream_index_append": index_stream.stream_index_append,
+        "stream_session_window": views_stream.stream_session_window,
+        "stream_sessionize": sessionize.stream_sessionize,
+        "stream_stream_join": join_stream.stream_stream_join,
+        "text_chunk": text.text_chunk,
+        "text_fingerprint": text.text_fingerprint,
+        "text_pack_sequences": curate.text_pack_sequences,
+        "text_quality": text.text_quality,
+        "text_stratified_sample": curate.text_stratified_sample,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # the two deferred r9 rows FIRST (they must head the r16 window),
+        # then prior relative order; every entry below has a driver-green
+        # row from r9-r14 with code+oracle semantics unchanged since
+        "text_token_stats": text.text_token_stats,
+        "text_train_split": curate.text_train_split,
         "contam_index_build": text.contam_index_build,
         "contam_index_append": text.contam_index_append,
         "contam_index_forget": text.contam_index_forget,
         "curate_pack_scaled": curate.curate_pack_scaled,
         "curate_pack_bpe": curate.curate_pack_bpe,
-        # the 38 rows last graded in r8 (item 1 - freshness rotation:
-        # they reach the MAX_AGE_ROUNDS=6 wall at r14 grading)
         "dedup_cc_names": graph.dedup_cc_names,
         "dedup_edit_distance": dedup.dedup_edit_distance,
         "dedup_edit_recall_sampled": dedup.dedup_edit_recall_sampled,
@@ -152,13 +202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_parquet_sink": views_stream.stream_parquet_sink,
         "stream_watermark_canary": late_stream.stream_watermark_canary,
         "text_rarity": text.text_rarity,
-        # ---- position 51+ (ungraded by the driver this round) ----
-        # prior relative order preserved; every entry below has a
-        # driver-green row from r9-r13 with code+oracle semantics
-        # unchanged since (the r14 store-serving rewires of
-        # text_contamination_excise / pipeline_curate_v2 /
-        # dsir_counts_compact are hash-unchanged by construction and
-        # locally re-verified by tools/oracle_check.py)
         "text_contamination_excise": text.text_contamination_excise,
         "dsir_counts_cached": curate.dsir_counts_cached,
         "dsir_counts_append": curate.dsir_counts_append,
@@ -327,49 +370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_append": multimodal.mm_phash_append,
         "mm_audio_append": multimodal.mm_audio_append,
         "dedup_pairs_compact": dedup.dedup_pairs_compact,
-        "dedup_cc": graph.dedup_cc,
-        "graph_triangles": graph.graph_triangles,
-        "graph_kcore": graph.graph_kcore,
-        "pipeline_curate_near": curate.pipeline_curate_near,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_simhash_recall_sampled": dedup.dedup_simhash_recall_sampled,
-        "dedup_minhash_append": dedup.dedup_minhash_append,
-        "mm_phash_dedup": multimodal.mm_phash_dedup,
-        "sketch_quantile_err": sketches.sketch_quantile_err,
-        "stream_index_append": index_stream.stream_index_append,
-        "dedup_multimodal_cc": graph.dedup_multimodal_cc,
-        "mm_audio_dedup": multimodal.mm_audio_dedup,
-        "dedup_semantic": dedup.dedup_semantic,
-        "sim_ann_rerank": similarity.sim_ann_rerank,
-        "stream_dedup_pairs": dedup_stream.stream_dedup_pairs,
-        "graph_communities": graph.graph_communities,
-        "stream_high_activity_users": views_stream.stream_high_activity_users,
-        "stream_sessionize": sessionize.stream_sessionize,
-        "stream_dedup_events": dedup_stream.stream_dedup_events,
-        "stream_stream_join": join_stream.stream_stream_join,
-        "stream_session_window": views_stream.stream_session_window,
-        "dedup_exact_substring": dedup.dedup_exact_substring,
-        "text_token_stats": text.text_token_stats,
-        "text_quality": text.text_quality,
-        "text_fingerprint": text.text_fingerprint,
-        "text_chunk": text.text_chunk,
-        "curate_diversity_sample": curate.curate_diversity_sample,
-        "text_stratified_sample": curate.text_stratified_sample,
-        "text_train_split": curate.text_train_split,
-        "text_pack_sequences": curate.text_pack_sequences,
-        "pipeline_curate_d4": curate.pipeline_curate_d4,
-        "q_revenue_filter": relational.q_revenue_filter,
-        "dedup_semantic_recall_sampled": dedup.dedup_semantic_recall_sampled,
-        "q_null_semantics": advanced.q_null_semantics,
-        "mm_scene_cuts": multimodal.mm_scene_cuts,
-        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
-        "dedup_embedding_recall": dedup.dedup_embedding_recall,
-        "sim_ann_pq_recall": similarity.sim_ann_pq_recall,
-        "q_sliding_window": analytics.q_sliding_window,
-        "q_funnel": analytics.q_funnel,
-        "q_retention_cohorts": analytics.q_retention_cohorts,
-        "sketch_hll_union": sketches.sketch_hll_union,
-        "q_incremental_agg": warehouse.q_incremental_agg,
     }
 
 
@@ -404,10 +404,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(mm_stream.ORACLE_SQL)
     out.update(lexical_stream.ORACLE_SQL)
     out.update(timeseries.ORACLE_SQL)
-    # r14 pytest-only ops awaiting a rotation slot (the saturated-window
-    # plan in COVERAGE.md): their module oracles exist and are
-    # differentialed by tests/test_r14_ops.py, but the driver contract
-    # is keys(oracle_sql) ⊆ keys(queries) — they join both in r15
-    for pending in ("text_tokens_cjk", "contam_index_compact"):
-        out.pop(pending, None)
     return out
