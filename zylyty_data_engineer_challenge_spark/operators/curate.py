@@ -1210,40 +1210,48 @@ FUNNEL_MIN_CHARS = 100  # stage 1: drop tiny fragments
 # (Gopher top-n-gram repetition cap — see text.text_repetition)
 
 
-def curate_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quality FILTER-CASCADE FUNNEL — the report every curation run
-    ships alongside its output: how many documents survive each gate,
-    applied in order, and how many each gate kills. Gates (all integer
-    predicates over signals this repo already computes as standalone
-    operators): (1) min length in chars, (2) min whitespace tokens,
-    (3) stopword ratio >= 5% (prose-vs-noise, the :func:`..text.
-    text_quality` signal), (4) Gopher top-bigram repetition cap
-    (:func:`..text.text_repetition`'s top_count/n_grams < 20%).
-    Emits one row per stage: survivors after the stage and documents
-    dropped AT that stage — the numbers a data lead reads to see which
-    gate is eating the corpus.
+def _funnel_signals(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Per-document funnel-gate inputs shared by :func:`curate_quality_
+    funnel`, :func:`pipeline_curate_policy` and :func:`pipeline_curate_v2`
+    (one definition so the three can never drift): doc_id [+ ``extra``
+    passthrough columns] + n_chars, fb, n_tokens, n_stop, n2, top2.
 
-    Plan/scale: per-doc flags are one narrow map plus one doc-keyed
-    bigram histogram (map-side combinable, skew bounded by doc length);
-    the funnel itself is ONE conditional aggregation over the flags —
-    cumulative AND chains as SUM(CASE), so a 100 TB corpus pays a
-    single pass regardless of how many gates the cascade grows.
+    r15: every token signal consumes EFFECTIVE tokens
+    (:func:`..text._cjk_effective_tokens` — codepoint-bigram fallback
+    when whitespace tokenization is degenerate, i.e. unsegmented/CJK
+    text), so the MIN_TOKENS gate stops seeing a CJK document as ONE
+    giant token and the repetition grams are over real units. ``fb``
+    (the fallback fired) lets the anglocentric stopword gate pass such
+    documents through. On segmented documents the kernel's else-branch
+    is filter(split(text,'\\s+'), x<>'') — bit-identical gate inputs by
+    construction (planted-CJK differentials in tests/test_r15_ops.py).
+
+    The token array is projected FIRST (HOFs are interpreted — inlining
+    the kernel into the lambdas would re-tokenize per invocation; the
+    189 s vs ~2 s lesson of funnel_flags_row_local).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    from .text import STOPWORDS as _STOPS
+    from .text import STOPWORDS as _STOPS, _cjk_degenerate, _cjk_effective_tokens
 
-    toks = F.split(F.col("text"), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in _STOPS])
-    base = docs.select(
+    tk = docs.select(
         "doc_id",
+        *extra,
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+        _cjk_effective_tokens("text").alias("tk"),
+        _cjk_degenerate("text").alias("fb"),
+    )
+    base = tk.select(
+        "doc_id",
+        *extra,
+        "n_chars",
+        "fb",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.size(F.filter(F.col("tk"), lambda w: F.array_contains(stop_arr, w)))
         .cast("bigint")
         .alias("n_stop"),
     )
     bg = (
-        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+        tk.select("doc_id", F.col("tk").alias("toks"))
         .filter(F.size("toks") >= 2)
         .select(
             "doc_id",
@@ -1262,12 +1270,57 @@ def curate_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("bigint").alias("top2"),
         )
     )
+    return base.join(bg, "doc_id", "left")
+
+
+def _funnel_pass_filter(sig: DataFrame) -> DataFrame:
+    """Documents passing EVERY funnel gate (the pipelines' composed
+    form of the per-stage flags; fallback docs pass the anglocentric
+    stopword gate — same choice as curate_quality_funnel's g3)."""
+    return sig.filter(
+        (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("fb") | (F.col("n_stop") * 20 >= F.col("n_tokens")))
+        & (F.coalesce("top2", F.lit(0)) * 5 < F.coalesce("n2", F.lit(0)))
+    )
+
+
+def curate_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality FILTER-CASCADE FUNNEL — the report every curation run
+    ships alongside its output: how many documents survive each gate,
+    applied in order, and how many each gate kills. Gates (all integer
+    predicates over signals this repo already computes as standalone
+    operators): (1) min length in chars, (2) min EFFECTIVE tokens
+    (r15: :func:`..text._cjk_effective_tokens` — codepoint-bigram
+    fallback for unsegmented scripts, bit-identical to whitespace
+    tokens on segmented text), (3) stopword ratio >= 5% (prose-vs-noise,
+    the :func:`..text.text_quality` signal; passes fallback docs
+    through — the gate is anglocentric by construction), (4) Gopher
+    top-bigram repetition cap over effective tokens
+    (:func:`..text.text_repetition`'s top_count/n_grams < 20%).
+    Emits one row per stage: survivors after the stage and documents
+    dropped AT that stage — the numbers a data lead reads to see which
+    gate is eating the corpus.
+
+    Plan/scale: per-doc flags are one narrow map plus one doc-keyed
+    bigram histogram (map-side combinable, skew bounded by doc length);
+    the funnel itself is ONE conditional aggregation over the flags —
+    cumulative AND chains as SUM(CASE), so a 100 TB corpus pays a
+    single pass regardless of how many gates the cascade grows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
     flags = (
-        base.join(bg, "doc_id", "left")
+        _funnel_signals(docs)
         .select(
             (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("g1"),
             (F.col("n_tokens") >= MIN_TOKENS).alias("g2"),
-            (F.col("n_stop") * 20 >= F.col("n_tokens")).alias("g3"),
+            # the stopword-ratio prose signal is anglocentric — it cannot
+            # apply to an unsegmented (fallback) document, so gate 3
+            # passes those through instead of silently killing them
+            # (language routing is text_langid's job, not this gate's)
+            (F.col("fb") | (F.col("n_stop") * 20 >= F.col("n_tokens"))).alias(
+                "g3"
+            ),
             (
                 (F.coalesce("top2", F.lit(0)) * 5 < F.coalesce("n2", F.lit(0)))
             ).alias("g4"),
@@ -1327,28 +1380,39 @@ def funnel_flags_row_local(docs: DataFrame) -> DataFrame:
     skew-safe exploded histogram for arbitrarily long archive documents).
     Two algorithms, one semantics: the streaming gate hash-equals the
     batch oracle."""
-    from .text import STOPWORDS as _STOPS
+    from .text import STOPWORDS as _STOPS, _cjk_degenerate, _cjk_effective_tokens
 
-    toks = F.split(F.col("text"), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in _STOPS])
+    # r15: same EFFECTIVE-token gates as the batch funnel (stream ==
+    # batch hash-equality is the module's law). The token array is
+    # projected FIRST — inlining it into the HOF lambdas would
+    # re-tokenize the document once per invocation (the 189 s vs ~2 s
+    # lesson below applies to the kernel exactly as it did to split()).
+    with_tk = docs.select(
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        _cjk_effective_tokens("text").alias("tk"),
+        _cjk_degenerate("text").alias("fb"),
+    )
     # materialize the gram array as a column FIRST: inlining it into the
     # top2 lambda would re-split the document once per distinct gram
     # (measured 189 s vs ~2 s on 5k docs)
-    with_grams = docs.select(
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    with_grams = with_tk.select(
+        "n_chars",
+        "fb",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.size(F.filter(F.col("tk"), lambda w: F.array_contains(stop_arr, w)))
         .cast("bigint")
         .alias("n_stop"),
         F.expr(
-            "CASE WHEN size(split(text, '\\\\s+')) >= 2 THEN"
-            " transform(sequence(0, size(split(text, '\\\\s+')) - 2),"
-            " i -> array_join(slice(split(text, '\\\\s+'), i + 1, 2), ' '))"
+            "CASE WHEN size(tk) >= 2 THEN"
+            " transform(sequence(0, size(tk) - 2),"
+            " i -> array_join(slice(tk, i + 1, 2), ' '))"
             " ELSE CAST(array() AS array<string>) END"
         ).alias("grams"),
     )
     base = with_grams.select(
         "n_chars",
+        "fb",
         "n_tokens",
         "n_stop",
         F.expr("CAST(size(grams) AS BIGINT)").alias("n2"),
@@ -1360,7 +1424,9 @@ def funnel_flags_row_local(docs: DataFrame) -> DataFrame:
     return base.select(
         (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("g1"),
         (F.col("n_tokens") >= MIN_TOKENS).alias("g2"),
-        (F.col("n_stop") * 20 >= F.col("n_tokens")).alias("g3"),
+        # anglocentric stopword gate passes fallback docs through — same
+        # choice as the batch funnel (hash-equality law)
+        (F.col("fb") | (F.col("n_stop") * 20 >= F.col("n_tokens"))).alias("g3"),
         (F.col("top2") * 5 < F.col("n2")).alias("g4"),
     ).select(
         "g1",
@@ -1533,45 +1599,8 @@ def pipeline_curate_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import dedup_canonical_pick
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in _TEXT_STOPS])
-    base = docs.select(
-        "doc_id",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-        .cast("bigint")
-        .alias("n_stop"),
-    )
-    bg = (
-        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2),"
-                    " i -> array_join(slice(toks, i + 1, 2), ' '))"
-                )
-            ).alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n2"),
-            F.max("c").cast("bigint").alias("top2"),
-        )
-    )
-    passing = (
-        base.join(bg, "doc_id", "left")
-        .filter(
-            (F.col("n_chars") >= FUNNEL_MIN_CHARS)
-            & (F.col("n_tokens") >= MIN_TOKENS)
-            & (F.col("n_stop") * 20 >= F.col("n_tokens"))
-            & (F.coalesce("top2", F.lit(0)) * 5 < F.coalesce("n2", F.lit(0)))
-        )
-        .select("doc_id", "n_tokens")
+    passing = _funnel_pass_filter(_funnel_signals(docs)).select(
+        "doc_id", "n_tokens"
     )
     canon = (
         dedup_canonical_pick(spark, sf_dir)
@@ -2595,46 +2624,8 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import CONTAM_EVAL_DOCS, _contam_universe_stored
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in _TEXT_STOPS])
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-        .cast("bigint")
-        .alias("n_stop"),
-    )
-    bg = (
-        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2),"
-                    " i -> array_join(slice(toks, i + 1, 2), ' '))"
-                )
-            ).alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n2"),
-            F.max("c").cast("bigint").alias("top2"),
-        )
-    )
-    passing = (
-        base.join(bg, "doc_id", "left")
-        .filter(
-            (F.col("n_chars") >= FUNNEL_MIN_CHARS)
-            & (F.col("n_tokens") >= MIN_TOKENS)
-            & (F.col("n_stop") * 20 >= F.col("n_tokens"))
-            & (F.coalesce("top2", F.lit(0)) * 5 < F.coalesce("n2", F.lit(0)))
-        )
-        .select("doc_id", "lang", "n_tokens")
+    passing = _funnel_pass_filter(_funnel_signals(docs, extra=("lang",))).select(
+        "doc_id", "lang", "n_tokens"
     )
     # decontamination gate: the excise op's flag stage as an anti-join
     # (a doc has excised content iff it has >= 1 flagged window, so the

@@ -38,24 +38,37 @@ MINHASH_GROUPS = 4  # md5 digests computed per shingle; each yields 4 hashes
 
 
 def _tokens(df: DataFrame) -> DataFrame:
-    """doc_id + exploded whitespace tokens (distinct per doc)."""
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("w"))
+    """doc_id + exploded EFFECTIVE tokens (distinct per doc). r15: via
+    the CJK bigram fallback kernel — identical to distinct whitespace
+    tokens on every segmented document by construction."""
+    from .text import _cjk_effective_tokens
+
+    return df.select(
+        "doc_id",
+        F.explode(F.array_distinct(_cjk_effective_tokens("text"))).alias("w"),
     )
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc.
+    """Distinct EFFECTIVE-token n-gram shingles per doc.
 
     Built with a JVM-side higher-order function (transform over a position
-    sequence) — a narrow map, no Python, no shuffle. The text is split
+    sequence) — a narrow map, no Python, no shuffle. The text is tokenized
     ONCE into a projected token array first: HOFs are interpreted (not
     codegen), so re-evaluating split() per lambda invocation cost ~6x in
     wall time (measured 2.0 s -> 0.3 s per pass at sf0.1).
+
+    r15: the token array is ``text._cjk_effective_tokens`` — codepoint
+    bigrams when whitespace tokenization is degenerate (unsegmented/CJK
+    text), so MinHash shingles stop collapsing a CJK document to a
+    single giant-token shingle. Segmented documents take the kernel's
+    else-branch (filter(split) — bit-identical shingle sets).
     """
+    from .text import _cjk_effective_tokens
+
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
     # docs shorter than n shingle words need the explicit empty-array guard.
-    return df.select("doc_id", F.split("text", r"\s+").alias("t")).select(
+    return df.select("doc_id", _cjk_effective_tokens("text").alias("t")).select(
         "doc_id",
         F.explode(
             F.array_distinct(

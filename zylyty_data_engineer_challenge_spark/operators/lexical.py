@@ -126,11 +126,20 @@ def _lex_dir(spark: SparkSession, sf_dir: str, tag: str = "bm25") -> str:
 
 
 def _tokenize(docs: DataFrame) -> DataFrame:
-    """(doc_id, term) with empties dropped — byte-identical to
-    text_bm25's tokenizer (same split, same filter)."""
+    """(doc_id, term) in EFFECTIVE tokens — byte-identical to
+    text_bm25's tokenizer (same kernel). r15: both now tokenize via
+    ``text._cjk_effective_tokens`` (codepoint-bigram fallback when
+    whitespace tokenization is degenerate, i.e. unsegmented/CJK text),
+    so index doc lengths and postings terms stop treating a CJK
+    document as ONE giant token. On segmented documents the kernel's
+    else-branch is exactly the previous filter(split(text,'\\s+'),
+    x<>'') — postings/doclens/stats are bit-identical by construction
+    (planted-CJK differentials in tests/test_r15_ops.py)."""
+    from .text import _cjk_effective_tokens
+
     return docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("term")
-    ).filter(F.col("term") != "")
+        "doc_id", F.explode(_cjk_effective_tokens("text")).alias("term")
+    )
 
 
 def _index_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:

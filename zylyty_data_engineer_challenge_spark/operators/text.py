@@ -1020,9 +1020,14 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression scores postings fetched from a term-partitioned index.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # r15: terms/doc-lengths in EFFECTIVE tokens (the CJK bigram fallback
+    # of _cjk_effective_tokens) — identical to the previous
+    # explode(split)+filter('') on every segmented document by
+    # construction, and byte-identical to the persisted index's
+    # lexical._tokenize so in-plan scores == index-served scores
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("term")
-    ).filter(F.col("term") != "")
+        "doc_id", F.explode(_cjk_effective_tokens("text")).alias("term")
+    )
     dls = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     stats = dls.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -2163,12 +2168,16 @@ def _cjk_effective_tokens(text_col: str = "text"):
     tokens normally; codepoint BIGRAMS of the whitespace-stripped text
     when whitespace tokenization is degenerate (the standard n-gram
     fallback for unsegmented scripts — CJK search engines index exactly
-    these bigrams). Every ``split('\\s+')`` consumer (quality funnel
-    token gates, shingle dedup, BM25 doc lengths) can swap this in
-    without changing behavior on segmented corpora: the fallback
-    condition is FALSE on every document whose mean token length is
-    plausible, so Latin-corpus results are bit-identical by
-    construction (pinned in tests/test_r14_ops.py)."""
+    these bigrams). r15: WIRED into the production consumers — the
+    quality-funnel token gates (curate._funnel_signals +
+    funnel_flags_row_local), the BM25 tokenizer (text_bm25 and the
+    persisted index's lexical._tokenize), and the MinHash shingle/token
+    kernels (dedup._shingles / dedup._tokens) — without changing
+    behavior on segmented corpora: the fallback condition is FALSE on
+    every document whose mean token length is plausible, so
+    Latin-corpus results are bit-identical by construction (pinned in
+    tests/test_r14_ops.py; per-consumer planted-CJK differentials in
+    tests/test_r15_ops.py)."""
     stripped = f"regexp_replace({text_col}, '\\\\s+', '')"
     degenerate = (
         f"(size(filter(split({text_col}, '\\\\s+'), x -> x <> '')) > 0 AND"
@@ -2180,6 +2189,32 @@ def _cjk_effective_tokens(text_col: str = "text"):
         f" THEN transform(sequence(1, length({stripped}) - 1),"
         f"      i -> substring({stripped}, i, 2))"
         f" ELSE filter(split({text_col}, '\\\\s+'), x -> x <> '') END"
+    )
+
+
+def _cjk_degenerate(text_col: str = "text"):
+    """BOOLEAN Column: whitespace tokenization is degenerate for this
+    document (the fallback condition of :func:`_cjk_effective_tokens`,
+    as a standalone predicate for gates that pass-through rather than
+    re-tokenize — e.g. the funnel's anglocentric stopword gate)."""
+    stripped = f"regexp_replace({text_col}, '\\\\s+', '')"
+    n_ws = f"size(filter(split({text_col}, '\\\\s+'), x -> x <> ''))"
+    return F.expr(
+        f"({n_ws} > 0 AND length({stripped}) > {CJK_MAX_TOK_CHARS} * {n_ws})"
+    )
+
+
+def _cjk_effective_token_count(text_col: str = "text"):
+    """BIGINT Column: ``size(_cjk_effective_tokens(...))`` without
+    materializing the array — for count-only consumers (MIN_TOKENS-style
+    gates). Bigram count = stripped length - 1 when degenerate,
+    whitespace token count otherwise."""
+    stripped = f"regexp_replace({text_col}, '\\\\s+', '')"
+    n_ws = f"size(filter(split({text_col}, '\\\\s+'), x -> x <> ''))"
+    return F.expr(
+        f"CAST(CASE WHEN {n_ws} > 0 AND"
+        f" length({stripped}) > {CJK_MAX_TOK_CHARS} * {n_ws}"
+        f" THEN length({stripped}) - 1 ELSE {n_ws} END AS BIGINT)"
     )
 
 
@@ -2200,10 +2235,8 @@ def text_tokens_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row integer arithmetic inside whole-stage codegen —
     map-only, no shuffle beyond the output sort.
 
-    NOTE (registration): function + oracle + tests land in r14; the
-    registry window is saturated this round (7 always-graded + 38
-    age-wall rotations + 5 new store/packing entries = 50), so this
-    entry enters the graded window in r15 — see COVERAGE.md.
+    Registered and graded from r15 (the window rotation slot the r14
+    saturation forced — see COVERAGE.md "Window plan").
     """
     return _token_stats_cjk_kernel(load_table(spark, sf_dir, "documents"))
 
