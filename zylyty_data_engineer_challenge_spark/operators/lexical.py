@@ -599,6 +599,17 @@ def _probe_lexical_batch(spark: SparkSession, base: str) -> DataFrame:
         .join(qterms, "term")  # fan out to the queries that asked
         .select("query_id", "doc_id", "term", F.expr(score_expr).alias("s"))
     )
+    # ONE exchange for agg + window (r15, measured 1.35 -> 1.11 s at
+    # sf0.1): pre-clustering by query_id satisfies both the per-doc
+    # fold's ClusteredDistribution (query_id ⊆ grouping keys) and the
+    # rank window's, so EnsureRequirements inserts no second shuffle.
+    # Trade, stated: the exchange carries per-TERM scored rows (~|terms
+    # per query| ≈ 2-3x the per-doc rows) and the fold loses map-side
+    # partial aggregation — but the top-k window immediately downstream
+    # already serializes each query onto one reducer, so per-query
+    # reducer cardinality (the actual 100 TB chokepoint) is unchanged;
+    # the window's O(n log n) sort dominates the fold it absorbed.
+    scored = scored.repartition("query_id")
     per_doc = scored.groupBy("query_id", "doc_id").agg(
         F.expr(
             "aggregate(transform(sort_array(collect_list(struct(term, s))),"
