@@ -84,13 +84,50 @@ def host_factor(timings: dict[str, float]) -> float | None:
     return round(statistics.median(ratios), 3) if ratios else None
 
 
-# The stream calibrator's PINNED reference (r14, ADVICE): ops whose code is
-# frozen across rounds (all landed r11 or earlier, untouched since) measured
-# against one FROZEN committed artifact — the host_factor construction
+# The stream calibrator's PINNED reference (r14, ADVICE; made
+# self-maintaining r15, VERDICT r14 item 4): ops whose code is frozen
+# across rounds (all landed r11 or earlier, untouched since) measured
+# against a committed CLEAN-lane artifact — the host_factor construction
 # applied to the stream lane. The old form (median over ALL ops vs the
-# NEWEST quiet artifact) could not tell a lane-wide harness regression from
-# host noise: both moved every ratio and both got divided out.
-STREAM_CAL_BASELINE = "BENCH_QUIET_r13.json"
+# NEWEST quiet artifact) could not tell a lane-wide harness regression
+# from host noise: both moved every ratio and both got divided out.
+# Baseline resolution (newest first): the most recent committed
+# BENCH_QUIET_r*.json whose stream phase was CLEAN (stream_cal_warning
+# null) and carries the cold attempt-1 map (r14+ format — cold-vs-cold
+# comparability); pre-r14 artifacts qualify via their one-shot
+# stream_queries map, which IS a cold map. A stalled artifact (warning
+# in-band, like BENCH_QUIET_r14) is skipped instead of poisoning every
+# later round's calibration — the r14 lesson.
+STREAM_CAL_FALLBACK = "BENCH_QUIET_r13.json"
+
+
+def _stream_cal_baseline() -> tuple[str | None, dict[str, float]]:
+    """(artifact name, cold stream map) of the newest clean committed
+    quiet artifact — see the resolution policy above."""
+    import glob
+    import re
+
+    here = os.path.dirname(__file__) or "."
+    arts = sorted(
+        glob.glob(os.path.join(here, "BENCH_QUIET_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
+    )
+    for path in arts:
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if art.get("stream_cal_warning"):
+            continue  # stalled/suspect stream phase — never a baseline
+        cold = art.get("stream_queries_cold") or (
+            # pre-r14 artifacts recorded one shot per op == a cold map
+            art.get("stream_queries") if "stream_queries_cold" not in art else None
+        )
+        if cold:
+            return os.path.basename(path), cold
+    return None, {}
 STREAM_CAL_SET = frozenset(
     {
         "stream_event_summary", "stream_sliding_window", "stream_static_join",
@@ -102,32 +139,39 @@ STREAM_CAL_SET = frozenset(
 )
 
 
-def stream_host_factor(stream_cold: dict[str, float]) -> float | None:
+def stream_host_factor(
+    stream_cold: dict[str, float],
+) -> tuple[float | None, str | None]:
     """Lane-local host calibration for the streaming lane (r12 VERDICT
     item 5; construction hardened per r13 ADVICE): the median ratio of
     this run's COLD (first-replay) timings over the PINNED frozen-op
-    subset vs their lines in the PINNED r13 quiet artifact. Cold-vs-cold
-    because the r13 artifact recorded one replay per op, while the r14+
-    lane line is best-of-2 replays — the calibrator must compare like
-    with like. Frozen ops + frozen baseline means the ratio measures the
-    HOST; whether it also hides a lane-wide harness change is
-    cross-checked against the headline host_factor downstream
-    (``stream_cal_vs_host`` + warning), since both measure the same
-    host."""
+    subset vs their lines in the newest CLEAN committed quiet artifact
+    (:func:`_stream_cal_baseline`). Cold-vs-cold because pre-r14
+    artifacts recorded one replay per op while the r14+ lane line is
+    best-of-2 — the calibrator must compare like with like. Frozen ops
+    + a clean frozen baseline means the ratio measures the HOST;
+    whether it also hides a lane-wide harness change is cross-checked
+    against the headline host_factor downstream (``stream_cal_vs_host``
+    + warning), since both measure the same host. Returns (factor,
+    baseline artifact name) so the artifact documents what it was
+    calibrated against."""
     import statistics
 
-    path = os.path.join(os.path.dirname(__file__) or ".", STREAM_CAL_BASELINE)
-    try:
-        with open(path) as f:
-            base = json.load(f).get("stream_queries") or {}
-    except (OSError, ValueError):
-        return None
+    baseline_name, base = _stream_cal_baseline()
+    if not base:
+        path = os.path.join(os.path.dirname(__file__) or ".", STREAM_CAL_FALLBACK)
+        try:
+            with open(path) as f:
+                base = json.load(f).get("stream_queries") or {}
+            baseline_name = STREAM_CAL_FALLBACK
+        except (OSError, ValueError):
+            return None, None
     ratios = [
         stream_cold[q] / base[q]
         for q in STREAM_CAL_SET
         if stream_cold.get(q) and base.get(q)
     ]
-    return round(statistics.median(ratios), 3) if ratios else None
+    return (round(statistics.median(ratios), 3) if ratios else None), baseline_name
 
 
 def headline_queries() -> dict:
@@ -355,9 +399,6 @@ def main() -> int:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
-    stream_timings, stream_cold = bench_stream_queries(spark)
-    stream_total = round(sum(stream_timings.values()), 3)
-
     total = round(sum(timings.values()), 3)
     # like-for-like comparison: the benched set grows every round, so the
     # headline total is NOT comparable across rounds; this field sums the
@@ -366,18 +407,37 @@ def main() -> int:
         sum(t for n, t in timings.items() if n in R01_BENCH_SET), 3
     )
     hf = host_factor(timings)
-    shf = stream_host_factor(stream_cold)
-    # cross-check (r13 ADVICE): both factors measure the same host, so a
-    # material divergence means a lane-local NON-host change (harness,
-    # session config) is being mistaken for host noise in one lane —
-    # exactly what a lane-internal calibrator cannot see on its own
-    cal_vs_host = round(shf / hf, 3) if (shf and hf) else None
-    cal_warning = (
-        "stream calibrator diverges >1.5x from headline host_factor — "
-        "suspect a lane-wide harness/session change, not host noise"
-        if cal_vs_host is not None and not (1 / 1.5 <= cal_vs_host <= 1.5)
-        else None
-    )
+
+    # stream phase with stall auto-retry (r15, VERDICT r14 item 4): when
+    # the calibrator cross-check fires — the signature of a host stall
+    # window crossing the lane, as in the committed r14 artifact — re-run
+    # the WHOLE stream phase (fresh state roots) up to twice instead of
+    # committing a stalled lane; if the warning persists it stays
+    # in-band, and stream_phase_attempts records the substitution.
+    stream_attempts = 0
+    for _ in range(3):
+        stream_timings, stream_cold = bench_stream_queries(spark)
+        stream_attempts += 1
+        shf, shf_baseline = stream_host_factor(stream_cold)
+        # cross-check (r13 ADVICE): both factors measure the same host,
+        # so a material divergence means a lane-local NON-host change
+        # (harness, session config) is being mistaken for host noise in
+        # one lane — exactly what a lane-internal calibrator cannot see
+        cal_vs_host = round(shf / hf, 3) if (shf and hf) else None
+        cal_warning = (
+            "stream calibrator diverges >1.5x from headline host_factor — "
+            "suspect a lane-wide harness/session change, not host noise"
+            if cal_vs_host is not None and not (1 / 1.5 <= cal_vs_host <= 1.5)
+            else None
+        )
+        if not cal_warning:
+            break
+        print(
+            f"# stream phase attempt {stream_attempts} flagged by the "
+            f"calibrator (cal_vs_host={cal_vs_host}) — retrying",
+            file=sys.stderr,
+        )
+    stream_total = round(sum(stream_timings.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -398,12 +458,17 @@ def main() -> int:
         # one-shot lines, feeds the pinned calibrator
         "stream_queries_cold": stream_cold,
         # lane-local host calibration: PINNED frozen-op subset, cold
-        # timings, vs the PINNED r13 quiet artifact (r13 ADVICE) —
-        # bench_diff applies it to the stream block the way host_factor
-        # settles the headline
+        # timings, vs the newest CLEAN committed quiet artifact (r15 —
+        # stalled artifacts skipped; name recorded below) — bench_diff
+        # applies it to the stream block the way host_factor settles
+        # the headline
         "stream_host_factor": shf,
+        "stream_cal_baseline": shf_baseline,
         "stream_cal_vs_host": cal_vs_host,
         "stream_cal_warning": cal_warning,
+        # >1 means the calibrator cross-check fired and the phase was
+        # re-run with fresh state roots (substitution is in-band)
+        "stream_phase_attempts": stream_attempts,
         "sf": _sf_from_dir(SF_DIR),
         # cross-round caveat: r4/r5 hosts run this same best-of-2
         # harness ~1.4x slower than r3's on queries whose code and
@@ -442,8 +507,10 @@ def main() -> int:
         "stream_total": stream_total,
         "n_stream_queries": len(stream_timings),
         "stream_host_factor": full["stream_host_factor"],
+        "stream_cal_baseline": shf_baseline,
         "stream_cal_vs_host": cal_vs_host,
         "stream_cal_warning": cal_warning,
+        "stream_phase_attempts": stream_attempts,
         "sf": full["sf"],
         "full_artifact": "BENCH_LAST.json",
     }

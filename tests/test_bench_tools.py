@@ -103,21 +103,40 @@ def test_bench_diff_skips_truncated_per_query_maps(tmp_path):
 
 def test_stream_host_factor_uses_pinned_subset_and_cold_lines():
     """r14 (r13 ADVICE): the stream calibrator reads ONLY the pinned
-    frozen-op subset against the PINNED r13 artifact — a non-pinned op
-    (whose code may legitimately change) cannot move it, however wild
-    its line is."""
+    frozen-op subset — a non-pinned op (whose code may legitimately
+    change) cannot move it, however wild its line is. r15: the baseline
+    is the newest committed CLEAN quiet artifact (stalled stream
+    phases, i.e. a non-null stream_cal_warning, are skipped) and the
+    chosen artifact name is returned in-band."""
     sys.path.insert(0, str(REPO))
     import bench
 
-    base = json.load(open(REPO / "BENCH_QUIET_r13.json"))["stream_queries"]
-    cold = {q: base[q] * 3 for q in bench.STREAM_CAL_SET if q in base}
+    bname, bcold = bench._stream_cal_baseline()
+    assert bname is not None and len(bcold) >= 5
+    # the resolved baseline is clean by construction
+    art = json.load(open(REPO / bname))
+    assert not art.get("stream_cal_warning")
+    cold = {q: bcold[q] * 3 for q in bench.STREAM_CAL_SET if q in bcold}
     assert len(cold) >= 5
-    assert bench.stream_host_factor(cold) == 3.0
+    assert bench.stream_host_factor(cold) == (3.0, bname)
     # a 100x line on a NON-pinned op is invisible to the calibrator
-    cold["stream_phash_append"] = base["stream_phash_append"] * 100
-    assert bench.stream_host_factor(cold) == 3.0
-    # no pinned overlap -> None, not a crash
-    assert bench.stream_host_factor({"stream_phash_append": 1.0}) is None
+    if "stream_phash_append" in bcold:
+        cold["stream_phash_append"] = bcold["stream_phash_append"] * 100
+        assert bench.stream_host_factor(cold) == (3.0, bname)
+    # no pinned overlap -> None factor, not a crash
+    assert bench.stream_host_factor({"stream_phash_append": 1.0})[0] is None
+
+
+def test_stream_cal_baseline_skips_stalled_artifacts():
+    """The committed r14 quiet artifact's stream phase crossed a host
+    stall (warning in-band) — the resolver must never pick it."""
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    r14 = REPO / "BENCH_QUIET_r14.json"
+    if r14.exists() and json.load(open(r14)).get("stream_cal_warning"):
+        name, _ = bench._stream_cal_baseline()
+        assert name != "BENCH_QUIET_r14.json"
 
 
 def test_bench_diff_stream_calibration_pinned_and_cross_checked(tmp_path):

@@ -152,8 +152,15 @@ def main() -> int:
 
     hf_cur, hf_base = cur.get("host_factor"), base.get("host_factor")
     calib = (hf_cur / hf_base) if (hf_cur and hf_base) else 1.0
+    # calibration ratios use each side's COLD (attempt-1) map when the
+    # artifact carries one (r14+), else its one-shot stream_queries map
+    # (pre-r14 — which IS a cold map): cold-vs-cold comparability, so a
+    # best-of-2-vs-one-shot methodology difference can't masquerade as a
+    # host factor (r14 ADVICE). Per-op flags below still diff the
+    # best-of-2 steady-state maps.
     stream_calib = _stream_calibration(
-        cur.get("stream_queries"), base.get("stream_queries")
+        cur.get("stream_queries_cold") or cur.get("stream_queries"),
+        base.get("stream_queries_cold") or base.get("stream_queries"),
     )
 
     report = {
@@ -177,6 +184,11 @@ def main() -> int:
             if calib and not (1 / 1.5 <= stream_calib / calib <= 1.5)
             else None
         ),
+        # adjudication hint: a baseline whose own stream phase was
+        # flagged (e.g. the stalled BENCH_QUIET_r14 lane) makes every
+        # stream "improvement" here suspect — diff against the newest
+        # CLEAN artifact instead
+        "base_stream_stalled": bool(base.get("stream_cal_warning")),
         "stream": _lane_diff(
             cur.get("stream_queries"), base.get("stream_queries"), stream_calib
         ),
