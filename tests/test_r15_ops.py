@@ -238,3 +238,34 @@ class TestCountKernelTwin:
         for d, r in rows.items():
             assert r["c"] == r["s"], (d, r)
         assert rows[1]["fb"] and not rows[0]["fb"]
+
+
+class TestContamBroadcastGuard:
+    """r15 (VERDICT r14 item 5): the eval-universe broadcast — the one
+    previously unguarded broadcast among the persisted stores — is
+    size-guarded: under CONTAM_BROADCAST_MAX_BYTES the probe plan hints
+    broadcast; past it the SAME probe degrades to a shuffled hash join
+    (spill path), result-identical."""
+
+    def test_normal_universe_is_hinted(self, spark, sf_dir):
+        uni = text._contam_universe_stored(spark, sf_dir)
+        logical = uni._jdf.queryExecution().logical().toString()
+        assert "ResolvedHint" in logical or "UnresolvedHint" in logical
+
+    def test_oversized_universe_drops_the_hint(self, spark, sf_dir, monkeypatch):
+        monkeypatch.setattr(text, "CONTAM_BROADCAST_MAX_BYTES", 0)
+        uni = text._contam_universe_stored(spark, sf_dir)
+        logical = uni._jdf.queryExecution().logical().toString()
+        assert "Hint" not in logical
+
+    def test_spill_path_is_result_identical(self, spark, sf_dir, monkeypatch):
+        want = [tuple(r) for r in text.text_contamination_excise(spark, sf_dir).collect()]
+        monkeypatch.setattr(text, "CONTAM_BROADCAST_MAX_BYTES", 0)
+        got = [tuple(r) for r in text.text_contamination_excise(spark, sf_dir).collect()]
+        assert got == want
+
+    def test_guard_reads_real_store_size(self, spark, sf_dir):
+        base = text.build_contam_index(spark, sf_dir)
+        assert text._universe_fits_broadcast(spark, f"{base}/universe")
+        # absent path counts as fitting (fresh store contract), no crash
+        assert text._universe_fits_broadcast(spark, f"{base}/__nope__")

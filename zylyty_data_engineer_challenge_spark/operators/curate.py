@@ -2631,11 +2631,13 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a doc has excised content iff it has >= 1 flagged window, so the
     # gate set equals the oracle's n_removed > 0 nest exactly); r14: the
     # eval universe is served from the persisted contamination index
-    # (build_contam_index), not recomputed from the documents scan
+    # (build_contam_index), not recomputed from the documents scan; its
+    # broadcast hint is size-guarded at the source (r15 — an oversized
+    # universe degrades this probe to a shuffled hash join)
     eval_h = _contam_universe_stored(spark, sf_dir)
     contam = (
         _span_windows(docs.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS))
-        .join(F.broadcast(eval_h), "h")
+        .join(eval_h, "h")
         .select("doc_id")
         .distinct()
     )
