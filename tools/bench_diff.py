@@ -80,12 +80,25 @@ def _pick_baseline(current_path: str) -> str | None:
     return candidates[-1][2]
 
 
+def _load_floors() -> dict:
+    """PERF_FLOORS.json (r15, VERDICT r14 item 6): op -> isolated
+    steady-state floor, consolidated from the per-round PERF.md
+    adjudications so flag settlement is a diff read, not prose."""
+    try:
+        with open(os.path.join(REPO, "PERF_FLOORS.json")) as f:
+            return json.load(f).get("floors", {})
+    except (OSError, ValueError):
+        return {}
+
+
 def _lane_diff(
-    cur: dict | None, base: dict | None, calib: float
+    cur: dict | None, base: dict | None, calib: float, floors: dict | None = None
 ) -> dict:
     if not cur or not base:
         return {"compared": 0, "note": "per-query map missing on one side"}
+    floors = floors or {}
     flagged = {}
+    at_floor = {}
     improved = {}
     for q, t in cur.items():
         b = base.get(q)
@@ -93,12 +106,27 @@ def _lane_diff(
             continue
         ratio = round((t / b) / calib, 3)
         if ratio > FLAG_RATIO:
-            flagged[q] = {"cur": t, "base": b, "calibrated_ratio": ratio}
+            entry = {"cur": t, "base": b, "calibrated_ratio": ratio}
+            fl = floors.get(q, {}).get("floor_sec")
+            if fl:
+                entry["floor_sec"] = fl
+                entry["cur_vs_floor"] = round(t / fl, 3)
+            # a "regression" whose current time still sits within
+            # FLAG_RATIO of the op's recorded isolated floor means the
+            # BASELINE line was below-floor-fast (or this run's line is
+            # mildly hosted) — auto-adjudicated, no prose needed
+            if fl and t <= fl * FLAG_RATIO:
+                at_floor[q] = entry
+            else:
+                flagged[q] = entry
         elif ratio < 1 / FLAG_RATIO:
             improved[q] = {"cur": t, "base": b, "calibrated_ratio": ratio}
     return {
         "compared": len(set(cur) & set(base)),
         "flagged": dict(sorted(flagged.items(), key=lambda kv: -kv[1]["calibrated_ratio"])),
+        "flagged_at_floor": dict(
+            sorted(at_floor.items(), key=lambda kv: -kv[1]["calibrated_ratio"])
+        ),
         "improved": dict(sorted(improved.items(), key=lambda kv: kv[1]["calibrated_ratio"])),
     }
 
@@ -149,6 +177,7 @@ def main() -> int:
         print(json.dumps({"error": "no baseline artifact found"}))
         return 0
     base = _load(baseline_path)
+    floors = _load_floors()
 
     hf_cur, hf_base = cur.get("host_factor"), base.get("host_factor")
     calib = (hf_cur / hf_base) if (hf_cur and hf_base) else 1.0
@@ -172,6 +201,7 @@ def main() -> int:
             None if cur.get("queries_truncated") else cur.get("queries"),
             None if base.get("queries_truncated") else base.get("queries"),
             calib,
+            floors,
         ),
         "stream_calibration": round(stream_calib, 3),
         # cross-check (r13 ADVICE): stream vs headline calibration ratio;
@@ -190,7 +220,7 @@ def main() -> int:
         # CLEAN artifact instead
         "base_stream_stalled": bool(base.get("stream_cal_warning")),
         "stream": _lane_diff(
-            cur.get("stream_queries"), base.get("stream_queries"), stream_calib
+            cur.get("stream_queries"), base.get("stream_queries"), stream_calib, floors
         ),
         "totals": {
             "headline": {"cur": cur.get("value"), "base": base.get("value")},
