@@ -269,3 +269,32 @@ class TestContamBroadcastGuard:
         assert text._universe_fits_broadcast(spark, f"{base}/universe")
         # absent path counts as fitting (fresh store contract), no crash
         assert text._universe_fits_broadcast(spark, f"{base}/__nope__")
+
+
+class TestStagedInstallMarkerConfGuard:
+    """r14 ADVICE: _staged_install's completeness witness is the
+    committer's _SUCCESS file — with success markers disabled the check
+    silently degrades, so install asserts the conf instead."""
+
+    def test_disabled_markers_raise(self, spark, tmp_path):
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+        prev = hconf.get(key, "true")
+        hconf.set(key, "false")
+        try:
+            with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+                curate._staged_install(
+                    spark,
+                    _docs(spark).select("doc_id"),
+                    str(tmp_path / "store"),
+                    "base",
+                )
+        finally:
+            hconf.set(key, prev)
+
+    def test_default_markers_install_fine(self, spark, tmp_path):
+        curate._staged_install(
+            spark, _docs(spark).select("doc_id"), str(tmp_path / "store2"), "base"
+        )
+        got = spark.read.parquet(str(tmp_path / "store2" / "base")).count()
+        assert got == 4

@@ -2089,6 +2089,22 @@ def _staged_install(spark, partials: DataFrame, base: str, name: str) -> None:
     rewritten, never trusted."""
     from ..catalog import hadoop_fs
 
+    # the completeness check below KEYS on the committer's _SUCCESS
+    # marker; with markers disabled the check silently degrades (every
+    # crash-window re-run deletes and rewrites a complete dest — safe
+    # but wasteful, and no longer proof-grade), so fail loudly instead
+    # of degrading silently (r14 ADVICE)
+    committer_marks = (
+        spark.sparkContext._jsc.hadoopConfiguration().get(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+        )
+    )
+    if str(committer_marks).lower() != "true":
+        raise RuntimeError(
+            "_staged_install requires mapreduce.fileoutputcommitter."
+            "marksuccessfuljobs=true (the _SUCCESS file is the "
+            "completeness witness for crash-window re-heals)"
+        )
     fs, marker = hadoop_fs(spark, f"{base}/_{name.upper()}_READY")
     if fs.exists(marker):
         return
