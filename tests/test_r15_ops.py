@@ -298,3 +298,40 @@ class TestStagedInstallMarkerConfGuard:
         )
         got = spark.read.parquet(str(tmp_path / "store2" / "base")).count()
         assert got == 4
+
+
+class TestStagedKernelEquivalence:
+    """The staged projection (_with_effective_tokens) and the
+    expression-form kernels must be semantically identical — the staged
+    form exists purely so split/strip evaluate once per row."""
+
+    def test_staged_equals_expression_kernels(self, spark):
+        staged = {
+            r["doc_id"]: (list(r["tk"]), r["fb"])
+            for r in text._with_effective_tokens(_docs(spark), "doc_id").collect()
+        }
+        expr = {
+            r["doc_id"]: (list(r["tk"]), r["fb"])
+            for r in _docs(spark)
+            .select(
+                "doc_id",
+                text._cjk_effective_tokens("text").alias("tk"),
+                text._cjk_degenerate("text").alias("fb"),
+            )
+            .collect()
+        }
+        assert staged == expr
+
+    def test_staged_on_empty_and_whitespace_only_text(self, spark):
+        from pyspark.sql import Row as R
+
+        df = spark.createDataFrame(
+            [R(doc_id=0, text=""), R(doc_id=1, text="   "), R(doc_id=2, text="a")]
+        )
+        rows = {
+            r["doc_id"]: (list(r["tk"]), r["fb"])
+            for r in text._with_effective_tokens(df, "doc_id").collect()
+        }
+        assert rows[0] == ([], False)
+        assert rows[1] == ([], False)
+        assert rows[2] == (["a"], False)

@@ -1226,19 +1226,20 @@ def _funnel_signals(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     is filter(split(text,'\\s+'), x<>'') — bit-identical gate inputs by
     construction (planted-CJK differentials in tests/test_r15_ops.py).
 
-    The token array is projected FIRST (HOFs are interpreted — inlining
-    the kernel into the lambdas would re-tokenize per invocation; the
-    189 s vs ~2 s lesson of funnel_flags_row_local).
+    The (tk, fb) pair comes from the shared
+    :func:`..text._with_effective_tokens` definition, and the gram HOFs
+    reference tk through a projection boundary (the 189 s vs ~2 s
+    lesson of funnel_flags_row_local). Measured kernel cost vs the
+    pre-r15 raw-split gates: ~0.2 s (~15%) on the funnel at sf0.1.
     """
-    from .text import STOPWORDS as _STOPS, _cjk_degenerate, _cjk_effective_tokens
+    from .text import STOPWORDS as _STOPS, _with_effective_tokens
 
     stop_arr = F.array(*[F.lit(s) for s in _STOPS])
-    tk = docs.select(
+    tk = _with_effective_tokens(
+        docs,
         "doc_id",
         *extra,
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        _cjk_effective_tokens("text").alias("tk"),
-        _cjk_degenerate("text").alias("fb"),
     )
     base = tk.select(
         "doc_id",
@@ -1380,18 +1381,17 @@ def funnel_flags_row_local(docs: DataFrame) -> DataFrame:
     skew-safe exploded histogram for arbitrarily long archive documents).
     Two algorithms, one semantics: the streaming gate hash-equals the
     batch oracle."""
-    from .text import STOPWORDS as _STOPS, _cjk_degenerate, _cjk_effective_tokens
+    from .text import STOPWORDS as _STOPS, _with_effective_tokens
 
     stop_arr = F.array(*[F.lit(s) for s in _STOPS])
     # r15: same EFFECTIVE-token gates as the batch funnel (stream ==
-    # batch hash-equality is the module's law). The token array is
-    # projected FIRST — inlining it into the HOF lambdas would
-    # re-tokenize the document once per invocation (the 189 s vs ~2 s
-    # lesson below applies to the kernel exactly as it did to split()).
-    with_tk = docs.select(
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        _cjk_effective_tokens("text").alias("tk"),
-        _cjk_degenerate("text").alias("fb"),
+    # batch hash-equality is the module's law). The token array comes
+    # from the STAGED projection (split/strip once per row) and the HOF
+    # lambdas reference it as an attribute — inlining would re-tokenize
+    # the document once per invocation (the 189 s vs ~2 s lesson below
+    # applies to the kernel exactly as it did to split()).
+    with_tk = _with_effective_tokens(
+        docs, F.col("n_chars").cast("bigint").alias("n_chars")
     )
     # materialize the gram array as a column FIRST: inlining it into the
     # top2 lambda would re-split the document once per distinct gram

