@@ -767,36 +767,56 @@ ORACLE_SQL["sim_ann_recall"] = _recall_oracle(ORACLE_SQL["sim_ann_lsh"])
 
 
 def _l2_nearest_lists(
-    cents: DataFrame, side: DataFrame, id_col: str, keep: int
+    cents: DataFrame, side: DataFrame, id_col: str, keep: int, carry: tuple = ()
 ) -> DataFrame:
-    """(id, q) -> (id, cid): each row's `keep` nearest centroids by exact
-    squared L2, ties to the lower cid. Broadcast codebook, narrow map."""
-    scored = side.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        "cid",
-        F.expr(
-            "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        ).alias("cdist"),
+    """(id, q) -> (id[, carry...], cid): each row's `keep` nearest
+    centroids by exact squared L2, ties to the lower cid.
+
+    r15 (optimization): the top-``keep`` selection is computed PER ROW —
+    score the broadcast one-row codebook array with ``transform``, then
+    ``slice(array_sort(...), 1, keep)`` (struct ordering = cdist asc,
+    cid asc — exactly the old window's ORDER BY) and explode. The
+    previous form crossJoined the codebook as ROWS and ranked with a
+    row_number window, i.e. a full shuffle + sort of the corpus side per
+    assignment; this is a pure narrow map — no exchange touches the big
+    side (guide: remove shuffles outright). ``carry`` lets a caller keep
+    payload columns (e.g. the raw vector and its norm) through the
+    assignment so the downstream scorer does not need to re-join the
+    corpus at all."""
+    from .cluster import _pack_centroids
+
+    top = F.expr(
+        "slice(array_sort(transform(cents, c -> named_struct("
+        "'cdist', aggregate(zip_with(q, c.cq, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x), "
+        f"'cid', c.cid))), 1, {int(keep)})"
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cdist").asc(), F.col("cid").asc())
     return (
-        scored.withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") <= keep)
-        .select(id_col, "cid")
+        side.crossJoin(F.broadcast(_pack_centroids(cents)))
+        .select(id_col, *carry, F.explode(top).alias("t"))
+        .select(id_col, *carry, F.col("t.cid").alias("cid"))
     )
 
 
 def _ivf_kmeans_candidates(
-    cents: DataFrame, corpus: DataFrame, queries: DataFrame
+    cents: DataFrame, corpus: DataFrame, queries: DataFrame, carry: tuple = ()
 ) -> DataFrame:
-    """(query_id, vec_id) candidate pairs: corpus vectors living in the
-    query's NPROBE nearest trained lists."""
-    assign = _l2_nearest_lists(cents, corpus.select("vec_id", "q"), "vec_id", 1)
+    """(query_id, vec_id[, carry...]) candidate pairs: corpus vectors
+    living in the query's NPROBE nearest trained lists. ``carry`` columns
+    from the corpus side ride through the (shuffle-free) assignment map,
+    so exact-scoring consumers avoid a second corpus join."""
+    keep_cols = tuple(c for c in carry if c != "q")
+    assign = _l2_nearest_lists(
+        cents,
+        corpus.select("vec_id", "q", *keep_cols),
+        "vec_id",
+        1,
+        carry=tuple(carry),
+    )
     probes = _l2_nearest_lists(
         cents, queries.select("query_id", F.col("qv").alias("q")), "query_id", NPROBE
     )
-    return probes.join(assign, "cid").select("query_id", "vec_id")
+    return probes.join(assign, "cid").select("query_id", "vec_id", *carry)
 
 
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,10 +844,12 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    cand = _ivf_kmeans_candidates(cents, corpus, queries)
+    # carry the raw vector + norm through the (shuffle-free) assignment so
+    # scoring needs no second corpus join (r15 optimization — the join was
+    # only re-fetching columns the assignment map already had in hand)
+    cand = _ivf_kmeans_candidates(cents, corpus, queries, carry=("q", "n"))
     cand = (
-        cand
-        .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
+        cand.withColumn("n2", F.col("n"))
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
