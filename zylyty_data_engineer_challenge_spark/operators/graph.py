@@ -44,7 +44,19 @@ MAX_CC_ROUNDS = 20  # safety bound; convergence is checked every round
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(node) x (src, dst) -> (node, component) with component = min node
-    id reachable over undirected edges; singletons keep their own id."""
+    id reachable over undirected edges; singletons keep their own id.
+
+    r15 (optimization): the propagation loop runs over the EDGE-ENDPOINT
+    subgraph only — a node with no edge can never change its label, so
+    iterating the full node set (the pre-r15 form) re-joined and
+    re-aggregated every corpus row each round for nothing. Endpoints are
+    exactly ``sym.src`` distinct (both directions are present), the loop
+    is unchanged on that subgraph, and the full node set is attached ONCE
+    at the end with component = own id for edge-free nodes — identical
+    fixpoint by construction. At dedup scale the label table shrinks from
+    O(corpus) to O(documents-with-a-near-dup) — output-sized — and so
+    does every per-round shuffle and the per-round convergence aggregate.
+    """
     # checkpoint the symmetrized edge list ONCE: it is joined every round,
     # and without materialization each round would re-execute the entire
     # upstream pair-detection pipeline (e.g. MinHash-LSH) — measured ~2 s
@@ -52,7 +64,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = None
     converged = False
     for _ in range(MAX_CC_ROUNDS):
@@ -84,7 +101,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             f"connected_components did not converge within {MAX_CC_ROUNDS} "
             "rounds (component diameter exceeds the cap); raise MAX_CC_ROUNDS"
         )
-    return labels
+    # singletons / edge-free nodes re-enter with their own id — the same
+    # label the full-node-set iteration gave them, without paying rounds
+    return nodes.join(labels.withColumnsRenamed({"node": "n2"}),
+                      nodes.node == F.col("n2"), "left").select(
+        nodes.node.alias("node"),
+        F.coalesce(F.col("component"), nodes.node).alias("component"),
+    )
 
 
 def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
