@@ -1127,13 +1127,18 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
         ).alias("h"),
-    )
+    # r15: ONE h-keyed exchange shared by the repeat-test aggregate AND
+    # the flag join below via ReusedExchange (the _shingle_pair_table /
+    # batched-lexical-probe discipline) — the window table previously
+    # shuffled twice on the same key. The lost map-side min/max partials
+    # bought almost nothing here: span hashes are mostly unique, so
+    # partial rows ≈ input rows.
+    ).repartition("h")
     dup = (
-        # ">= 2 distinct docs" as min != max: same predicate, but plain
-        # min/max partials shrink the shuffle to one row per (partition,
-        # hash) where distinct-count state carries every (hash, doc) pair
-        # — measured at the r12 x100 smoke (100M windows) as the
-        # dominant stage cost
+        # ">= 2 distinct docs" as min != max: same predicate as a distinct
+        # count but constant aggregate state per hash (r12 x100 smoke:
+        # distinct-count state carrying every (hash, doc) pair was the
+        # dominant stage cost)
         w.groupBy("h")
         .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
         .filter(F.col("d_lo") != F.col("d_hi"))
@@ -1230,7 +1235,10 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
     consecutive flagged windows into maximal spans with the
     gaps-and-islands grouping (``i - row_number()`` is constant exactly
     on consecutive positions — the ``q_gaps_islands`` kernel)."""
-    w = _span_windows(docs)
+    # r15: same shared-h-exchange discipline as dedup_exact_substring —
+    # the repeat-test aggregate and the flag join reuse ONE shuffle of
+    # the window table instead of shuffling it twice on the same key
+    w = _span_windows(docs).repartition("h")
     dup = (
         # min != max == ">= 2 distinct docs" (see dedup_exact_substring)
         w.groupBy("h")
