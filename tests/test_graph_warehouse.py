@@ -179,3 +179,28 @@ def test_neighbor_jaccard_invariants(spark):
         assert r["n_common"] >= graph.NJ_MIN_COMMON
         # Jaccard <= 1: intersection can never exceed union
         assert r["n_common"] <= r["n_union"]
+
+
+def test_cc_subgraph_mode_matches_default(spark):
+    """r15: spark.zylyty.cc.subgraphLabels=true (the cluster-scale mode —
+    iterate only edge endpoints, attach singletons once) must produce
+    bit-identical labels to the default full-node iteration, including
+    every edge-free singleton, on both a CC consumer and the multimodal
+    union graph (whose diameter exercises the adaptive step batching)."""
+    from zylyty_data_engineer_challenge_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    default_cc = graph.dedup_cc(spark, sf).collect()
+    default_mm = graph.dedup_multimodal_cc(spark, sf).collect()
+    spark.conf.set("spark.zylyty.cc.subgraphLabels", "true")
+    try:
+        sub_cc = graph.dedup_cc(spark, sf).collect()
+        sub_mm = graph.dedup_multimodal_cc(spark, sf).collect()
+    finally:
+        spark.conf.unset("spark.zylyty.cc.subgraphLabels")
+    assert sub_cc == default_cc
+    assert sub_mm == default_mm
+    # and the singleton contract explicitly: every doc with no pair keeps
+    # its own id in both modes
+    singles = [r for r in default_cc if r["doc_id"] == r["component"]]
+    assert singles, "fixture has no singleton components"

@@ -46,16 +46,37 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(node) x (src, dst) -> (node, component) with component = min node
     id reachable over undirected edges; singletons keep their own id.
 
-    r15 (optimization): the propagation loop runs over the EDGE-ENDPOINT
-    subgraph only — a node with no edge can never change its label, so
-    iterating the full node set (the pre-r15 form) re-joined and
-    re-aggregated every corpus row each round for nothing. Endpoints are
-    exactly ``sym.src`` distinct (both directions are present), the loop
-    is unchanged on that subgraph, and the full node set is attached ONCE
-    at the end with component = own id for edge-free nodes — identical
-    fixpoint by construction. At dedup scale the label table shrinks from
-    O(corpus) to O(documents-with-a-near-dup) — output-sized — and so
-    does every per-round shuffle and the per-round convergence aggregate.
+    r15 (optimization), two measured changes + one conf:
+
+    * ADAPTIVE step batching — 1, then 2, then 4 propagation steps per
+      checkpoint + convergence collect (capped at 4/cycle to bound plan
+      depth). The per-cycle driver turnaround (checkpoint job + collect)
+      is the dominant per-round cost at bench scale (~0.2-0.3 s each),
+      and the multimodal union graph measured a SIXTEEN-step diameter at
+      sf0.1 — 16 driver syncs under the pre-r15 one-step loop, ~6 now.
+      The label sum is monotone non-increasing under each step, so "sum
+      unchanged across a k-step cycle" still implies no step changed a
+      label — the same exact fixpoint test; overshooting the fixpoint
+      mid-cycle only re-propagates already-stable labels. (A
+      path-halving variant — pointer-jump after each step — was measured
+      first: 16 rounds -> only 11 while adding an endpoint-sized
+      self-join per round; rejected.)
+    * ``spark.zylyty.cc.subgraphLabels`` (default false): when true, the
+      loop iterates ONLY the edge-endpoint subgraph (a node with no edge
+      can never change its label) and the full node set is attached once
+      after convergence with component = own id — identical fixpoint,
+      with every per-round shuffle and convergence aggregate shrunk from
+      O(corpus) to O(duplicate endpoints). That is the right shape on a
+      cluster, where corpus >> duplicate set; at bench scale the
+      endpoint init + final attach join cost MORE than the tiny
+      full-node rounds save (interleaved A/B: +0.2 s per consumer on
+      the shallow dedup graph, a wash on the deep one), so the local
+      default keeps the full-node iteration — the same
+      local-default-vs-cluster-conf split as
+      ``spark.zylyty.pagerank.broadcastRanks``. The attach join under
+      the conf broadcasts the (output-sized) converged label table via
+      ``spark.zylyty.cc.broadcastLabels`` (default true; flip it if the
+      duplicate-endpoint set outgrows executor memory).
     """
     # checkpoint the symmetrized edge list ONCE: it is joined every round,
     # and without materialization each round would re-execute the entire
@@ -64,18 +85,25 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    # fused first round: on the symmetric edge list every endpoint appears
-    # as dst, so min(own id, min neighbor id) is ONE aggregate — the
-    # endpoint-distinct init and the first propagation join collapse into
-    # a single exchange
-    labels = (
-        sym.groupBy("dst")
-        .agg(F.min("src").alias("nbr_min"))
-        .select(
-            F.col("dst").alias("node"),
-            F.least(F.col("dst"), F.col("nbr_min")).alias("component"),
-        )
+    spark = nodes.sparkSession
+    subgraph = (
+        spark.conf.get("spark.zylyty.cc.subgraphLabels", "false") == "true"
     )
+    if subgraph:
+        # fused first round: on the symmetric edge list every endpoint
+        # appears as dst, so min(own id, min neighbor id) is ONE
+        # aggregate — endpoint init + first propagation step together
+        labels = (
+            sym.groupBy("dst")
+            .agg(F.min("src").alias("nbr_min"))
+            .select(
+                F.col("dst").alias("node"),
+                F.least(F.col("dst"), F.col("nbr_min")).alias("component"),
+            )
+        )
+    else:
+        labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+
     def _step(lbl: DataFrame) -> DataFrame:
         nbr_min = (
             sym.join(lbl, sym.src == lbl.node)
@@ -90,22 +118,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             ).alias("component"),
         )
 
-    # r15 (optimization): ADAPTIVE step batching — 1, then 2, then 4
-    # propagation steps per checkpoint + convergence collect (capped at
-    # 4/cycle to bound plan depth). The per-cycle driver turnaround
-    # (checkpoint job + collect) is the dominant per-round cost at bench
-    # scale (~0.2-0.3 s each), and the multimodal union graph measured a
-    # SIXTEEN-step diameter at sf0.1 — 16 collects under the pre-r15
-    # one-step loop. Shallow dedup graphs (diameter <= 2, the common
-    # case) still converge in two cycles / three steps; the deep chain
-    # takes ~6 cycles instead of 16. The sum is monotone non-increasing
-    # under each step, so "sum unchanged across a k-step cycle" still
-    # implies no label changed in any of its steps — the same exact
-    # fixpoint test, and overshooting the fixpoint mid-cycle only
-    # re-propagates already-stable labels. (A path-halving variant —
-    # pointer-jump after each step — was measured first: 16 rounds ->
-    # only 11, while adding an endpoint-sized self-join per round; a
-    # local wash and a worse per-pass shape at scale, rejected.)
     prev_sum = None
     converged = False
     steps = 1
@@ -127,16 +139,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             f"connected_components did not converge within {MAX_CC_ROUNDS} "
             "rounds (component diameter exceeds the cap); raise MAX_CC_ROUNDS"
         )
+    if not subgraph:
+        return labels
     # singletons / edge-free nodes re-enter with their own id — the same
-    # label the full-node-set iteration gave them, without paying rounds.
-    # The converged label table is duplicate-endpoint-sized (output-sized)
-    # but checkpoint-backed (no stats), so without a hint the planner
-    # picks a sort-merge join and shuffles the corpus side — the very
-    # shuffle this rewrite removed. Broadcast it by default; on a cluster
-    # where the duplicate-endpoint set outgrows executor memory flip the
-    # conf and both sides hash-partition instead (the pagerank
-    # broadcastRanks pattern — one conf, not a code edit).
-    spark = nodes.sparkSession
+    # label the full-node-set iteration gives them, without paying rounds
     bcast = spark.conf.get("spark.zylyty.cc.broadcastLabels", "true") == "true"
     final = labels.withColumnsRenamed({"node": "n2"})
     final = F.broadcast(final) if bcast else final
@@ -272,7 +278,14 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        # r15: under the same broadcast regime, the rank refresh join also
+        # broadcasts — contrib is the same cardinality class as ranks
+        # (<= one row per node), and without the hint the stats-blind
+        # planner re-shuffled AND re-sorted the checkpointed node table
+        # every round (3x Exchange+Sort of the big side in the plan). The
+        # conf=false fallback keeps both sides hash-partitioned.
+        contrib_side = F.broadcast(contrib) if bcast else contrib
+        ranks = nodes.join(contrib_side, nodes.node == contrib.dst, "left").select(
             "node",
             (
                 F.lit(base).cast("long")
