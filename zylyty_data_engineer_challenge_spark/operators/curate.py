@@ -1241,7 +1241,7 @@ def _funnel_signals(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         *extra,
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
-    base = tk.select(
+    sig = tk.select(
         "doc_id",
         *extra,
         "n_chars",
@@ -1250,9 +1250,25 @@ def _funnel_signals(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         F.size(F.filter(F.col("tk"), lambda w: F.array_contains(stop_arr, w)))
         .cast("bigint")
         .alias("n_stop"),
+        "tk",
+    )
+    base = sig.drop("tk")
+    # r15 (optimization): the bigram histogram — the funnel's only
+    # corpus-sized shuffle (measured x100 exponent 1.15) — is computed
+    # ONLY for documents that already pass the row-local gates 1-3.
+    # Sound by construction: every consumer reads (n2, top2) exclusively
+    # through gate 4 CONJOINED with gates 1-3 (the cascade c4 and the
+    # pass filter), so a doc killed by a row-local gate never has its
+    # histogram row observed; restricting the explode only removes rows
+    # whose (n2, top2) were dead values. At 100 TB the funnel's kill
+    # rate on gates 1-3 shrinks the gram shuffle by the same fraction.
+    bg_src = sig.filter(
+        (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("fb") | (F.col("n_stop") * 20 >= F.col("n_tokens")))
     )
     bg = (
-        tk.select("doc_id", F.col("tk").alias("toks"))
+        bg_src.select("doc_id", F.col("tk").alias("toks"))
         .filter(F.size("toks") >= 2)
         .select(
             "doc_id",
