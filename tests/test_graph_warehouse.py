@@ -193,11 +193,13 @@ def test_cc_subgraph_mode_matches_default(spark):
     default_cc = graph.dedup_cc(spark, sf).collect()
     default_mm = graph.dedup_multimodal_cc(spark, sf).collect()
     spark.conf.set("spark.zylyty.cc.subgraphLabels", "true")
+    spark.conf.set("spark.zylyty.cc.stepsPerCycle", "4")
     try:
         sub_cc = graph.dedup_cc(spark, sf).collect()
         sub_mm = graph.dedup_multimodal_cc(spark, sf).collect()
     finally:
         spark.conf.unset("spark.zylyty.cc.subgraphLabels")
+        spark.conf.unset("spark.zylyty.cc.stepsPerCycle")
     assert sub_cc == default_cc
     assert sub_mm == default_mm
     # and the singleton contract explicitly: every doc with no pair keeps

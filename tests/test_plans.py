@@ -187,6 +187,11 @@ GLOBAL_BNLJ_ALLOWANCE = {
     "text_lm_append": 1,  # same V cross over the merged stored model
     "text_lm_compact": 1,  # same V cross over the compacted model
     "text_lm_forget": 1,  # same V cross over the unlearned merged model
+    # r15 optimization: the profile's six per-column COUNT(DISTINCT)
+    # one-row results attach to the one-row base pass by scalar crosses —
+    # the restructure that removed the Expand + 7-key global SORT of the
+    # expanded table (OPTIMIZATION_r15.md §2); all sides are single rows
+    "q_table_profile": 6,
     "sim_index_delete": 2,  # the stored-probe plan (centroids + DPP echo)
     "sim_hybrid_rrf": 2,  # inherits bruteforce (1) + bm25 stats (1)
     "dedup_embedding_recall_sampled": 1,  # 1-row lsh-count cross in the gate

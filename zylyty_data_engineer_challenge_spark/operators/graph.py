@@ -48,9 +48,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     r15 (optimization), two measured changes + one conf:
 
-    * ADAPTIVE step batching — 1, then 2, then 4 propagation steps per
-      checkpoint + convergence collect (capped at 4/cycle to bound plan
-      depth). The per-cycle driver turnaround (checkpoint job + collect)
+    * ADAPTIVE step batching — 1, then 2 propagation steps per
+      checkpoint + convergence collect (capped at 2/cycle: a cycle can
+      overshoot convergence by at most cap-1 steps, and on mid-diameter
+      graphs with expensive per-step joins a 4-step cap measured +0.6 s
+      of overshoot on dedup_cc_names — the cap is the overshoot bound). The per-cycle driver turnaround (checkpoint job + collect)
       is the dominant per-round cost at bench scale (~0.2-0.3 s each),
       and the multimodal union graph measured a SIXTEEN-step diameter at
       sf0.1 — 16 driver syncs under the pre-r15 one-step loop, ~6 now.
@@ -118,6 +120,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             ).alias("component"),
         )
 
+    steps_cap = int(spark.conf.get("spark.zylyty.cc.stepsPerCycle", "1"))
     prev_sum = None
     converged = False
     steps = 1
@@ -131,7 +134,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             converged = True
             break
         prev_sum = cur_sum
-        steps = min(steps * 2, 4)
+        steps = min(steps * 2, steps_cap)
     if not converged:
         # a component whose min-label propagation distance exceeds the round
         # cap would silently carry stale labels — fail loud instead
