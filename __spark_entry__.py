@@ -69,24 +69,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reached in r11) and the freshness contract (tools/grading_age.py,
     MAX_AGE_ROUNDS=6) is CI-enforced.
 
-    Round-15 window (VERDICT r14 item 1, computed by
-    tools/rotate_window.py — the saturated-rotation arithmetic): (a) the
-    §2 reference surface (always graded, 7 rows), (b) the TWO r15
-    registrations — text_tokens_cjk (the CJK effective-token audit op;
-    its kernel is now also wired into the production quality-funnel /
-    BM25 / shingle consumers, VERDICT item 2) and contam_index_compact
-    (the manifest-keyed eval-window index compactor) — both implemented,
-    oracled, and pytest-differentialed since r14, never driver-graded,
-    so the contract forces them into the window; and (c) 41 of the 43
-    rows whose last driver grade is r9 (they reach the MAX_AGE_ROUNDS=6
-    wall at r15 grading). 7 + 2 + 41 = 50; the 2 remaining r9 rows
-    (text_token_stats, text_train_split — last alphabetically in the
-    cohort) are deferred to HEAD the r16 window and grade at age 7, the
-    one-round deferral the contract permits for rows exactly at the
-    wall. No other registry additions this round: rotation slack is 0
-    until the r12 cohort (39 rows) absorbs the cascade in r18.
+    Round-16 window (computed by tools/rotate_window.py — the
+    saturated-rotation arithmetic, same mechanism as r14/r15): (a) the
+    §2 reference surface (always graded, 7 rows), (b) the two r9 rows
+    the r15 window deferred at the wall (text_token_stats,
+    text_train_split — they grade now at age 7, the one-round deferral
+    the contract permits), and (c) 41 of the 43 rows whose last driver
+    grade is r10 (they reach the MAX_AGE_ROUNDS=6 wall at r16 grading).
+    7 + 2 + 41 = 50; the 2 remaining r10 rows (stream_static_join,
+    text_quality_classifier — last in the planner's (age, name) order)
+    are deferred to HEAD the r17 window and grade at age 7. No registry
+    additions this round (an optimization round adds no features).
     Positions 51+ start with the two deferred rows, then keep prior
-    relative order; all were driver-graded green in r9-r14. Every
+    relative order; all were driver-graded green in r9-r15. Every
     registered query is verified locally every round by
     tools/oracle_check.py (and the tests/test_oracle_gate.py suite
     gate) regardless of grading position.
@@ -102,16 +97,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_dedup_keep_first": relational.t3_dedup_keep_first,
         "t4_numeric_coercion": relational.t4_numeric_coercion,
         "d2_completion_counts": relational.d2_completion_counts,
-        # r15 registrations (VERDICT r14 item 1): the CJK effective-token
-        # audit op and the manifest-keyed contamination-index compactor --
-        # both landed (implemented + oracled + pytest-differentialed) in
-        # r14 and waited for this rotation slot
+        # the 2 r9 rows deferred from the r15 window (at-the-wall
+        # deferral: they grade now at age 7, heading the window)
+        "text_token_stats": text.text_token_stats,
+        "text_train_split": curate.text_train_split,
+        # the 41 schedulable rows last graded in r10 (they reach the
+        # MAX_AGE_ROUNDS=6 wall at r16 grading; the 2 remaining r10
+        # rows are deferred to head the r17 window, grading at age 7
+        # per the at-the-wall deferral rule)
+        "curate_epoch_shuffle": curate.curate_epoch_shuffle,
+        "curate_shard_assign": curate.curate_shard_assign,
+        "dedup_pairs_compact": dedup.dedup_pairs_compact,
+        "graph_bfs": graph.graph_bfs,
+        "graph_neighbor_jaccard": graph.graph_neighbor_jaccard,
+        "mm_audio_append": multimodal.mm_audio_append,
+        "mm_audio_probe": multimodal.mm_audio_probe,
+        "mm_phash_append": multimodal.mm_phash_append,
+        "mm_phash_probe": multimodal.mm_phash_probe,
+        "pipeline_curate_all": curate.pipeline_curate_all,
+        "q_customer_order_distribution": tpch.q_customer_order_distribution,
+        "q_cusum_changepoint": timeseries.q_cusum_changepoint,
+        "q_disjunctive_filter": tpch.q_disjunctive_filter,
+        "q_event_transitions": timeseries.q_event_transitions,
+        "q_idle_wealthy_customers": tpch.q_idle_wealthy_customers,
+        "q_important_parts": tpch.q_important_parts,
+        "q_large_volume_customers": tpch.q_large_volume_customers,
+        "q_late_shipment_priority": tpch.q_late_shipment_priority,
+        "q_market_basket": timeseries.q_market_basket,
+        "q_market_share": tpch.q_market_share,
+        "q_min_cost_supplier": tpch.q_min_cost_supplier,
+        "q_nation_trade_volume": tpch.q_nation_trade_volume,
+        "q_order_priority_check": tpch.q_order_priority_check,
+        "q_outlier_mad": timeseries.q_outlier_mad,
+        "q_part_promotion_suppliers": tpch.q_part_promotion_suppliers,
+        "q_product_profit": tpch.q_product_profit,
+        "q_promo_revenue": tpch.q_promo_revenue,
+        "q_salted_join": advanced.q_salted_join,
+        "q_skew_profile": warehouse.q_skew_profile,
+        "q_small_quantity_revenue": tpch.q_small_quantity_revenue,
+        "q_supplier_part_counts": tpch.q_supplier_part_counts,
+        "q_time_travel": warehouse.q_time_travel,
+        "q_top_supplier": tpch.q_top_supplier,
+        "q_waiting_suppliers": tpch.q_waiting_suppliers,
+        "sim_index_compact": similarity.sim_index_compact,
+        "sim_random_projection": similarity.sim_random_projection,
+        "sim_rp_distortion": similarity.sim_rp_distortion,
+        "sketch_vocab_jaccard": sketches.sketch_vocab_jaccard,
+        "stream_cdc_apply": cdc_stream.stream_cdc_apply,
+        "stream_cms_topk": sketch_stream.stream_cms_topk,
+        "stream_sliding_window": views_stream.stream_sliding_window,
+        # ---- position 51+ (ungraded by the driver this round) ----
+        # the two deferred r10 rows FIRST (they must head the r17
+        # window), then prior relative order; every entry below has a
+        # driver-green row from r9-r15 with code+oracle semantics
+        # unchanged since
+        "stream_static_join": views_stream.stream_static_join,
+        "text_quality_classifier": text.text_quality_classifier,
         "text_tokens_cjk": text.text_tokens_cjk,
         "contam_index_compact": text.contam_index_compact,
-        # the 41 schedulable rows last graded in r9 (freshness rotation:
-        # they reach the MAX_AGE_ROUNDS=6 wall at r15 grading; the 2
-        # remaining r9 rows are deferred to head the r16 window, grading
-        # at age 7 per the at-the-wall deferral rule)
         "curate_diversity_sample": curate.curate_diversity_sample,
         "dedup_cc": graph.dedup_cc,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
@@ -153,12 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": curate.text_pack_sequences,
         "text_quality": text.text_quality,
         "text_stratified_sample": curate.text_stratified_sample,
-        # ---- position 51+ (ungraded by the driver this round) ----
-        # the two deferred r9 rows FIRST (they must head the r16 window),
-        # then prior relative order; every entry below has a driver-green
-        # row from r9-r14 with code+oracle semantics unchanged since
-        "text_token_stats": text.text_token_stats,
-        "text_train_split": curate.text_train_split,
         "contam_index_build": text.contam_index_build,
         "contam_index_append": text.contam_index_append,
         "contam_index_forget": text.contam_index_forget,
@@ -327,49 +364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_forget": multimodal.mm_phash_forget,
         "mm_afp_forget": multimodal.mm_afp_forget,
         "cluster_labels_forget": cluster.cluster_labels_forget,
-        "q_min_cost_supplier": tpch.q_min_cost_supplier,
-        "q_order_priority_check": tpch.q_order_priority_check,
-        "q_nation_trade_volume": tpch.q_nation_trade_volume,
-        "q_market_share": tpch.q_market_share,
-        "q_product_profit": tpch.q_product_profit,
-        "q_important_parts": tpch.q_important_parts,
-        "q_late_shipment_priority": tpch.q_late_shipment_priority,
-        "q_customer_order_distribution": tpch.q_customer_order_distribution,
-        "q_promo_revenue": tpch.q_promo_revenue,
-        "q_top_supplier": tpch.q_top_supplier,
-        "q_supplier_part_counts": tpch.q_supplier_part_counts,
-        "q_small_quantity_revenue": tpch.q_small_quantity_revenue,
-        "q_large_volume_customers": tpch.q_large_volume_customers,
-        "q_disjunctive_filter": tpch.q_disjunctive_filter,
-        "q_part_promotion_suppliers": tpch.q_part_promotion_suppliers,
-        "q_waiting_suppliers": tpch.q_waiting_suppliers,
-        "q_idle_wealthy_customers": tpch.q_idle_wealthy_customers,
-        "q_outlier_mad": timeseries.q_outlier_mad,
-        "q_cusum_changepoint": timeseries.q_cusum_changepoint,
-        "q_market_basket": timeseries.q_market_basket,
-        "q_event_transitions": timeseries.q_event_transitions,
-        "q_time_travel": warehouse.q_time_travel,
-        "graph_neighbor_jaccard": graph.graph_neighbor_jaccard,
-        "curate_shard_assign": curate.curate_shard_assign,
-        "stream_cms_topk": sketch_stream.stream_cms_topk,
-        "sketch_vocab_jaccard": sketches.sketch_vocab_jaccard,
-        "q_skew_profile": warehouse.q_skew_profile,
-        "q_salted_join": advanced.q_salted_join,
-        "mm_phash_probe": multimodal.mm_phash_probe,
-        "mm_audio_probe": multimodal.mm_audio_probe,
-        "curate_epoch_shuffle": curate.curate_epoch_shuffle,
-        "stream_cdc_apply": cdc_stream.stream_cdc_apply,
-        "graph_bfs": graph.graph_bfs,
-        "text_quality_classifier": text.text_quality_classifier,
-        "sim_random_projection": similarity.sim_random_projection,
-        "sim_rp_distortion": similarity.sim_rp_distortion,
-        "stream_sliding_window": views_stream.stream_sliding_window,
-        "stream_static_join": views_stream.stream_static_join,
-        "sim_index_compact": similarity.sim_index_compact,
-        "pipeline_curate_all": curate.pipeline_curate_all,
-        "mm_phash_append": multimodal.mm_phash_append,
-        "mm_audio_append": multimodal.mm_audio_append,
-        "dedup_pairs_compact": dedup.dedup_pairs_compact,
     }
 
 
