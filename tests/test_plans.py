@@ -346,17 +346,19 @@ def test_fuzzy_names_pattern_join_is_shuffled_not_broadcast(spark):
 
 
 def test_minhash_signatures_hash_once_per_group(spark):
-    """r5 regression pin: each shingle row must compute exactly
-    MINHASH_GROUPS md5 digests (split into 32-bit pieces), not one md5 per
-    hash function — the digests are projected BEFORE the aggregate so
-    Catalyst cannot re-derive them inside every MIN."""
+    """r5 regression pin, r16 form: each shingle row must compute exactly
+    MINHASH_DIGESTS (= 1 since the r16 double-hashing family) md5
+    digest(s), not one md5 per hash function — the digest is projected
+    BEFORE the (ha, hb) derivation and the aggregate, so Catalyst cannot
+    re-derive it inside every MIN (CollapseProject keeps the two selects
+    apart because the digest alias is referenced twice)."""
     from zylyty_data_engineer_challenge_spark.catalog import load_table
 
     sig = dedup._minhash_signatures(
         dedup._shingles(load_table(spark, SF_DIR, "documents"))
     )
     plan = sig._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("md5(") == dedup.MINHASH_GROUPS, plan
+    assert plan.count("md5(") == dedup.MINHASH_DIGESTS, plan
 
 
 def test_pagerank_rank_broadcast_is_a_conf_switch(spark):

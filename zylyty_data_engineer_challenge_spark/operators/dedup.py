@@ -34,7 +34,8 @@ from ..oracle_utils import strip_order_by as _strip_order_by
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows/band: P(candidate) = 1-(1-j^4)^4 — steep around j≈0.5
-MINHASH_GROUPS = 4  # md5 digests computed per shingle; each yields 4 hashes
+MINHASH_DIGESTS = 1  # md5 digests computed per shingle (r16; was 4 pre-r16)
+MINHASH_P = 4294967291  # largest prime < 2^32 — the double-hashing modulus
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -215,29 +216,40 @@ def _ngram_jaccard_pairs(docs: DataFrame, anchor=None) -> DataFrame:
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """doc_id + N_HASHES minhash columns h0..h15.
+    """doc_id + N_HASHES minhash columns h0..h15 (BIGINT).
 
-    Hash family: the 128-bit digest md5(g || '#' || s) is split into four
-    non-overlapping 8-hex-char (32-bit) pieces, each an independent-enough
-    minhash function — so 16 hashes cost N_HASHES/4 md5 evaluations per
-    shingle instead of 16 (measured 2.4 s -> 1.3 s for the signature
-    stage at sf0.1; hashing is the minhash bottleneck since everything
-    else is one keyed agg). Min is lexicographic on fixed-width hex =
-    numeric order, portable across engines. The digests are projected
-    into columns BEFORE the aggregate so each md5 is provably evaluated
-    once per row (not re-derived inside every MIN). One groupBy(doc_id)
-    computes all 16 mins in a single shuffle.
+    Hash family (r16, guide §1.2 step 2 + §2.3): ONE md5 digest per
+    shingle, split into two 60-bit ints a = digest hex[1:15], b = hex
+    [16:30], then Kirsch-Mitzenmacher double hashing — h_i = (a mod P +
+    i * (b mod P)) mod P with P = MINHASH_P, the largest 32-bit prime —
+    giving the 16 independent-enough minhash functions for ONE
+    cryptographic-digest evaluation per shingle where the r5-r15 family
+    computed FOUR salted digests (md5 was the measured per-row cost
+    floor of the whole minhash family: ~1.3 s of dedup_minhash_lsh's
+    2.7 s line at sf0.1; VERDICT r15 item 1). All arithmetic stays far
+    inside int64 (a%P + 15*(b%P) < 2^36), and both engines compute it
+    identically: Spark ``conv(hex, 16, 10)`` == DuckDB
+    ``('0x' || hex)::BIGINT`` (the SIMHASH convention), and ``%`` on
+    nonnegative operands is the same remainder. MIN over BIGINT also
+    shuffles 16 longs per row instead of 16 8-hex-char strings (§2.3,
+    narrower types). The digest is projected into (ha, hb) BEFORE the
+    aggregate — two chained selects, which CollapseProject keeps apart
+    because the digest alias is referenced twice — so md5 is provably
+    evaluated once per row (not re-derived inside every MIN; pinned by
+    tests/test_plans.py::test_minhash_signatures_hash_once_per_group).
+    One groupBy(doc_id) computes all 16 mins in a single shuffle.
     """
-    pieces = N_HASHES // MINHASH_GROUPS
-    proj = sh.select(
+    proj = sh.select("doc_id", F.md5("s").alias("dg")).select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{g}#"), F.col("s"))).alias(f"g{g}")
-            for g in range(MINHASH_GROUPS)
-        ],
+        F.expr(
+            f"CAST(conv(substr(dg, 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+        ).alias("ha"),
+        F.expr(
+            f"CAST(conv(substr(dg, 16, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+        ).alias("hb"),
     )
     aggs = [
-        F.min(F.substring(F.col(f"g{i // pieces}"), 1 + 8 * (i % pieces), 8)).alias(f"h{i}")
+        F.min((F.col("ha") + F.lit(i) * F.col("hb")) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     return proj.groupBy("doc_id").agg(*aggs)
@@ -276,6 +288,31 @@ def _band_candidates(bx: DataFrame, by: DataFrame) -> DataFrame:
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def _band_candidates_sym(bx: DataFrame, by: DataFrame) -> DataFrame:
+    """Distinct candidate pairs where AT LEAST the ``bx`` member is
+    present — the incremental appends' batch-vs-(store ∪ batch) shape in
+    ONE join (r16, guide §2.4). The pre-r16 form unioned BOTH
+    orientations of :func:`_band_candidates` (the new doc may be either
+    the smaller or larger id of a pair); joining on ``!=`` and
+    normalizing with least/greatest yields the identical distinct set
+    while scanning and joining the (bigger) ``by`` side once instead of
+    twice."""
+    return (
+        bx.alias("x")
+        .join(
+            by.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("d1"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("d2"),
+        )
         .distinct()
     )
 
@@ -344,7 +381,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # bump to invalidate every persisted near-dup artifact (banding/hash change)
-NEARDUP_PAIRS_VERSION = 1
+# v2: r16 minhash hash-family change (one-digest double hashing) — every
+# stored band/pair artifact derived from the old 4-digest family is stale
+NEARDUP_PAIRS_VERSION = 2
 
 
 def _pair_cache_dir(
@@ -457,16 +496,15 @@ def dedup_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, appended = hadoop_fs(spark, f"{base}/_APPEND_READY")
     if not fs.exists(appended):
         stored_bands = spark.read.parquet(f"{base}/bands")
-        new_bands = _minhash_bands(new_docs)
+        # banding the batch feeds three subtrees (the new side of the
+        # candidate join, the union side, and the bands append) — the
+        # eager checkpoint runs shingle+minhash ONCE (r16, guide §4.5)
+        new_bands = _minhash_bands(new_docs).localCheckpoint(eager=True)
         all_bands = stored_bands.unionByName(new_bands)
-        # both orientations of the new-vs-anything bucket join (the new
-        # doc may be either the smaller or larger id of a pair);
-        # new-vs-new pairs land in both and the distinct collapses them
-        cand = (
-            _band_candidates(new_bands, all_bands)
-            .unionByName(_band_candidates(all_bands, new_bands))
-            .distinct()
-        )
+        # ONE symmetric new-vs-anything bucket join instead of both
+        # orientations (r16, §2.4 — identical distinct candidate set;
+        # new-vs-new pairs normalize to d1 < d2 under least/greatest)
+        cand = _band_candidates_sym(new_bands, all_bands)
         new_pairs = _jaccard_verify(cand, docs, restrict=True)
         new_pairs.write.mode("append").parquet(f"{base}/pairs")
         new_bands.write.mode("append").parquet(f"{base}/bands")
@@ -903,17 +941,26 @@ _SHINGLES_CTE = """
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
-# mirrors _minhash_signatures: four 32-bit pieces per salted md5 digest
+# mirrors _minhash_signatures (r16): one md5 digest per shingle -> (ha, hb)
+# 60-bit halves reduced mod MINHASH_P, then 16 double-hashed mins
+_MINHASH_HASH_CTE = f"""mh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS ha,
+                   ('0x' || substr(md5(s), 16, 15))::BIGINT % {MINHASH_P} AS hb
+            FROM sh
+        )"""
+
 _MINHASH_COLS = ",\n               ".join(
-    f"MIN(substr(md5('{i // (N_HASHES // MINHASH_GROUPS)}#' || s),"
-    f" {1 + 8 * (i % (N_HASHES // MINHASH_GROUPS))}, 8)) AS h{i}"
-    for i in range(N_HASHES)
+    f"MIN((ha + {i} * hb) % {MINHASH_P}) AS h{i}" for i in range(N_HASHES)
 )
 
 _BAND_SELECTS = "\n        UNION ALL\n".join(
     "        SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM sig".format(
         b=b,
-        concat=" || '|' || ".join(f"h{b * (N_HASHES // N_BANDS) + r}" for r in range(N_HASHES // N_BANDS)),
+        concat=" || '|' || ".join(
+            f"CAST(h{b * (N_HASHES // N_BANDS) + r} AS VARCHAR)"
+            for r in range(N_HASHES // N_BANDS)
+        ),
     )
     for b in range(N_BANDS)
 )
@@ -951,10 +998,11 @@ ORACLE_SQL = {
     """,
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
+        {_MINHASH_HASH_CTE},
         sig AS (
             SELECT doc_id,
                {_MINHASH_COLS}
-            FROM sh GROUP BY doc_id
+            FROM mh GROUP BY doc_id
         ),
         bands AS (
 {_BAND_SELECTS}
