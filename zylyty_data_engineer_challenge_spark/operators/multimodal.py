@@ -852,6 +852,36 @@ def _banded_pairs(bx: DataFrame, by: DataFrame, n_bands: int, ham_max: int) -> D
     )
 
 
+def _banded_pairs_sym(
+    bx: DataFrame, by: DataFrame, n_bands: int, ham_max: int
+) -> DataFrame:
+    """Canonical pairs where AT LEAST the ``bx`` member of each pair is
+    present — the incremental appends' batch-vs-(store ∪ batch) shape in
+    ONE join (r16, guide §2.4). The pre-r16 form unioned BOTH
+    orientations of :func:`_banded_pairs` (bx⋈by then by⋈bx) because the
+    new document may be either the smaller or the larger id; joining on
+    ``!=`` and normalizing with least/greatest yields the identical
+    distinct pair set while scanning and hash-joining the (bigger)
+    ``by`` side once instead of twice. Hamming is XOR-symmetric, so the
+    verify is orientation-independent."""
+    return (
+        bx.alias("x")
+        .join(
+            by.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("d1"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("d2"),
+            F.expr(f"CAST({_hamming_expr(n_bands)} AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= ham_max)
+        .distinct()
+    )
+
+
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs over DECODED pixels: build each document's
     generative PNG (the :func:`mm_pixel_decode` path — real CRC32s, zlib
@@ -1544,14 +1574,12 @@ def _mm_banded_append(
             ),
             n_bands,
         )
-        # both orientations of the new-vs-anything bucket join (the new
-        # doc may be the smaller or larger id of a pair); new-vs-new
-        # pairs land in both and the distinct collapses them
-        new_pairs = (
-            _banded_pairs(nb, ab, n_bands, ham_max)
-            .unionByName(_banded_pairs(ab, nb, n_bands, ham_max))
-            .distinct()
-        )
+        # ONE symmetric new-vs-anything bucket join (r16, §2.4): the new
+        # doc may be the smaller or larger id of a pair, so the pre-r16
+        # form unioned both orientations — the != join + least/greatest
+        # normalization emits the identical distinct set while scanning
+        # and joining the (store ∪ batch) side once instead of twice
+        new_pairs = _banded_pairs_sym(nb, ab, n_bands, ham_max)
         new_pairs.write.mode("append").parquet(f"{base}/pairs")
         fs.create(appended, True).close()
 

@@ -133,7 +133,7 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import hadoop_fs, load_table, source_identity
     from ..operators.dedup import (
         NEARDUP_PAIRS_VERSION,
-        _band_candidates,
+        _band_candidates_sym,
         _jaccard_verify,
         _minhash_bands,
     )
@@ -158,17 +158,20 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_static = load_table(spark, sf_dir, "documents")
 
     def absorb_batch(batch_df: DataFrame, batch_id: int) -> None:
-        new_bands = _minhash_bands(batch_df.select("doc_id", "text"))
+        # band the batch EXACTLY ONCE (r16, guide §4.5): the band plan
+        # feeds three subtrees (candidate-join new side, union side,
+        # bands append) — un-checkpointed it re-ran shingle+minhash 3x
+        new_bands = _minhash_bands(
+            batch_df.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
         if fs.exists(bands_dir):
             stored = spark.read.parquet(f"{base}/bands")
             all_bands = stored.unionByName(new_bands)
         else:
             all_bands = new_bands
-        cand = (
-            _band_candidates(new_bands, all_bands)
-            .unionByName(_band_candidates(all_bands, new_bands))
-            .distinct()
-        )
+        # ONE symmetric batch-vs-(store ∪ batch) join instead of both
+        # orientations (r16, §2.4 — identical distinct candidate set)
+        cand = _band_candidates_sym(new_bands, all_bands)
         pairs = _jaccard_verify(cand, docs_static, restrict=True)
         pairs.write.mode("append").parquet(f"{base}/pairs")
         new_bands.write.mode("append").parquet(f"{base}/bands")

@@ -61,7 +61,23 @@ def stream_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs.create(staged, True).close()
 
     def absorb_batch(batch_df: DataFrame, batch_id: int) -> None:
-        postings, dls, stats = _index_tables(batch_df)
+        # tokenize the batch EXACTLY ONCE (r16, guide §4.5/§2.3): the
+        # three appends each re-derived the token stream (postings,
+        # doclens, stats = 3 tokenize passes per batch). The eager
+        # checkpoint materializes the (term, doc_id, tf) aggregate —
+        # batch-bounded, far smaller than the raw token stream — and the
+        # doc lengths fold from it exactly: dl = Σ_term tf(term, doc).
+        postings, _, _ = _index_tables(batch_df)
+        postings = postings.localCheckpoint(eager=True)
+        from pyspark.sql import functions as F
+
+        dls = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")
+        )
+        stats = dls.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
         postings.write.mode("append").partitionBy("tb").parquet(
             f"{base}/postings"
         )

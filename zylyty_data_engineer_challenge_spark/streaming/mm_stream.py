@@ -38,7 +38,7 @@ from ..operators.multimodal import (
     PHASH_BANDS,
     PHASH_HAMMING_MAX,
     _afp_sig_compute,
-    _banded_pairs,
+    _banded_pairs_sym,
     _explode_bands,
     _phash_sig_compute,
 )
@@ -104,18 +104,22 @@ def _mm_stream_append(
         fs.create(staged, True).close()
 
     def absorb_batch(batch_df: DataFrame, batch_id: int) -> None:
-        new_sigs = sig_compute(batch_df)
+        # decode+fingerprint the batch EXACTLY ONCE (r16, guide §4.5/§1):
+        # the signature plan feeds three subtrees (the new side of the
+        # pair join, the store ∪ batch side, and the sigs append), so the
+        # un-checkpointed form re-ran the expensive Arrow decode 3x per
+        # batch — profiled at ~0.5 s/decode/batch for the image modality,
+        # the single biggest line of the stream lane
+        new_sigs = sig_compute(batch_df).localCheckpoint(eager=True)
         nb = _explode_bands(new_sigs, n_bands)
         if fs.exists(sigs_dir):
             all_sigs = spark.read.parquet(f"{base}/sigs").unionByName(new_sigs)
         else:
             all_sigs = new_sigs
         ab = _explode_bands(all_sigs, n_bands)
-        pairs = (
-            _banded_pairs(nb, ab, n_bands, ham_max)
-            .unionByName(_banded_pairs(ab, nb, n_bands, ham_max))
-            .distinct()
-        )
+        # ONE symmetric batch-vs-(store ∪ batch) join instead of both
+        # orientations (r16, §2.4 — identical distinct pair set)
+        pairs = _banded_pairs_sym(nb, ab, n_bands, ham_max)
         pairs.write.mode("append").parquet(f"{base}/pairs")
         new_sigs.write.mode("append").parquet(f"{base}/sigs")
 
