@@ -320,7 +320,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
     cand = (
-        probes.join(assign, "cid")
+        F.broadcast(probes).join(assign, "cid")
         .select("query_id", "vec_id")
         .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
         .join(F.broadcast(queries), "query_id")
@@ -816,7 +816,10 @@ def _ivf_kmeans_candidates(
     probes = _l2_nearest_lists(
         cents, queries.select("query_id", F.col("qv").alias("q")), "query_id", NPROBE
     )
-    return probes.join(assign, "cid").select("query_id", "vec_id", *carry)
+    # broadcast the query-batch-sized probe list (r16, guide §3.1):
+    # N_QUERIES x NPROBE rows vs the corpus-sized assignment — the
+    # stats-blind planner SMJ'd this, exchanging ALL corpus rows by cid
+    return F.broadcast(probes).join(assign, "cid").select("query_id", "vec_id", *carry)
 
 
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1325,7 +1328,7 @@ def _probe_stored(
     probes = _l2_nearest_lists(cents, queries, "query_id", NPROBE)
     lut = _pq_lut(emb, cb)
     scored = (
-        probes.join(codes, "cid")
+        F.broadcast(probes).join(codes, "cid")
         .join(F.broadcast(lut), ["query_id", "m", "k"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pdot").alias("dot"), F.sum("cn").alias("n2"))
@@ -1367,7 +1370,7 @@ def _rerank_stored(
     )
     lut = _pq_lut(emb, cb)
     pq_scored = (
-        probes.join(codes, "cid")
+        F.broadcast(probes).join(codes, "cid")
         .join(F.broadcast(lut), ["query_id", "m", "k"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pdot").alias("dot"), F.sum("cn").alias("n2"))
@@ -1568,7 +1571,7 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("vec_id"))
     )
     cand = (
-        probes.join(assign, "cid")
+        F.broadcast(probes).join(assign, "cid")
         .select("query_id", "vec_id")
         .join(allowed, "vec_id")  # PRE-filter: before scoring and ranking
         .join(corpus.select("vec_id", "q", F.col("n").alias("n2")), "vec_id")
@@ -2254,7 +2257,7 @@ def sim_ann_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut = _pq_lut(emb, cb)
     scored = (
-        probes.join(stored_codes, "cid")
+        F.broadcast(probes).join(stored_codes, "cid")
         .join(F.broadcast(lut), ["query_id", "m", "k"])
         .groupBy("query_id", "vec_id")
         .agg(
@@ -2688,7 +2691,7 @@ def sim_mrl_probe_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.expr(f"slice(qv, 1, {MRL_DIMS})").alias("qp")
     )
     stage1 = (
-        probes.join(pref, "cid")
+        F.broadcast(probes).join(pref, "cid")
         .join(F.broadcast(qpref), "query_id")
         .select(
             "query_id",
