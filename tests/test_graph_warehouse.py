@@ -206,3 +206,24 @@ def test_cc_subgraph_mode_matches_default(spark):
     # its own id in both modes
     singles = [r for r in default_cc if r["doc_id"] == r["component"]]
     assert singles, "fixture has no singleton components"
+
+
+def test_cc_auto_switch_matches_default(spark):
+    """r16 (VERDICT r15 item 2): the data-driven auto mode — forced to
+    switch to the endpoint subgraph after cycle 1 by a floor-of-1
+    threshold — must produce bit-identical labels to the full-node
+    iteration on both a shallow CC consumer and the deep multimodal
+    union graph, singletons included."""
+    from zylyty_data_engineer_challenge_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    default_cc = graph.dedup_cc(spark, sf).collect()
+    default_mm = graph.dedup_multimodal_cc(spark, sf).collect()
+    spark.conf.set("spark.zylyty.cc.subgraphAutoMinNodes", "1")
+    try:
+        auto_cc = graph.dedup_cc(spark, sf).collect()
+        auto_mm = graph.dedup_multimodal_cc(spark, sf).collect()
+    finally:
+        spark.conf.unset("spark.zylyty.cc.subgraphAutoMinNodes")
+    assert auto_cc == default_cc
+    assert auto_mm == default_mm

@@ -46,39 +46,56 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(node) x (src, dst) -> (node, component) with component = min node
     id reachable over undirected edges; singletons keep their own id.
 
-    r15 (optimization), two measured changes + one conf:
+    r15 (optimization) added step batching and the endpoint-subgraph
+    iteration as confs; r16 (VERDICT r15 item 2) makes the subgraph
+    choice DATA-DRIVEN instead of a static conf:
 
-    * ADAPTIVE step batching — 1, then 2 propagation steps per
-      checkpoint + convergence collect (capped at 2/cycle: a cycle can
-      overshoot convergence by at most cap-1 steps, and on mid-diameter
-      graphs with expensive per-step joins a 4-step cap measured +0.6 s
-      of overshoot on dedup_cc_names — the cap is the overshoot bound). The per-cycle driver turnaround (checkpoint job + collect)
-      is the dominant per-round cost at bench scale (~0.2-0.3 s each),
-      and the multimodal union graph measured a SIXTEEN-step diameter at
-      sf0.1 — 16 driver syncs under the pre-r15 one-step loop, ~6 now.
-      The label sum is monotone non-increasing under each step, so "sum
-      unchanged across a k-step cycle" still implies no step changed a
-      label — the same exact fixpoint test; overshooting the fixpoint
-      mid-cycle only re-propagates already-stable labels. (A
-      path-halving variant — pointer-jump after each step — was measured
-      first: 16 rounds -> only 11 while adding an endpoint-sized
-      self-join per round; rejected.)
-    * ``spark.zylyty.cc.subgraphLabels`` (default false): when true, the
-      loop iterates ONLY the edge-endpoint subgraph (a node with no edge
-      can never change its label) and the full node set is attached once
-      after convergence with component = own id — identical fixpoint,
-      with every per-round shuffle and convergence aggregate shrunk from
-      O(corpus) to O(duplicate endpoints). That is the right shape on a
-      cluster, where corpus >> duplicate set; at bench scale the
-      endpoint init + final attach join cost MORE than the tiny
-      full-node rounds save (interleaved A/B: +0.2 s per consumer on
-      the shallow dedup graph, a wash on the deep one), so the local
-      default keeps the full-node iteration — the same
-      local-default-vs-cluster-conf split as
-      ``spark.zylyty.pagerank.broadcastRanks``. The attach join under
-      the conf broadcasts the (output-sized) converged label table via
-      ``spark.zylyty.cc.broadcastLabels`` (default true; flip it if the
-      duplicate-endpoint set outgrows executor memory).
+    * STEP BATCHING — ``spark.zylyty.cc.stepsPerCycle`` (default 1,
+      i.e. batching OFF: one propagation step per checkpoint +
+      convergence collect — the pre-r15 loop). Setting 2 runs an
+      adaptive 1-then-2 steps per cycle, halving driver syncs on deep
+      graphs at the price of up to cap-1 overshoot steps after the
+      fixpoint; on the mid-diameter name graph that overshoot measured
+      +0.24 s (cap 2) / +0.6 s (cap 4), so batching stays off locally
+      and is a deployment conf for clusters where one driver sync costs
+      more than one propagation pass. The label sum is monotone
+      non-increasing under each step, so "sum unchanged across a k-step
+      cycle" still implies no step changed a label — the same exact
+      fixpoint test; overshooting the fixpoint mid-cycle only
+      re-propagates already-stable labels. (A path-halving variant —
+      pointer-jump after each step — was measured first: 16 rounds ->
+      only 11 while adding an endpoint-sized self-join per round;
+      rejected.)
+    * ``spark.zylyty.cc.subgraphLabels`` ∈ {auto (default), true,
+      false}: a node with no edge can never change its label, so the
+      loop only NEEDS to iterate the edge-endpoint subgraph, attaching
+      the full node set once after convergence with component = own id
+      — identical fixpoint, with every per-round shuffle and
+      convergence aggregate shrunk from O(corpus) to O(duplicate
+      endpoints). At bench scale the endpoint init + final attach join
+      cost MORE than the tiny full-node rounds save (r15 interleaved
+      A/B: +0.2 s per consumer), so the choice is scale-dependent —
+      and "auto" makes it from the data at ZERO extra cost: the
+      convergence collect already aggregates the label table, so it
+      also returns the label COUNT, and once the first cycle observes
+      >= ``spark.zylyty.cc.subgraphAutoMinNodes`` (default 2,000,000)
+      labels the loop restricts itself to the endpoint set (one
+      semi-join against the edge list) and iterates the subgraph from
+      then on — small graphs keep the exact r14/r15 full-node plan
+      (bench-identical), cluster graphs stop shuffling corpus-sized
+      label tables every round after round 1. "true" skips even round
+      1's full-node pass by initializing labels AT the endpoints
+      (fused groupBy(dst) init + first step), the pure O(endpoints)
+      shape — but it reads endpoint ids from the EDGE list, so it
+      PRECONDITIONS endpoints ⊆ nodes (a ghost endpoint would
+      propagate its id as a component; every caller here satisfies
+      this by construction — pair lists are derived from the node
+      table). "auto"/"false" have no such precondition: labels always
+      start from ``nodes``, and edges touching ids outside it are
+      ignored on both sides, exactly like the pre-r15 loop. The attach
+      join broadcasts the (output-sized) converged label table via
+      ``spark.zylyty.cc.broadcastLabels`` (default true; flip it if
+      the duplicate-endpoint set outgrows executor memory).
     """
     # checkpoint the symmetrized edge list ONCE: it is joined every round,
     # and without materialization each round would re-execute the entire
@@ -88,8 +105,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     spark = nodes.sparkSession
-    subgraph = (
-        spark.conf.get("spark.zylyty.cc.subgraphLabels", "false") == "true"
+    mode = spark.conf.get("spark.zylyty.cc.subgraphLabels", "auto")
+    subgraph = mode == "true"
+    auto_min = int(
+        spark.conf.get("spark.zylyty.cc.subgraphAutoMinNodes", "2000000")
     )
     if subgraph:
         # fused first round: on the symmetric edge list every endpoint
@@ -124,17 +143,36 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     prev_sum = None
     converged = False
     steps = 1
+    switched = subgraph  # True while iterating only the endpoint subgraph
     for _ in range(MAX_CC_ROUNDS):
         stepped = labels
         for _s in range(steps):
             stepped = _step(stepped)
         labels = stepped.localCheckpoint(eager=False)
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        # ONE aggregate per cycle returns both the convergence invariant
+        # and the label count the auto mode decides from — no extra job
+        row = labels.agg(
+            F.sum("component").alias("s"), F.count("*").alias("n")
+        ).collect()[0]
+        cur_sum = row["s"]
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
         steps = min(steps * 2, steps_cap)
+        if mode == "auto" and not switched and row["n"] >= auto_min:
+            # cluster-scale corpus: stop shuffling corpus-sized label
+            # tables every round — restrict the iteration to the
+            # endpoint subgraph (only nodes with an edge can still
+            # change), and re-attach the rest once after convergence.
+            # Labels started from `nodes`, so the restriction cannot
+            # admit ghost endpoints (the "true" mode precondition).
+            endpoints = sym.select(F.col("src").alias("node")).distinct()
+            labels = labels.join(endpoints, "node", "left_semi").localCheckpoint(
+                eager=False
+            )
+            switched = True
+            prev_sum = None  # the label-sum basis changed with the restriction
     if not converged:
         # a component whose min-label propagation distance exceeds the round
         # cap would silently carry stale labels — fail loud instead
@@ -142,7 +180,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             f"connected_components did not converge within {MAX_CC_ROUNDS} "
             "rounds (component diameter exceeds the cap); raise MAX_CC_ROUNDS"
         )
-    if not subgraph:
+    if not switched:
         return labels
     # singletons / edge-free nodes re-enter with their own id — the same
     # label the full-node-set iteration gives them, without paying rounds
