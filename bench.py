@@ -450,6 +450,12 @@ def main() -> int:
             else None
         )
         if not cal_warning:
+            # fast-side divergence is non-fatal but must be NOTICED, not
+            # just recorded (r15 ADVICE): a lane running >1.5x faster than
+            # the baseline predicts can also mean a short-circuited lane
+            # (harness/session change), not only a slow baseline
+            if cal_note:
+                print(f"# STREAM CAL NOTE: {cal_note}", file=sys.stderr)
             break
         print(
             f"# stream phase attempt {stream_attempts} flagged by the "

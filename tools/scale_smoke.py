@@ -596,6 +596,111 @@ def contam_main() -> int:
     return 0
 
 
+# --- r16 scale evidence modes (VERDICT r15 items 2 and 5) --------------------
+# --r16exp: measured scaling exponents for the three r15 rewrites the
+# verdict asked to prove at scale — q_table_profile's split aggregate
+# (sf0.1 -> x10 relational corpus), the per-row argmin Lloyd assignment
+# (kmeans_lloyd, x10 -> x100 embeddings), and the gate-restricted funnel
+# histogram (curate_quality_funnel, x10 -> x100 documents).
+# --ccmode: interleaved A/B of the CC iteration modes over the WARM x10
+# pair cache (subgraphLabels false vs true vs auto-forced), the evidence
+# behind the r16 auto-select default.
+
+R16_X100 = ["kmeans_lloyd", "curate_quality_funnel"]
+
+
+def r16exp_main() -> int:
+    import math
+    import tempfile
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    spark = get_spark("scale-smoke-r16exp")
+    if "--rebuild" in sys.argv or not (OUT / "documents.parquet").exists():
+        build(spark)
+    if "--rebuild" in sys.argv or not (OUT100 / "documents.parquet").exists():
+        build_x100(spark)
+    root = tempfile.mkdtemp(prefix="zylyty_r16exp_artifacts_")
+    for conf in ("spark.zylyty.pairCacheDir", "spark.zylyty.annIndexDir"):
+        spark.conf.set(conf, f"{root}/{conf.rsplit('.', 1)[-1]}")
+
+    def best2(name, sfdir):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            queries[name](spark, str(sfdir)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            d = round(time.time() - t0, 2)
+            best = d if best is None or d < best else best
+        return best
+
+    out = {"wall": {}, "exponent": {}}
+    # q_table_profile: relational table — x1 (sf0.1) vs x10 (10x lineitem)
+    out["wall"]["q_table_profile"] = {
+        "x1": best2("q_table_profile", BASE),
+        "x10": best2("q_table_profile", OUT),
+    }
+    out["exponent"]["q_table_profile"] = round(
+        math.log10(
+            max(out["wall"]["q_table_profile"]["x10"], 0.01)
+            / max(out["wall"]["q_table_profile"]["x1"], 0.01)
+        ),
+        2,
+    )
+    for name in R16_X100:
+        out["wall"][name] = {"x10": best2(name, OUT), "x100": best2(name, OUT100)}
+        out["exponent"][name] = round(
+            math.log10(
+                max(out["wall"][name]["x100"], 0.01)
+                / max(out["wall"][name]["x10"], 0.01)
+            ),
+            2,
+        )
+        print(f"# {name}: {out['wall'][name]} exp {out['exponent'][name]}", file=sys.stderr)
+    print(json.dumps(out))
+    return 0
+
+
+def ccmode_main() -> int:
+    import tempfile
+
+    from zylyty_data_engineer_challenge_spark.operators import graph
+
+    spark = get_spark("scale-smoke-ccmode")
+    if "--rebuild" in sys.argv or not (OUT / "documents.parquet").exists():
+        build(spark)
+    root = tempfile.mkdtemp(prefix="zylyty_ccmode_artifacts_")
+    spark.conf.set("spark.zylyty.pairCacheDir", root)
+    # warm the pair cache once so every mode times the CC loop, not
+    # detection
+    graph.dedup_cc(spark, str(OUT)).write.format("noop").mode("overwrite").save()
+    modes = {
+        "full_node": {"spark.zylyty.cc.subgraphLabels": "false"},
+        "subgraph": {"spark.zylyty.cc.subgraphLabels": "true"},
+        "auto_forced": {
+            "spark.zylyty.cc.subgraphLabels": "auto",
+            "spark.zylyty.cc.subgraphAutoMinNodes": "1",
+        },
+    }
+    out: dict[str, list[float]] = {m: [] for m in modes}
+    for rep in range(3):
+        for m, confs in modes.items():
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            t0 = time.time()
+            graph.dedup_cc(spark, str(OUT)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[m].append(round(time.time() - t0, 2))
+            for k in confs:
+                spark.conf.unset(k)
+            print(f"# rep{rep} {m}: {out[m][-1]}s", file=sys.stderr)
+    print(json.dumps({m: {"best": min(v), "all": v} for m, v in out.items()}))
+    return 0
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
 
@@ -638,4 +743,8 @@ if __name__ == "__main__":
         raise SystemExit(packb_main())
     if "--contam" in sys.argv:
         raise SystemExit(contam_main())
+    if "--r16exp" in sys.argv:
+        raise SystemExit(r16exp_main())
+    if "--ccmode" in sys.argv:
+        raise SystemExit(ccmode_main())
     raise SystemExit(x100_main() if "--x100" in sys.argv else main())
