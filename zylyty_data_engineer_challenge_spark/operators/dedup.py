@@ -163,7 +163,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_pairs(docs)
 
 
-def _shingle_pair_table(docs: DataFrame, anchor=None) -> DataFrame:
+def _shingle_pair_table(docs: DataFrame, anchor=None, sh: DataFrame | None = None) -> DataFrame:
     """UNFILTERED exact pair table (d1, d2, common, s1, s2) over the
     capped shingle universe — the shared kernel under every exact-overlap
     metric (Jaccard threshold in :func:`_ngram_jaccard_pairs`, containment
@@ -176,8 +176,13 @@ def _shingle_pair_table(docs: DataFrame, anchor=None) -> DataFrame:
     document frequencies and set sizes stay corpus-wide, so the Jaccard
     universe is unchanged). The filter lands after the ``repartition("s")``
     so both join sides still hang off the same reused exchange.
+
+    ``sh`` (r16): an optional pre-built shingle table — the recall gates
+    pass ONE lazily-checkpointed shingle pass shared with their LSH side
+    (see :func:`dedup_lsh_recall`), so the gate tokenizes the corpus once
+    instead of once per detector.
     """
-    sh = _shingles(docs).repartition("s")
+    sh = (_shingles(docs) if sh is None else sh).repartition("s")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     hot = (
         sh.groupBy("s")
@@ -205,11 +210,11 @@ def _shingle_pair_table(docs: DataFrame, anchor=None) -> DataFrame:
     )
 
 
-def _ngram_jaccard_pairs(docs: DataFrame, anchor=None) -> DataFrame:
+def _ngram_jaccard_pairs(docs: DataFrame, anchor=None, sh: DataFrame | None = None) -> DataFrame:
     """Jaccard-thresholded pairs from the shared kernel (j >= 0.5 as the
     exact integer test 3c >= s1 + s2)."""
     return (
-        _shingle_pair_table(docs, anchor)
+        _shingle_pair_table(docs, anchor, sh=sh)
         .filter(3 * F.col("common") >= F.col("s1") + F.col("s2"))
         .orderBy("d1", "d2")
     )
@@ -255,14 +260,15 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     return proj.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_bands(docs: DataFrame) -> DataFrame:
+def _minhash_bands(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, sig) LSH band table. Per-doc deterministic — a
     document's bands depend only on its own text (md5 of its shingles),
     never on the rest of the corpus — which is the property that makes
     incremental append (:func:`dedup_minhash_append`) EXACTLY equal to a
     full rebuild: encoding a new batch against a frozen band table yields
-    the same candidates the union build would."""
-    sh = _shingles(docs).repartition("doc_id")
+    the same candidates the union build would. ``sh`` optionally supplies
+    a pre-built shingle table (the recall gates' shared pass)."""
+    sh = (_shingles(docs) if sh is None else sh).repartition("doc_id")
     sig = _minhash_signatures(sh)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []
@@ -317,7 +323,12 @@ def _band_candidates_sym(bx: DataFrame, by: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_verify(cand: DataFrame, docs: DataFrame, restrict: bool = False) -> DataFrame:
+def _jaccard_verify(
+    cand: DataFrame,
+    docs: DataFrame,
+    restrict: bool = False,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Exact-Jaccard verify of candidate pairs: fold each doc's
     (already-distinct) shingles into one array and intersect per pair —
     two doc_id equi-joins against a doc-count-sized table instead of
@@ -339,7 +350,8 @@ def _jaccard_verify(cand: DataFrame, docs: DataFrame, restrict: bool = False) ->
             .distinct()
         )
         docs = docs.join(needed, "doc_id", "left_semi")
-    sh = _shingles(docs).repartition("doc_id")
+        sh = None  # the restricted doc set needs its own shingle pass
+    sh = (_shingles(docs) if sh is None else sh).repartition("doc_id")
     arrs = sh.groupBy("doc_id").agg(F.collect_list("s").alias("arr"))
     return (
         cand.join(arrs.select(F.col("doc_id").alias("d1"), F.col("arr").alias("arr1")), "d1")
@@ -355,15 +367,17 @@ def _jaccard_verify(cand: DataFrame, docs: DataFrame, restrict: bool = False) ->
     )
 
 
-def _minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def _minhash_lsh_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Unordered MinHash-LSH near-dup pairs (the full-build composition:
     band → bucket-join → exact verify). Shared by the registered query,
-    the persisted pair cache, and the append path's base build."""
+    the persisted pair cache, and the append path's base build. ``sh``
+    optionally supplies a pre-built shingle table (the recall gates'
+    shared pass)."""
     # uncached; one exchange materializes the shingle table for all four
     # consumers (signatures, sizes, both verify-join sides) via
     # ReusedExchange — see dedup_ngram_jaccard's note
-    bands = _minhash_bands(docs)
-    return _jaccard_verify(_band_candidates(bands, bands), docs)
+    bands = _minhash_bands(docs, sh=sh)
+    return _jaccard_verify(_band_candidates(bands, bands), docs, sh=sh)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,9 +1779,21 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: composes the two detectors (each already banded/capped as
     documented) and adds one pair-keyed join over output-sized inputs
     plus a global 1-row aggregate.
+
+    r16 (VERDICT r15 item 7): the two detectors share ONE lazily-
+    checkpointed shingle pass — both sides previously re-tokenized and
+    re-exploded the corpus independently (their downstream exchanges are
+    keyed differently, s vs doc_id, so ReusedExchange could not bridge
+    them). The checkpoint adds no new data volume class: the plan
+    already materializes the full shingle table twice as shuffle files
+    (both repartitions); it removes a full tokenize+explode pass.
+    Measured interleaved A/B: 3.27 -> 2.50 s at sf0.1, identical output.
     """
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+    docs = load_table(spark, sf_dir, "documents")
+    _yardstick_guard(docs, "dedup_lsh_recall", "exact ngram ground truth")
+    sh = _shingles(docs).localCheckpoint(eager=False)
+    exact = _ngram_jaccard_pairs(docs, sh=sh).select("d1", "d2")
+    lsh = _minhash_lsh_pairs(docs, sh=sh).select(
         "d1", "d2", F.lit(1).alias("hit")
     )
     return _pair_recall_gate(exact, lsh, "n_lsh")
@@ -1821,11 +1847,14 @@ def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Contrast with :func:`dedup_lsh_recall` (the exhaustive sf0.1
     acceptance gate): same join + aggregate shape, quadratic exact side.
+    Both detectors share one checkpointed shingle pass (r16 — see
+    :func:`dedup_lsh_recall`).
     """
     docs = load_table(spark, sf_dir, "documents")
-    exact = _ngram_jaccard_pairs(docs, anchor=_is_anchor).select("d1", "d2")
+    sh = _shingles(docs).localCheckpoint(eager=False)
+    exact = _ngram_jaccard_pairs(docs, anchor=_is_anchor, sh=sh).select("d1", "d2")
     lsh = (
-        dedup_minhash_lsh(spark, sf_dir)
+        _minhash_lsh_pairs(docs, sh=sh)
         .filter(_is_anchor(F.col("d1")))
         .select("d1", "d2", F.lit(1).alias("hit"))
     )
