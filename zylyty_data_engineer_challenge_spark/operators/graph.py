@@ -125,13 +125,29 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     else:
         labels = nodes.select(F.col("node"), F.col("node").alias("component"))
 
+    # r16: broadcast the two output-sized sides of the per-round joins
+    # (guide §3.1 — the pagerank.broadcastRanks pattern applied to the CC
+    # loop). The edge list is duplicate-pairs-sized and the per-round
+    # neighbor-min table is endpoint-sized, while the label table is
+    # corpus-sized; without the hints the stats-blind loop (checkpoint-
+    # backed inputs) shuffled and sorted the LABEL table twice per step.
+    # With them a step's only exchange is the edge-sized groupBy(dst).
+    # Flip spark.zylyty.cc.broadcastEdges=false on a cluster whose
+    # duplicate-edge set outgrows executor memory — both joins then
+    # degrade to hash-partitioned, the same algorithm.
+    bcast_edges = (
+        spark.conf.get("spark.zylyty.cc.broadcastEdges", "true") == "true"
+    )
+
     def _step(lbl: DataFrame) -> DataFrame:
+        sym_side = F.broadcast(sym) if bcast_edges else sym
         nbr_min = (
-            sym.join(lbl, sym.src == lbl.node)
+            sym_side.join(lbl, sym.src == lbl.node)
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        return lbl.join(nbr_min, lbl.node == nbr_min.node2, "left").select(
+        nbr_side = F.broadcast(nbr_min) if bcast_edges else nbr_min
+        return lbl.join(nbr_side, lbl.node == nbr_min.node2, "left").select(
             "node",
             F.least(
                 F.col("component"),
